@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check.py <outDir> <sfDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each <outDir>/<name>/ parquet result with an oracle in
+oracle_sql.json: run the SQL in DuckDB over the sfDir tables, sort
+columns by name, sort rows, compare values.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result"); n_fail += 1; continue
+        try:
+            got = canon(con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df())
+            want = canon(con.execute(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        eq = got.astype(str).equals(want.astype(str))
+        if eq:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            diff = (got.astype(str) != want.astype(str)).any(axis=1)
+            print(f"FAIL {name}: value mismatch, first diffs:")
+            print("  spark:", got[diff].head(3).to_dict("records"))
+            print("  duckdb:", want[diff].head(3).to_dict("records"))
+            n_fail += 1
+    # queries without oracle: rows-only
+    for res in sorted(glob.glob(f"{out_dir}/*/")):
+        name = res.rstrip("/").split("/")[-1]
+        if name not in oracles:
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
+                print(f"ROWS {name}: {n}")
+            except Exception as e:
+                print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
