@@ -49,15 +49,25 @@ def main(out_dir, sf_dir):
             print("  spark:", got[diff].head(3).to_dict("records"))
             print("  duckdb:", want[diff].head(3).to_dict("records"))
             n_fail += 1
-    # queries without oracle: rows-only
-    for res in sorted(glob.glob(f"{out_dir}/*/")):
-        name = res.rstrip("/").split("/")[-1]
-        if name not in oracles:
-            try:
-                n = con.execute(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
-                print(f"ROWS {name}: {n}")
-            except Exception as e:
-                print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
+    # queries without oracle: rows-only. Iterate the manifest (every
+    # declared query), not the output dirs — a rows-only query that threw
+    # inside Verify has no dir and must read as FAIL, not be skipped.
+    manifest_path = f"{out_dir}/manifest.json"
+    if os.path.exists(manifest_path):
+        declared = json.load(open(manifest_path))
+    else:
+        declared = [d.rstrip("/").split("/")[-1] for d in sorted(glob.glob(f"{out_dir}/*/"))]
+    for name in sorted(declared):
+        if name in oracles:
+            continue
+        res = f"{out_dir}/{name}"
+        if not os.path.isdir(res):
+            print(f"FAIL {name} (rows-only): no spark result"); n_fail += 1; continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n}")
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 

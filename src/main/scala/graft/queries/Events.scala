@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream / WRP semantics (SURVEY.md §2a) re-expressed Spark-first.
+  *
+  * The reference (xmidt-event-streams) is an event-routing service: decode
+  * WRP → validate → normalize → regex-filter fanout → bounded-queue batch →
+  * Kinesis ship with failover, metrics throughout. Its queue/worker
+  * machinery is backpressure infrastructure; on Spark those *semantics*
+  * (routing, batching, drop accounting, failover accounting, session/
+  * throttle/old-future metrics) become declarative transformations that
+  * Catalyst can optimize and that scale by partitioning on the natural
+  * keys (stream, user_id).
+  *
+  * Scale notes (100 TB): the route table is KBs → broadcast, so routing
+  * fanout is map-side with zero shuffle of the event stream. All windowed
+  * per-user analytics shuffle ONCE on user_id and reuse that partitioning.
+  * WRP construction/parse/extraction are pure per-row expressions (whole-
+  * stage codegen, no shuffle at all).
+  *
+  * Reference citations are file:line into /root/reference.
+  */
+object Events {
+
+  /** Deterministic WRP-shaped columns synthesized from the events table.
+    * Mirrors the wrp-go v3 fields the reference touches
+    * (internal/event/request_handler.go:57-163): source device id,
+    * "event:"-prefixed dest, msg_type 4 = SimpleEvent. */
+  private def device(c: Column): Column =
+    concat(lit("mac:"), lpad(c.cast("string"), 12, "0"))
+  private def destCol: Column =
+    concat(lit("event:"), col("event_type"), lit("/"), col("event_id").cast("string"))
+
+  /** #1 WRP model + JSON round-trip: build the WRP JSON document, parse it
+    * back with from_json against an explicit schema (the Spark analogue of
+    * wrp-go decoding in request_handler.go:105), surface parsed fields.
+    * Pure projection — codegen, no shuffle. */
+  def wrpParse(s: SparkSession, d: String): DataFrame = {
+    val wrpSchema = "msg_type INT, source STRING, dest STRING"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        to_json(struct(
+          lit(4).as("msg_type"),
+          device(col("user_id")).as("source"),
+          destCol.as("dest"))).as("wrp"))
+      .select(col("event_id"), from_json(col("wrp"), wrpSchema).as("m"))
+      .select(col("event_id"), col("m.msg_type").as("msg_type"),
+        col("m.source").as("source"), col("m.dest").as("dest"))
+  }
+
+  /** #2 Validation (request_handler.go:105-131): msg_type must be 4
+    * (SimpleEvent) and dest non-empty. Invalid rows are synthesized
+    * deterministically so the accounting paths are exercised. */
+  def wrpValidate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        (when(pmod(col("event_id"), lit(97)) === 0, 3).otherwise(4) === 4 &&
+          !(pmod(col("event_id"), lit(101)) === 0)).as("is_valid"))
+      .groupBy("is_valid").agg(count(lit(1)).as("n"))
+
+  /** #3 fixWrp normalization (request_handler.go:141-163): default the
+    * content type, generate a deterministic transaction uuid (sha2 of the
+    * natural key — deterministic where the reference uses uuidgen). */
+  def wrpFix(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        coalesce(
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(lit("application/json")),
+          lit("application/msgpack")).as("content_type"),
+        substring(sha2(concat_ws(":", col("event_id").cast("string"),
+          col("user_id").cast("string")), 256), 1, 32).as("txn_uuid"))
+      .groupBy("content_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("txn_uuid")).as("n_uuids"))
+
+  /** #4 Event-type extraction from dest (wrp-go FindEventStringSubMatch,
+    * filter/filter_manager.go:132): regex on the "event:" scheme. */
+  def wrpEventType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(regexp_extract(destCol, "event:([^/]+)", 1).as("evt"))
+      .groupBy("evt").agg(count(lit(1)).as("n"))
+
+  /** #5 Device-id extraction from source (filter/filter.go:82-96). */
+  def wrpDeviceId(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        regexp_extract(device(col("user_id")), "mac:([0-9]+)", 1).as("dev"))
+      .groupBy("event_type").agg(countDistinct(col("dev")).as("n_devices"))
+
+  /** #6 Per-event-type counters (FilterManagerMetrics.EventType,
+    * filter_manager.go:132). */
+  def evtTypeCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+
+  /** Route table (filter/filter_factory.go): tiny config — broadcast it so
+    * routing fanout never shuffles the event stream. */
+  private def routes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("s_clicks", "^(click|view)$", ""),
+      ("s_commerce", "^(purchase|signup)$", ".*"),
+      ("s_errors", "error", "^0000000000[0-4][0-9]$"),
+      ("s_firehose", ".*", "")
+    ).toDF("stream", "event_regex", "device_regex")
+  }
+
+  /** #7 Regex filter routing with fanout to ALL matching streams
+    * (filter/filter.go:63-80, filter_manager.go:115-140): broadcast
+    * nested-loop join, regex as join predicate — map-side at any scale. */
+  def evtRoute(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(routes(s).select("stream", "event_regex")),
+        regexp_like(col("event_type"), col("event_regex")))
+      .groupBy("stream")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  /** #8 Device-regex layered on the event match; empty/".*" ⇒ match-all
+    * (filter/filter_factory.go:129-167). */
+  def evtRouteMeta(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(routes(s)),
+        regexp_like(col("event_type"), col("event_regex")) &&
+          (col("device_regex") === "" || col("device_regex") === ".*" ||
+            regexp_like(lpad(col("user_id").cast("string"), 12, "0"),
+              col("device_regex"))))
+      .groupBy("stream")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  /** #9 Deterministic batch assignment (internal/queue/queue.go:144-216,
+    * batch by size limit): row_number per stream ÷ batch size. One shuffle
+    * on the stream key; the window then runs partition-local. */
+  def evtBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", floor((col("rn") - 1) / 100).cast(LongType))
+      .groupBy(col("event_type").as("stream"), col("batch_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+  }
+
+  /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
+    * DroppedItems metric): capacity per stream per hour; arrival rank
+    * beyond capacity ⇒ dropped, counted by stream. */
+  def evtDropped(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("arrival", row_number().over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("arrival") > 5, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("arrival") <= 5, 1L).otherwise(0L)).as("n_delivered"))
+  }
+
+  /** #11 Partition-key assignment (kinesis_sender.go:100 — partition key
+    * = session/device id): deterministic shard + per-shard skew check. */
+  def evtShard(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("shard", pmod(col("user_id"), lit(8)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  /** #12 Delivery failover accounting (filter/stream_dispatcher.go:60-105:
+    * primary → alt streams in order): deterministic failure predicate
+    * stands in for the transport error. */
+  def evtFailover(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("delivered_to",
+        when(pmod(col("event_id"), lit(10)) =!= 0, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("_alt"))))
+      .groupBy("delivered_to")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+
+  /** #13 Old/future event detection (internal/metrics/tags.go:
+    * OldEventReceived / FutureEventReceived). */
+  def evtOldFuture(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("age_class",
+        when(col("ts") < lit("2024-01-05").cast("timestamp"), "old")
+          .when(col("ts") > lit("2024-01-25").cast("timestamp"), "future")
+          .otherwise("ok"))
+      .groupBy("event_type", "age_class").agg(count(lit(1)).as("n"))
+
+  /** #14 Throttle detection (tags.go: EventThrottled): events per user per
+    * tumbling hour; hours over threshold flagged. One shuffle on user_id. */
+  def evtThrottle(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_in_hour"))
+      .groupBy("user_id")
+      .agg(sum(when(col("n_in_hour") >= 2, 1L).otherwise(0L)).as("n_throttled_hours"),
+        max("n_in_hour").as("max_in_hour"))
+      .filter(col("n_throttled_hours") >= 1)
+
+  /** Per-user gap-based session id: lag + cumulative sum over ONE user_id
+    * shuffle; both session queries share the shape. Session boundary =
+    * gap > 30 min (online/offline semantics, tags.go). */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** #15a Sessionization: one row per (user, session) with bounds. */
+  def evtSessionize(s: SparkSession, d: String): DataFrame =
+    sessions(s, d)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max("sec") - min("sec")).as("dur_s"))
+
+  /** #15b Session stats per user (avg/max duration, exact division). */
+  def evtSessionStats(s: SparkSession, d: String): DataFrame =
+    evtSessionize(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("dur_s").as("total_dur_s"),
+        max("dur_s").as("max_dur_s"),
+        (sum("dur_s").cast("double") / count(lit(1))).as("avg_dur_s"))
+
+  /** #16 Duplicate-delivery suppression (delivery-retry semantics):
+    * keep-first per dedup key via row_number=1. At 100 TB the shuffle key
+    * is the (small) dedup key, never the payload. */
+  def evtDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("dup_key").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("dup_key", pmod(col("event_id"), lit(4000)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), Exact.dsum(col("value")).as("sum_value"))
+  }
+
+  /** #17 Per-type top-k heavy hitters (event/metrics.go slow-consumer
+    * style): two-level aggregate then rank ≤ k. */
+  def evtTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** #18 Payload/props field extraction (WRP metadata handling):
+    * get_json_object on the props JSON. */
+  def evtProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wrp_parse" -> (wrpParse _),
+    "wrp_validate" -> (wrpValidate _),
+    "wrp_fix" -> (wrpFix _),
+    "wrp_event_type" -> (wrpEventType _),
+    "wrp_device_id" -> (wrpDeviceId _),
+    "evt_type_counts" -> (evtTypeCounts _),
+    "evt_route" -> (evtRoute _),
+    "evt_route_meta" -> (evtRouteMeta _),
+    "evt_batch" -> (evtBatch _),
+    "evt_dropped" -> (evtDropped _),
+    "evt_shard" -> (evtShard _),
+    "evt_failover" -> (evtFailover _),
+    "evt_old_future" -> (evtOldFuture _),
+    "evt_throttle" -> (evtThrottle _),
+    "evt_sessionize" -> (evtSessionize _),
+    "evt_session_stats" -> (evtSessionStats _),
+    "evt_dedup" -> (evtDedup _),
+    "evt_topk" -> (evtTopk _),
+    "evt_props" -> (evtProps _))
+
+  /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
+    * epoch seconds via floor(epoch()) ≡ Spark unix_timestamp, ordering by
+    * event_id (never raw ns timestamps), decimal-exact money sums. */
+  val oracles: Map[String, String] = Map(
+    "wrp_parse" ->
+      """SELECT event_id, 4 AS msg_type,
+        |  'mac:' || lpad(CAST(user_id AS VARCHAR), 12, '0') AS source,
+        |  'event:' || event_type || '/' || CAST(event_id AS VARCHAR) AS dest
+        |FROM events""".stripMargin,
+    "wrp_validate" ->
+      """SELECT ((CASE WHEN event_id % 97 = 0 THEN 3 ELSE 4 END) = 4
+        |        AND NOT (event_id % 101 = 0)) AS is_valid, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "wrp_fix" ->
+      """SELECT COALESCE(CASE WHEN event_id % 5 = 0 THEN NULL
+        |                     ELSE 'application/json' END,
+        |                'application/msgpack') AS content_type,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT substring(sha256(CAST(event_id AS VARCHAR) || ':' ||
+        |    CAST(user_id AS VARCHAR)), 1, 32)) AS n_uuids
+        |FROM events GROUP BY 1""".stripMargin,
+    "wrp_event_type" ->
+      """SELECT regexp_extract('event:' || event_type || '/' ||
+        |    CAST(event_id AS VARCHAR), 'event:([^/]+)', 1) AS evt,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "wrp_device_id" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT regexp_extract('mac:' || lpad(CAST(user_id AS VARCHAR), 12, '0'),
+        |    'mac:([0-9]+)', 1)) AS n_devices
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_type_counts" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_route" ->
+      """SELECT r.stream, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e CROSS JOIN (VALUES
+        |  ('s_clicks', '^(click|view)$'),
+        |  ('s_commerce', '^(purchase|signup)$'),
+        |  ('s_errors', 'error'),
+        |  ('s_firehose', '.*')) AS r(stream, event_regex)
+        |WHERE regexp_matches(e.event_type, r.event_regex)
+        |GROUP BY 1""".stripMargin,
+    "evt_route_meta" ->
+      """SELECT r.stream, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e CROSS JOIN (VALUES
+        |  ('s_clicks', '^(click|view)$', ''),
+        |  ('s_commerce', '^(purchase|signup)$', '.*'),
+        |  ('s_errors', 'error', '^0000000000[0-4][0-9]$'),
+        |  ('s_firehose', '.*', '')) AS r(stream, event_regex, device_regex)
+        |WHERE regexp_matches(e.event_type, r.event_regex)
+        |  AND (r.device_regex = '' OR r.device_regex = '.*'
+        |       OR regexp_matches(lpad(CAST(e.user_id AS VARCHAR), 12, '0'),
+        |                         r.device_regex))
+        |GROUP BY 1""".stripMargin,
+    "evt_batch" ->
+      """SELECT stream, batch_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM (
+        |  SELECT event_type AS stream, event_id,
+        |    CAST(floor((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1)
+        |      / 100) AS BIGINT) AS batch_id
+        |  FROM events) t
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_dropped" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN arrival <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered
+        |FROM (
+        |  SELECT event_type, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', ts) ORDER BY event_id) AS arrival
+        |  FROM events) t
+        |GROUP BY 1""".stripMargin,
+    "evt_shard" ->
+      """SELECT user_id % 8 AS shard, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_failover" ->
+      """SELECT CASE WHEN event_id % 10 <> 0 THEN event_type
+        |            ELSE event_type || '_alt' END AS delivered_to,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_old_future" ->
+      """SELECT event_type,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-05' THEN 'old'
+        |       WHEN ts > TIMESTAMP '2024-01-25' THEN 'future'
+        |       ELSE 'ok' END AS age_class,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_throttle" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN n_in_hour >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled_hours,
+        |  MAX(n_in_hour) AS max_in_hour
+        |FROM (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n_in_hour
+        |  FROM events GROUP BY 1, 2) t
+        |GROUP BY 1
+        |HAVING SUM(CASE WHEN n_in_hour >= 2 THEN 1 ELSE 0 END) >= 1""".stripMargin,
+    "evt_sessionize" ->
+      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MAX(sec) - MIN(sec) AS dur_s
+        |FROM (
+        |  SELECT user_id, sec,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id,
+        |      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |      CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |    FROM events) g) t
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_session_stats" ->
+      """SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+        |  MAX(dur_s) AS max_dur_s,
+        |  CAST(SUM(dur_s) AS DOUBLE) / COUNT(*) AS avg_dur_s
+        |FROM (
+        |  SELECT user_id, session_idx, MAX(sec) - MIN(sec) AS dur_s
+        |  FROM (
+        |    SELECT user_id, sec,
+        |      SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    FROM (
+        |      SELECT user_id, event_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |        CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |          OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |      FROM events) g) s
+        |  GROUP BY 1, 2) d
+        |GROUP BY 1""".stripMargin,
+    "evt_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id % 4000 ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "evt_topk" ->
+      """SELECT event_type, user_id, n, rnk FROM (
+        |  SELECT event_type, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk
+        |  FROM (
+        |    SELECT event_type, user_id, COUNT(*) AS n
+        |    FROM events GROUP BY 1, 2) c) r
+        |WHERE rnk <= 3""".stripMargin,
+    "evt_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin)
+}
