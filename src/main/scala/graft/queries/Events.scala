@@ -41,7 +41,8 @@ object Events {
     * wrp-go decoding in request_handler.go:105), surface parsed fields.
     * Pure projection — codegen, no shuffle. */
   def wrpParse(s: SparkSession, d: String): DataFrame = {
-    val wrpSchema = "msg_type INT, source STRING, dest STRING"
+    val wrpSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "msg_type INT, source STRING, dest STRING")
     Tables.events(s, d)
       .select(col("event_id"),
         to_json(struct(
@@ -386,7 +387,7 @@ object Events {
         |GROUP BY 1
         |HAVING SUM(CASE WHEN n_in_hour >= 2 THEN 1 ELSE 0 END) >= 1""".stripMargin,
     "evt_sessionize" ->
-      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+      """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MAX(sec) - MIN(sec) AS dur_s
         |FROM (
         |  SELECT user_id, sec,
