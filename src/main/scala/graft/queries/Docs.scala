@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** LLM-training-data pipeline operators over the documents table
+  * (SURVEY.md §2c): exact + near dedup, fingerprinting, language ID,
+  * quality scoring, token counting.
+  *
+  * Scale notes (100 TB corpus):
+  * - Exact dedup shuffles a 128-bit fingerprint, never the raw text.
+  * - Shingling is a pure per-row expression (codegen map-side); the
+  *   near-dup self-join keys on the shingle string, so each join bucket
+  *   is one shingle's posting list — no all-pairs blowup.
+  * - MinHash/LSH shuffles (band_idx, band_hash) pairs only; candidate
+  *   verification is in-bucket.
+  */
+object Docs {
+
+  /** Word 3-gram shingles as a pure column expression — no window, no
+    * shuffle; whole-stage codegen end to end. */
+  private def shingleCol(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(1), size(words) - 2),
+          i => concat_ws(" ",
+            element_at(words, i), element_at(words, i + 1),
+            element_at(words, i + 2))))
+        .otherwise(array()))
+  }
+
+  /** (doc_id, shingle) posting list, distinct per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingleCol(col("text"))).as("shingle"))
+
+  /** #36 Exact dedup, keep-first: the corpus unioned with a simulated
+    * re-delivery of itself, deduped on md5(text) via row_number=1. The
+    * shuffle key is the fingerprint, not the document body. */
+  def docDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+    val redelivered = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docs.unionByName(redelivered)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** #37 N-gram Jaccard near-dup pairs: candidates from the shared-shingle
+    * self-join (each bucket = one shingle's posting list), exact Jaccard
+    * on distinct-shingle counts, τ = 0.5. */
+  def docNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("n_a") + col("n_b") - col("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** #38 MinHash + LSH near-dup (rows-only: DuckDB cannot reproduce
+    * Spark's Murmur3 hash family). k=16 permutations via seeded murmur3
+    * (hash(seed, shingle) — codegen'd), 4 bands × 4 rows; band-bucket
+    * groupBy join yields candidates, verified with exact Jaccard ≥ 0.5.
+    * At scale only (band_idx, band_hash, doc_id) tuples shuffle. */
+  def docMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val k = 16
+    val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(j => col(s"h$j"))
+      sigs.select(col("doc_id"), lit(b).as("band_idx"),
+        hash(cols: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (same shape as docNgramJaccard)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** #43 Language ID: stopword-profile heuristic — per-language stopword
+    * hit counts, argmax with fixed precedence. Pure per-row regex
+    * (codegen); the synthetic corpus is English-vocab so the value is the
+    * deterministic confusion matrix, not linguistic accuracy. */
+  def docLangid(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val en = regexp_count(t, lit("\\b(the|a|of|and|is)\\b"))
+    val es = regexp_count(t, lit("\\b(el|la|los|las|es|y)\\b"))
+    val de = regexp_count(t, lit("\\b(der|die|das|und|ist)\\b"))
+    val fr = regexp_count(t, lit("\\b(le|les|des|et|est)\\b"))
+    Tables.documents(s, d)
+      .withColumn("predicted",
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("unknown"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** #44 Quality scoring: length / stopword / digit / punctuation ratios
+    * as exact integer counts with double division at the boundary. */
+  def docQuality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(t, " "))
+    val nStop = regexp_count(t, lit("\\b(the|a|of|and|is)\\b"))
+    val nDigit = regexp_count(t, lit("[0-9]"))
+    val nPunct = regexp_count(t, lit("[^a-zA-Z0-9 ]"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(t).as("n_chars"),
+        nWords.as("n_words"),
+        (length(regexp_replace(t, " ", "")).cast("double") / nWords)
+          .as("avg_word_len"),
+        (nStop.cast("double") / nWords).as("stopword_ratio"),
+        (nDigit.cast("double") / length(t)).as("digit_ratio"),
+        (nPunct.cast("double") / length(t)).as("punct_ratio"))
+      .withColumn("quality_bucket",
+        when(col("n_words") >= 40 && col("stopword_ratio") >= 0.02, "good")
+          .when(col("n_words") >= 15, "ok")
+          .otherwise("low"))
+  }
+
+  /** #45 Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single non-alnum), aggregated per
+    * source. */
+  def docTokens(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWs = size(split(t, " "))
+    val nBpe = regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    Tables.documents(s, d)
+      .select(col("source"), nWs.as("n_ws"), nBpe.as("n_bpe"))
+      .groupBy("source")
+      .agg(sum("n_ws").as("sum_ws_tokens"),
+        sum("n_bpe").as("sum_bpe_tokens"),
+        max("n_ws").as("max_ws_tokens"),
+        (sum("n_ws").cast("double") / count(lit(1))).as("avg_ws_tokens"))
+  }
+
+  /** #46 Content fingerprinting: md5 + a 64-bit prefix as the dedup key;
+    * per-source uniqueness accounting. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp64"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        countDistinct(col("fp64")).as("n_unique64"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact" -> (docDedupExact _),
+    "doc_ngram_jaccard" -> (docNgramJaccard _),
+    "doc_minhash_lsh" -> (docMinhashLsh _),
+    "doc_langid" -> (docLangid _),
+    "doc_quality" -> (docQuality _),
+    "doc_tokens" -> (docTokens _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
+    * family). Shingles are built with list_transform over range — same
+    * sequence as the Spark expression. */
+  val oracles: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id, text, lang, n_chars FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text, lang, n_chars FROM documents) u) t
+        |WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingle
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5""".stripMargin,
+    "doc_langid" ->
+      """SELECT lang,
+        |  CASE
+        |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |    WHEN de >= fr AND de > 0 THEN 'de'
+        |    WHEN fr > 0 THEN 'fr'
+        |    ELSE 'unknown' END AS predicted,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|las|es|y)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(le|les|des|et|est)\b')) AS fr
+        |  FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
+    "doc_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |    / length(text) AS digit_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CASE
+        |    WHEN len(string_split(text, ' ')) >= 40
+        |      AND CAST(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS DOUBLE)
+        |          / len(string_split(text, ' ')) >= 0.02 THEN 'good'
+        |    WHEN len(string_split(text, ' ')) >= 15 THEN 'ok'
+        |    ELSE 'low' END AS quality_bucket
+        |FROM documents""".stripMargin,
+    "doc_tokens" ->
+      """SELECT source,
+        |  CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+        |  MAX(n_ws) AS max_ws_tokens,
+        |  CAST(SUM(n_ws) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+        |FROM (
+        |  SELECT source, len(string_split(text, ' ')) AS n_ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+        |  FROM documents) t
+        |GROUP BY 1""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COUNT(DISTINCT substring(md5(text), 1, 16)) AS n_unique64
+        |FROM documents GROUP BY 1""".stripMargin)
+}
