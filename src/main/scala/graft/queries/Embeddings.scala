@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2c #40-42):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * buckets as the scale path, cosine near-dup pair mining.
+  *
+  * Cross-engine exactness: embeddings are float32 in parquet; BOTH
+  * engines cast to double FIRST, then compute the dot products as
+  * sequential left-to-right double sums and cosine as
+  * dot / (sqrt(norm_a) * sqrt(norm_b)) — same operand order ⇒ identical
+  * bits, so thresholds and rank orderings agree exactly.
+  *
+  * Scale notes (100 TB): the query side of top-k is broadcast (KBs);
+  * candidates never shuffle for the brute-force pass. LSH bucketing keys
+  * the shuffle on (bucket), capping pair comparisons in-bucket; norms are
+  * computed once per vector, never per pair.
+  */
+object Embeddings {
+
+  private def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
+
+  /** Sequential double dot product (array order — matches DuckDB's
+    * list_dot_product evaluation order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Vectors with precomputed double array + norm (norm once per vector,
+    * not per pair). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+
+  /** #40 Brute-force cosine top-k: 5 query vectors (broadcast) × corpus,
+    * rank per query. Exact recall-1.0 baseline. */
+  def embCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    v.select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /** #42 Cosine near-dup pairs (τ = 0.4): brute-force all-pairs with the
+    * per-vector norm precomputed. The oracle-matched exact baseline; the
+    * 100 TB path is the LSH-bucketed variant below. */
+  def embNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("norm").as("na"), col("label").as("label_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("norm").as("nb"), col("label").as("label_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+  }
+
+  /** Deterministic random-hyperplane components: murmur3 of (plane, dim)
+    * scaled to [-1, 1). Computed once on the driver; the planes are a
+    * literal broadcast to every task. */
+  private def planes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, j))
+        (math.floorMod(h, 2001) - 1000) / 1000.0
+      }
+    }
+
+  /** #41 LSH-bucketed ANN (rows-only: hyperplane family is Spark-side):
+    * 8 random-hyperplane sign bits → bucket id; exact cosine only within
+    * the query's bucket. At scale the corpus shuffles once on bucket and
+    * each query probes one bucket — pair count capped at bucket size. */
+  def embAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val nP = 8
+    val v = vecs(s, d)
+    val bucketBits = (0 until nP).map { p =>
+      val plane = array(planes(nP, 64)(p).map(lit): _*)
+      when(dot(col("e"), plane) >= 0, 1L << p).otherwise(0L)
+    }
+    val bucketed = v.withColumn("bucket", bucketBits.reduce(_ + _))
+    val q = broadcast(bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("bucket")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    bucketed.select(col("vec_id").as("neighbor_id"), col("e"), col("norm"),
+        col("bucket"))
+      .join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "cos", "bucket")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> (embCosineTopk _),
+    "emb_neardup" -> (embNeardup _),
+    "emb_ann_lsh" -> (embAnnLsh _))
+
+  /** DuckDB twins. list_dot_product over double lists evaluates the same
+    * sequential double sum as the Spark aggregate/zip_with expression. */
+  val oracles: Map[String, String] = Map(
+    "emb_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v)
+        |SELECT query_id, neighbor_id, rnk, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(c.e, q.e) / (c.norm * q.norm) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(c.e, q.e) / (c.norm * q.norm) DESC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin,
+    "emb_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cos,
+        |  a.label = b.label AS same_label
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin)
+}
