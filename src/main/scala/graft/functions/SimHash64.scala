@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 64-bit SimHash over a token array — a native Catalyst expression with
+  * codegen, so it runs inside whole-stage codegen rather than as an
+  * opaque Scala UDF.
+  *
+  * Algorithm (Charikar 2002, "Similarity estimation techniques from
+  * rounding algorithms"): hash every token to 64 bits (xxhash64, the
+  * same family Spark's built-in xxhash64 uses); for each bit position
+  * keep a counter incremented when the bit is set, decremented when
+  * clear; the final signature takes bit i = (counter_i > 0). Documents
+  * within small edit distance land within small Hamming distance, so
+  * near-dup candidate pairs come from equal fixed-width bands of the
+  * signature (pigeonhole) instead of an all-pairs scan — the shuffle key
+  * at 100 TB is (band_idx, 8-bit band), never document text.
+  *
+  * The reference's event pipeline has no sketching operator; this is a
+  * scale-path addition per the LLM-pipeline charter (SURVEY.md §2c #39).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) r |= 1L << b
+      b += 1
+    }
+    r
+  }
+}
+
+/** Column-API + SQL registration for graft's custom expressions. */
+object GraftFunctions {
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      SimHash64(org.apache.spark.sql.graft.Shims.expression(tokens)))
+
+  /** Register graft functions on a session (SQL-callable). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+}
+
+/** SparkSessionExtensions hook — the library-consumer path:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+}

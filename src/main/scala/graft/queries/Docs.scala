@@ -113,6 +113,34 @@ object Docs {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
+    * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
+    * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
+    * pair within Hamming ≤ 7 shares a band), then verified with
+    * bit_count(xor) ≤ 7. At 100 TB only (band_idx, band, doc_id, sig)
+    * shuffles — never text. */
+  def docSimhash(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.simhash64
+    // signature over 3-gram shingles (word unigrams from a small
+    // vocabulary are weakly discriminating; shingles are doc-specific)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(shingleCol(col("text"))).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(7))).as("band_idx"))
+      .withColumn("band",
+        expr("shiftrightunsigned(sig, band_idx * 8)").bitwiseAND(lit(255L)))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 7)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** #43 Language ID: stopword-profile heuristic — per-language stopword
     * hit counts, argmax with fixed precedence. Pure per-row regex
     * (codegen); the synthetic corpus is English-vocab so the value is the
@@ -189,6 +217,7 @@ object Docs {
     "doc_dedup_exact" -> (docDedupExact _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
     "doc_minhash_lsh" -> (docMinhashLsh _),
+    "doc_simhash" -> (docSimhash _),
     "doc_langid" -> (docLangid _),
     "doc_quality" -> (docQuality _),
     "doc_tokens" -> (docTokens _),

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's private[sql] Column ⇄ Expression conversions, so
+  * graft's native Catalyst expressions (e.g. SimHash64) get a Column API.
+  * Lives under org.apache.spark.sql because the converters are
+  * private[sql]; the standard pattern for Spark extension libraries. */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
