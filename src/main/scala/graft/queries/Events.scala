@@ -101,8 +101,9 @@ object Events {
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
 
   /** Route table (filter/filter_factory.go): tiny config — broadcast it so
-    * routing fanout never shuffles the event stream. */
-  private def routes(s: SparkSession): DataFrame = {
+    * routing fanout never shuffles the event stream. Shared with the
+    * streaming pipeline (graft.streaming.EventStream). */
+  def routes(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       ("s_clicks", "^(click|view)$", ""),

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Raw event as it leaves JSON parsing. */
+case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+    event_id: Long, value: Double)
+
+/** Open-session state carried between micro-batches (epoch seconds). */
+case class SessionState(start_s: Long, last_s: Long, n_events: Int)
+
+/** A gap-closed session emitted downstream. */
+case class ClosedSession(user_id: Long, start_s: Long, end_s: Long,
+    n_events: Int)
+
+/** Structured-Streaming re-expression of the reference's end-to-end
+  * service (SURVEY.md §2a #19-22): HTTP ingest → decode/validate →
+  * regex route fanout → bounded batches → Kinesis ship becomes
+  * readStream → from_json/filter → broadcast route join → micro-batch
+  * foreachBatch sink with per-file record caps.
+  *
+  * The reference's queue/worker machinery (internal/queue/queue.go) is
+  * backpressure infrastructure; in Structured Streaming the micro-batch
+  * IS the batch, and maxRecordsPerFile reproduces the ≤500-records
+  * PutRecords split (internal/kinesis/kinesis.go:30). State that the
+  * reference keeps in goroutines (open sessions) lives in
+  * flatMapGroupsWithState, checkpointed and partitioned by user_id.
+  */
+object EventStream {
+
+  /** WRP-shaped schema for the streaming JSON source
+    * (wrp-go v3 fields used in internal/event/request_handler.go). */
+  val wrpSchema: StructType = StructType.fromDDL(
+    "msg_type INT, source STRING, dest STRING, event_id BIGINT, " +
+      "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+
+  /** #19a decode: raw JSON lines → typed event columns
+    * (request_handler.go:105 decode step). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), wrpSchema).as("m"))
+      .select("m.*")
+
+  /** #19b validate (request_handler.go:105-131): msg_type 4, non-empty
+    * dest with the event scheme. */
+  def validate(parsed: DataFrame): DataFrame =
+    parsed.filter(col("msg_type") === 4 &&
+      col("dest").isNotNull && col("dest").startsWith("event:"))
+      .withColumn("event_type", regexp_extract(col("dest"), "event:([^/]+)", 1))
+
+  /** #19c route fanout (filter/filter.go:63-99): broadcast regex join —
+    * identical shape to the batch operator, map-side at any scale. */
+  def route(validated: DataFrame, spark: SparkSession): DataFrame =
+    validated.join(
+      broadcast(graft.queries.Events.routes(spark)
+        .select(col("stream"), col("event_regex"))),
+      regexp_like(col("event_type"), col("event_regex")))
+      .drop("event_regex")
+
+  /** #19d ship (kinesis_sender.go:92-100): foreachBatch sink writing one
+    * parquet dir per stream, each file capped at 500 records — the
+    * PutRecords batch limit. Partition key column = stream. */
+  def batchedSink(routed: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    routed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write
+          .option("maxRecordsPerFile", 500)
+          .partitionBy("stream")
+          .mode("append")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** #20 Windowed per-type counts with watermark — the streaming version
+    * of the per-event-type Prometheus counters (filter/metrics.go). */
+  def windowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** #21 Streaming sessionization with custom state
+    * (online/offline session semantics, internal/metrics/tags.go):
+    * gap-closed sessions via flatMapGroupsWithState, partitioned by
+    * user_id. A session closes when a later event arrives more than
+    * gapSec after it — deterministic without wall-clock timeouts. */
+  def sessionize(events: Dataset[Evt], gapSec: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Evt], state: GroupState[SessionState]) =>
+          val closed = List.newBuilder[ClosedSession]
+          var st = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            st match {
+              case Some(s) if sec - s.last_s > gapSec =>
+                closed += ClosedSession(uid, s.start_s, s.last_s, s.n_events)
+                st = Some(SessionState(sec, sec, 1))
+              case Some(s) =>
+                st = Some(s.copy(last_s = sec, n_events = s.n_events + 1))
+              case None =>
+                st = Some(SessionState(sec, sec, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** #22 Streaming dedup (delivery-retry suppression): state-bounded via
+    * the watermark instead of an ever-growing seen-set. */
+  def dedup(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

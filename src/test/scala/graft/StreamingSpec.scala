@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2a #19-22: streaming ingestion end-to-end, windowed counts
+  * with watermark, custom-state sessionization, streaming dedup. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  import spark.implicits._
+
+  private def wrpJson(id: Long, user: Long, evt: String, ts: String,
+      value: Double = 1.0, msgType: Int = 4): String =
+    s"""{"msg_type":$msgType,"source":"mac:$user","dest":"event:$evt/$id",""" +
+      s""""event_id":$id,"user_id":$user,"ts":"$ts","value":$value}"""
+
+  test("#19 ingest end-to-end: parse -> validate -> route -> batched parquet sink") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+    val routed = EventStream.route(
+      EventStream.validate(EventStream.parse(in.toDF())), spark)
+    val q = EventStream.batchedSink(routed, out, ckpt)
+    try {
+      in.addData(
+        wrpJson(1, 10, "click", "2024-01-01 00:00:01"),
+        wrpJson(2, 11, "purchase", "2024-01-01 00:00:02"),
+        wrpJson(3, 12, "error", "2024-01-01 00:00:03"),
+        wrpJson(4, 13, "click", "2024-01-01 00:00:04", msgType = 3)) // invalid
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val written = spark.read.parquet(out)
+    // click routes to s_clicks + s_firehose; purchase to s_commerce +
+    // s_firehose; error to s_errors + s_firehose; the msg_type=3 event is
+    // dropped by validation. Fanout: every event also hits the firehose.
+    val byStream = written.groupBy("stream").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStream == Map("s_clicks" -> 1L, "s_commerce" -> 1L,
+      "s_errors" -> 1L, "s_firehose" -> 3L))
+    assert(!written.select("event_id").as[Long].collect().contains(4L))
+  }
+
+  test("#20 windowed counts with watermark emit closed windows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = EventStream.windowedCounts(
+      EventStream.validate(EventStream.parse(in.toDF())))
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        wrpJson(1, 1, "click", "2024-01-01 00:01:00"),
+        wrpJson(2, 1, "click", "2024-01-01 00:02:00"),
+        wrpJson(3, 2, "view", "2024-01-01 00:03:00"))
+      q.processAllAvailable()
+      // advance the watermark past the first window (00:00-00:05):
+      // event at 00:20 → watermark 00:10 > window end 00:05
+      in.addData(wrpJson(4, 3, "click", "2024-01-01 00:20:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("wincounts")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+    assert(rows == Set(("click", 2L), ("view", 1L)))
+  }
+
+  test("#21 flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val sessions = EventStream.sessionize(in.toDS(), gapSec = 1800)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def evt(id: Long, user: Long, epochSec: Long) =
+      Evt(user, new java.sql.Timestamp(epochSec * 1000), "click", id, 1.0)
+    try {
+      // user 7: two events 10s apart (one session), then a 2h gap
+      in.addData(evt(1, 7, 1000), evt(2, 7, 1010))
+      q.processAllAvailable()
+      in.addData(evt(3, 7, 9000)) // closes the first session
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val closed = spark.table("sessions").as[ClosedSession].collect().toSeq
+    assert(closed == Seq(ClosedSession(7, 1000, 1010, 2)))
+  }
+
+  test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val deduped = EventStream.dedup(
+      EventStream.validate(EventStream.parse(in.toDF())))
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        wrpJson(1, 1, "click", "2024-01-01 00:00:01"),
+        wrpJson(1, 1, "click", "2024-01-01 00:00:01"), // same-batch dup
+        wrpJson(2, 2, "view", "2024-01-01 00:00:02"))
+      q.processAllAvailable()
+      in.addData(wrpJson(1, 1, "click", "2024-01-01 00:00:03")) // redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("deduped").select("event_id").as[Long]
+      .collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L))
+  }
+}
