@@ -57,7 +57,11 @@ object Docs {
     * self-join (each bucket = one shingle's posting list), exact Jaccard
     * on distinct-shingle counts, τ = 0.5. */
   def docNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // the posting list feeds both join sides AND the size table: persist
+    // it so the shingling subtree runs once, not three times (at 100 TB
+    // this is a checkpointed table, not a recomputed lineage)
     val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), "shingle")
@@ -83,6 +87,7 @@ object Docs {
     * At scale only (band_idx, band_hash, doc_id) tuples shuffle. */
   def docMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = 16
     val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -91,18 +96,22 @@ object Docs {
       sigs.select(col("doc_id"), lit(b).as("band_idx"),
         hash(cols: _*).as("band_hash"))
     }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard (same shape as docNgramJaccard)
+    // Verify ONLY the candidate pairs: broadcast the (tiny) candidate set
+    // against the posting list twice, so verification cost scales with
+    // candidates — not with every shared-shingle pair in the corpus.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = broadcast(broadcast(cand)
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
+    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -129,6 +138,9 @@ object Docs {
       explode(sequence(lit(0), lit(7))).as("band_idx"))
       .withColumn("band",
         expr("shiftrightunsigned(sig, band_idx * 8)").bitwiseAND(lit(255L)))
+      // both sides of the candidate self-join: persist so the signature
+      // computation (shingle + simhash) runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band"))
       .filter(col("a.doc_id") < col("b.doc_id"))

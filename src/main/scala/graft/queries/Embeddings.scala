@@ -25,9 +25,11 @@ object Embeddings {
   private def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
   /** Sequential double dot product (array order — matches DuckDB's
-    * list_dot_product evaluation order). */
+    * list_dot_product evaluation order). Codegen'd native expression: the
+    * HOF formulation (aggregate over zip_with) is interpreted and
+    * allocates per pair, which dominates all-pairs similarity joins. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.column(a, b)
 
   /** Vectors with precomputed double array + norm (norm once per vector,
     * not per pair). */
