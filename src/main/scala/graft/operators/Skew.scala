@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SURVEY.md §5): salting for hot keys where
+  * AQE's skew-join split is unavailable (e.g. aggregations, or joins
+  * below AQE's skew thresholds).
+  *
+  * Two-phase aggregation: groupBy(key, salt) partial-aggregates the hot
+  * key across `buckets` reducers, then a second (tiny) aggregate merges
+  * the per-salt partials. Spark's hash aggregate already does map-side
+  * partials, so salting only pays off when a single reducer's merge
+  * stream for one key exceeds what one core should own — the 100 TB
+  * "one device spams the stream" case (the reference drops-on-overflow
+  * per queue; we keep every row, balanced).
+  */
+object Skew {
+
+  /** Deterministic salt column in [0, buckets): hash of the whole row's
+    * natural id spread uniformly; pass an id column for stability. */
+  def salt(id: Column, buckets: Int): Column =
+    pmod(hash(id), lit(buckets))
+
+  /** Salted count+sum aggregate over one hot key column.
+    * Phase 1 shuffles on (key, salt) — the hot key spreads over
+    * `buckets` reducers; phase 2 shuffles only `buckets` rows per key. */
+  def saltedAgg(df: DataFrame, key: Column, id: Column, value: Column,
+      buckets: Int): DataFrame =
+    df.groupBy(key.as("key"), salt(id, buckets).as("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(value).as("_sum"))
+      .groupBy("key")
+      .agg(sum("_n").as("n"), sum("_sum").as("sum_value"))
+
+  /** Salted broadcast-replicated join for a skewed LEFT side against a
+    * small right side: the right side is exploded `buckets`× with every
+    * salt value, the left side salts deterministically, and the join key
+    * becomes (key, salt) — splitting each hot key's rows across
+    * `buckets` tasks. Right side must be broadcast-small (it is
+    * replicated). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      bigId: Column, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(bigId, buckets))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(broadcast(replicated), Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -41,8 +41,8 @@ object Events {
     * wrp-go decoding in request_handler.go:105), surface parsed fields.
     * Pure projection — codegen, no shuffle. */
   def wrpParse(s: SparkSession, d: String): DataFrame = {
-    val wrpSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "msg_type INT, source STRING, dest STRING")
+    // parse against the full graft.model.Wrp schema (absent fields null)
+    val wrpSchema = graft.model.Wrp.schema
     Tables.events(s, d)
       .select(col("event_id"),
         to_json(struct(

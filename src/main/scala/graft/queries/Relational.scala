@@ -142,6 +142,39 @@ object Relational {
         when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
         col("sum_qty"), col("n"))
 
+  /** Semi join (EXISTS): customers with at least one high-value order. */
+  def q14SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** CUBE grouping sets over two dims with grouping() labels. */
+  def q15Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
+      .select(
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        col("n"), col("total"))
+
+  /** Pivot (dynamic columns from a dimension): order counts by priority
+    * pivoted over status. Fixed pivot values keep the schema static —
+    * the scale-safe form (a dynamic pivot would need a driver-side
+    * distinct pass first). */
+  def q16Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -155,7 +188,10 @@ object Relational {
     "q10_case_agg" -> (q10CaseAgg _),
     "q11_having" -> (q11Having _),
     "q12_subquery" -> (q12Subquery _),
-    "q13_rollup" -> (q13Rollup _))
+    "q13_rollup" -> (q13Rollup _),
+    "q14_semi_join" -> (q14SemiJoin _),
+    "q15_cube" -> (q15Cube _),
+    "q16_pivot" -> (q16Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -229,5 +265,22 @@ object Relational {
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "q15_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q16_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin)
 }
