@@ -175,6 +175,16 @@ object Relational {
       .select(col("o_orderpriority"), col("F").as("n_f"),
         col("O").as("n_o"), col("P").as("n_p"))
 
+  /** Exact percentiles (median / p90) per group — linear interpolation,
+    * the same formula DuckDB's quantile_cont uses. */
+  def q17Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -191,7 +201,8 @@ object Relational {
     "q13_rollup" -> (q13Rollup _),
     "q14_semi_join" -> (q14SemiJoin _),
     "q15_cube" -> (q15Cube _),
-    "q16_pivot" -> (q16Pivot _))
+    "q16_pivot" -> (q16Pivot _),
+    "q17_percentile" -> (q17Percentile _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -282,5 +293,11 @@ object Relational {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q17_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin)
 }

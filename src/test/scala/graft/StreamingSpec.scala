@@ -47,6 +47,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(!written.select("event_id").as[Long].collect().contains(4L))
   }
 
+  test("#19 file JSON source: readStream over a directory drives the same pipeline") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt").toString
+    java.nio.file.Files.write(srcDir.resolve("batch1.json"),
+      Seq(
+        wrpJson(10, 20, "click", "2024-01-01 01:00:01"),
+        wrpJson(11, 21, "error", "2024-01-01 01:00:02"))
+        .mkString("\n").getBytes)
+
+    val raw = spark.readStream.text(srcDir.toString)
+    val routed = EventStream.route(
+      EventStream.validate(EventStream.parse(raw)), spark)
+    val q = EventStream.batchedSink(routed, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val byStream = spark.read.parquet(out).groupBy("stream").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStream == Map("s_clicks" -> 1L, "s_errors" -> 1L,
+      "s_firehose" -> 2L))
+  }
+
   test("#20 windowed counts with watermark emit closed windows") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
