@@ -91,11 +91,16 @@ object Docs {
     val k = 16
     val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until 4).map { b =>
+    // one pass over the signature aggregate: explode the 4 band structs
+    // (a union of 4 selects would recompute the 16-agg groupBy 4x)
+    val bandStructs = (0 until 4).map { b =>
       val cols = (4 * b until 4 * b + 4).map(j => col(s"h$j"))
-      sigs.select(col("doc_id"), lit(b).as("band_idx"),
-        hash(cols: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_idx").as("band_idx"),
+        col("bs.band_hash").as("band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
@@ -141,16 +146,18 @@ object Docs {
       // both sides of the candidate self-join: persist so the signature
       // computation (shingle + simhash) runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("a")
+    // Hamming filter BEFORE the pair-dedup: bit_count is a cheap codegen
+    // op per candidate row, while distinct on millions of correlated-band
+    // candidates is a full shuffle. Order matters 10x here.
+    bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming",
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
       .filter(col("hamming") <= 7)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+      .distinct()
   }
 
   /** #43 Language ID: stopword-profile heuristic — per-language stopword

@@ -257,6 +257,46 @@ object Events {
       .filter(col("rnk") <= 3)
   }
 
+  /** Tiny config-version dimension for the as-of join: version vN became
+    * active at 2024-01-01 + 6N days. Driver-side literal — the 100 TB
+    * shape is a broadcast dim of KBs. */
+  private def configVersions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val starts = (0 until 5).map(v => (s"v$v", s"2024-01-%02d 00:00:00".format(1 + 6 * v)))
+    // precompute [start, end) on the driver: an as-of join against a
+    // small sorted dim is an interval join — each event matches exactly
+    // one version, so the broadcast join is map-side with no dedup pass
+    val intervals = starts.zipAll(starts.drop(1).map(_._2), ("", ""), "2099-01-01 00:00:00")
+      .map { case ((v, st), en) => (v, st, en) }
+    intervals.toDF("cfg_version", "active_from", "active_to")
+      .select(col("cfg_version"),
+        col("active_from").cast("timestamp").as("active_from"),
+        col("active_to").cast("timestamp").as("active_to"))
+  }
+
+  /** #23 As-of join: each event picks the config version active at its
+    * timestamp. Re-expressed as a broadcast INTERVAL join ([from, to)
+    * precomputed on the tiny sorted dim) — exactly one match per event,
+    * so the plan is a map-side broadcast join with no window/dedup, at
+    * any scale. */
+  def evtAsof(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(configVersions(s)),
+        col("ts") >= col("active_from") && col("ts") < col("active_to"))
+      .groupBy("cfg_version")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  /** #15c Sessionization via the built-in session_window — same gap
+    * semantics as the manual lag+cumsum shape (the oracle IS the manual
+    * formulation, proving the two agree). */
+  def evtSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_s"),
+        col("n_events"))
+
   /** #18 Payload/props field extraction (WRP metadata handling):
     * get_json_object on the props JSON. */
   def evtProps(s: SparkSession, d: String): DataFrame =
@@ -283,6 +323,8 @@ object Events {
     "evt_throttle" -> (evtThrottle _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_session_stats" -> (evtSessionStats _),
+    "evt_asof" -> (evtAsof _),
+    "evt_session_window" -> (evtSessionWindow _),
     "evt_dedup" -> (evtDedup _),
     "evt_topk" -> (evtTopk _),
     "evt_props" -> (evtProps _))
@@ -422,6 +464,30 @@ object Events {
         |      FROM events) g) s
         |  GROUP BY 1, 2) d
         |GROUP BY 1""".stripMargin,
+    "evt_asof" ->
+      """SELECT c.cfg_version, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN (VALUES
+        |  ('v0', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07'),
+        |  ('v1', TIMESTAMP '2024-01-07', TIMESTAMP '2024-01-13'),
+        |  ('v2', TIMESTAMP '2024-01-13', TIMESTAMP '2024-01-19'),
+        |  ('v3', TIMESTAMP '2024-01-19', TIMESTAMP '2024-01-25'),
+        |  ('v4', TIMESTAMP '2024-01-25', TIMESTAMP '2099-01-01'))
+        |  AS c(cfg_version, active_from, active_to)
+        |ON e.ts >= c.active_from AND e.ts < c.active_to
+        |GROUP BY 1""".stripMargin,
+    "evt_session_window" ->
+      """SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN gap IS NULL OR gap >= 1800.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |    FROM events) g) t
+        |GROUP BY user_id, session_idx""".stripMargin,
     "evt_dedup" ->
       """SELECT event_type, COUNT(*) AS n_kept,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
