@@ -297,6 +297,29 @@ object Events {
         unix_timestamp(col("w.start")).as("start_s"),
         col("n_events"))
 
+  /** #17b Per-type top-k via the custom bounded TopKLongs aggregate:
+    * same result as the window formulation (shared oracle), but only
+    * k-row buffers shuffle in the final aggregate instead of every
+    * (type, user) row through a sort. */
+  def evtTopkAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(graft.functions.TopKLongs.column(col("n"), col("user_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), col("t.payload").as("user_id"),
+        col("t.score").as("n"), (col("pos") + 1).cast("int").as("rnk"))
+
+  /** Approximate distinct-user sketch per event type (HLL++): the
+    * mergeable-sketch path for 100 TB cardinality metrics. Rows-only —
+    * DuckDB's approx_count_distinct uses a different sketch; exactness
+    * is covered by the error-bound ScalaTest spec instead. */
+  def evtApproxUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** #18 Payload/props field extraction (WRP metadata handling):
     * get_json_object on the props JSON. */
   def evtProps(s: SparkSession, d: String): DataFrame =
@@ -327,6 +350,8 @@ object Events {
     "evt_session_window" -> (evtSessionWindow _),
     "evt_dedup" -> (evtDedup _),
     "evt_topk" -> (evtTopk _),
+    "evt_topk_agg" -> (evtTopkAgg _),
+    "evt_approx_users" -> (evtApproxUsers _),
     "evt_props" -> (evtProps _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
@@ -498,6 +523,14 @@ object Events {
         |WHERE rn = 1 GROUP BY 1""".stripMargin,
     "evt_topk" ->
       """SELECT event_type, user_id, n, rnk FROM (
+        |  SELECT event_type, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk
+        |  FROM (
+        |    SELECT event_type, user_id, COUNT(*) AS n
+        |    FROM events GROUP BY 1, 2) c) r
+        |WHERE rnk <= 3""".stripMargin,
+    "evt_topk_agg" ->
+      """SELECT event_type, user_id, n, CAST(rnk AS INTEGER) AS rnk FROM (
         |  SELECT event_type, user_id, n,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk
         |  FROM (
