@@ -1,0 +1,50 @@
+package graft
+
+import graft.model.Wrp
+import graft.sources.MsgPackWrp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MessagePack WRP source: roundtrip fidelity + distributed decode +
+  * malformed-input drop policy. */
+class MsgPackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+
+  private def sample(i: Int): Wrp = Wrp(
+    msg_type = 4,
+    source = s"mac:00000000$i",
+    dest = s"event:device-status/$i",
+    transaction_uuid = s"txn-$i",
+    content_type = if (i % 2 == 0) "application/json" else null,
+    partner_ids = if (i % 3 == 0) Seq("p1", "p2") else Nil,
+    metadata = if (i % 2 == 0) Map("fw" -> s"v$i", "hw" -> "rev-a") else Map.empty,
+    payload = s"""{"status":"online","n":$i,"uni":"héllo→世界"}""",
+    session_id = s"s-$i",
+    qos = i % 100)
+
+  test("encode/decode roundtrip preserves every WRP field") {
+    (0 until 50).foreach { i =>
+      val w = sample(i)
+      val back = MsgPackWrp.decode(MsgPackWrp.encode(w))
+      assert(back == w, s"roundtrip mismatch for sample $i")
+    }
+  }
+
+  test("long strings use str8/str16 encodings") {
+    val long1 = sample(1).copy(payload = "x" * 200) // str8
+    val long2 = sample(2).copy(payload = "y" * 40000) // str16
+    assert(MsgPackWrp.decode(MsgPackWrp.encode(long1)) == long1)
+    assert(MsgPackWrp.decode(MsgPackWrp.encode(long2)) == long2)
+  }
+
+  test("decodeDataset decodes distributed and drops malformed bodies") {
+    import spark.implicits._
+    val good = (0 until 100).map(i => MsgPackWrp.encode(sample(i)))
+    val bad = Seq(Array[Byte](0xc7.toByte, 1, 2), Array[Byte]()) // ext8 unsupported / empty
+    val raw = (good ++ bad).toDF("body").repartition(5)
+    val decoded = MsgPackWrp.decodeDataset(raw).collect()
+    assert(decoded.length == 100)
+    assert(decoded.map(_.dest).toSet == (0 until 100).map(i => s"event:device-status/$i").toSet)
+  }
+}
