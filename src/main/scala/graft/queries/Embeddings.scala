@@ -111,10 +111,51 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "cos", "bucket")
   }
 
+  /** #41b IVF-bucketed ANN (rows-only): coarse quantization — centroids
+    * are computed in-plan (per-label per-dimension means, no driver
+    * collect), every vector is assigned to its nearest centroid via a
+    * broadcast of the tiny centroid table, and each query probes only
+    * its own cell. The scan cost per query drops from N to N/cells;
+    * recall is traded at cell boundaries (the classic IVF deal). */
+  def embAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    // centroids: mean per (label, dim), re-assembled into an array —
+    // entirely declarative, 10x64 rows, broadcast downstream
+    val cent = v
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy(col("label").as("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+    // assign every vector to its nearest centroid (broadcast, map-side;
+    // the max_by tiebreak keeps assignment deterministic)
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
+      .join(v, "vec_id")
+    val q = broadcast(assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("cluster")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("e"), col("norm"),
+        col("cluster"))
+      .join(q, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
-    "emb_ann_lsh" -> (embAnnLsh _))
+    "emb_ann_lsh" -> (embAnnLsh _),
+    "emb_ann_ivf" -> (embAnnIvf _))
 
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
