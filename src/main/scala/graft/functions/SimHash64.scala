@@ -90,11 +90,14 @@ object GraftFunctions {
 }
 
 /** SparkSessionExtensions hook — the library-consumer path:
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Registers the
+  * SQL functions and injects the HOF-dot-product optimizer rewrite. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }

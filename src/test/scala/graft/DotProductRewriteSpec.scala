@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rewrite must swap the HOF dot product for the codegen
+  * kernel without changing a single bit of output. Needs its own session
+  * (extensions are install-time), built on the shared context. */
+class DotProductRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val base = SparkTest.spark // ensure the shared context exists first
+    // getOrCreate returns the existing default session and would ignore
+    // withExtensions — clear it, build with extensions on the same
+    // SparkContext, then restore.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private lazy val dataPath: String = {
+    import SparkTest.spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_dot").toString + "/v"
+    Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 17 + j * 3) / 7.0),
+        Array.tabulate(16)(j => (i * 5 + j * 11) / 13.0)))
+      .toDF("id", "a", "b").write.parquet(p)
+    p
+  }
+
+  // reads from parquet so constant folding can't collapse the plan
+  private def hofDot(s: SparkSession) =
+    s.read.parquet(dataPath).select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+
+  test("rewrite fires: optimized plan contains dot_product, not aggregate") {
+    val plan = hofDot(spark).queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("aggregate("), s"HOF survived:\n$plan")
+  }
+
+  test("rewrite is bit-exact vs the interpreted HOF") {
+    val rewritten = hofDot(spark).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // same expression on the shared session WITHOUT the extension
+    val plainDf = hofDot(SparkTest.spark)
+    assert(!plainDf.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    val plain = plainDf.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rewritten == plain)
+  }
+}
