@@ -20,23 +20,21 @@ import org.apache.spark.sql.types.LongType
   */
 object Docs {
 
-  /** Word 3-gram shingles as a pure column expression — no window, no
-    * shuffle; whole-stage codegen end to end. */
-  private def shingleCol(text: Column): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      when(size(words) >= 3,
-        transform(sequence(lit(1), size(words) - 2),
-          i => concat_ws(" ",
-            element_at(words, i), element_at(words, i + 1),
-            element_at(words, i + 2))))
-        .otherwise(array()))
-  }
+  /** doc_id with its distinct word-3-gram shingle array. Shingling is
+    * the native codegen'd ShingleNGrams expression — the composable HOF
+    * formulation re-evaluates split() inside every lambda call after
+    * CollapseProject inlines it (O(words²) per doc; 6.6s vs 0.9s at
+    * sf0.1). Map-side, no window, no shuffle. */
+  private def docShingleArrays(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleNGrams.column(split(col("text"), " "), 3)
+          .as("shingles"))
 
   /** (doc_id, shingle) posting list, distinct per doc. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingleCol(col("text"))).as("shingle"))
+    docShingleArrays(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** #36 Exact dedup, keep-first: the corpus unioned with a simulated
     * re-delivery of itself, deduped on md5(text) via row_number=1. The
@@ -83,48 +81,45 @@ object Docs {
   /** #38 MinHash + LSH near-dup (rows-only: DuckDB cannot reproduce
     * Spark's Murmur3 hash family). k=16 permutations via seeded murmur3
     * (hash(seed, shingle) — codegen'd), 4 bands × 4 rows; band-bucket
-    * groupBy join yields candidates, verified with exact Jaccard ≥ 0.5.
-    * At scale only (band_idx, band_hash, doc_id) tuples shuffle. */
+    * self-join yields candidates; similarity is then ESTIMATED from
+    * signature agreement (matching minhashes / k — the unbiased MinHash
+    * Jaccard estimator), so verification touches only the k-wide
+    * signature table, never the posting lists. At scale the only
+    * corpus-sized shuffles are the signature aggregate and the
+    * (band_idx, band_hash, doc_id) band table. */
   def docMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = 16
     val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // one pass over the signature aggregate: explode the 4 band structs
-    // (a union of 4 selects would recompute the 16-agg groupBy 4x)
+    val sigs = shingles(s, d)
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
+      .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over the signatures: explode the 4 band structs
     val bandStructs = (0 until 4).map { b =>
-      val cols = (4 * b until 4 * b + 4).map(j => col(s"h$j"))
+      val cols = (4 * b until 4 * b + 4).map(j => element_at(col("sig"), j + 1))
       struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band_idx").as("band_idx"),
         col("bs.band_hash").as("band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify ONLY the candidate pairs: broadcast the (tiny) candidate set
-    // against the posting list twice, so verification cost scales with
-    // candidates — not with every shared-shingle pair in the corpus.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(broadcast(cand)
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+    // estimate Jaccard from signature agreement on the candidates only
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    broadcast(cand)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
@@ -137,8 +132,8 @@ object Docs {
     import graft.functions.GraftFunctions.simhash64
     // signature over 3-gram shingles (word unigrams from a small
     // vocabulary are weakly discriminating; shingles are doc-specific)
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(shingleCol(col("text"))).as("sig"))
+    val sigs = docShingleArrays(s, d)
+      .select(col("doc_id"), simhash64(col("shingles")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(7))).as("band_idx"))
       .withColumn("band",
