@@ -185,6 +185,40 @@ object Relational {
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         count(lit(1)).as("n"))
 
+  /** Numeric range join: quantities bucketed against a band dimension.
+    * Broadcast nested-loop on the tiny band table — map-side at any
+    * scale (same pattern as the as-of interval join). */
+  def q18RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("small", 0, 10), ("mid", 10, 25), ("big", 25, 100))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Running total per customer (window frame ROWS UNBOUNDED PRECEDING,
+    * decimal-exact then surfaced as double). */
+  def q19RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast(DoubleType).as("running_spend"))
+  }
+
+  /** Left outer join keeping empty dims (count(col) skips the nulls the
+    * outer side introduces). */
+  def q20OuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.customer(s, d),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_customers"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -202,7 +236,10 @@ object Relational {
     "q14_semi_join" -> (q14SemiJoin _),
     "q15_cube" -> (q15Cube _),
     "q16_pivot" -> (q16Pivot _),
-    "q17_percentile" -> (q17Percentile _))
+    "q17_percentile" -> (q17Percentile _),
+    "q18_range_join" -> (q18RangeJoin _),
+    "q19_running_sum" -> (q19RunningSum _),
+    "q20_outer_join" -> (q20OuterJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -299,5 +336,24 @@ object Relational {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90,
         |  COUNT(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q18_range_join" ->
+      """SELECT b.band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN (VALUES
+        |  ('small', 0, 10), ('mid', 10, 25), ('big', 25, 100))
+        |  AS b(band, lo, hi)
+        |ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY 1""".stripMargin,
+    "q19_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+    "q20_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers
+        |FROM nation LEFT OUTER JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin)
 }
