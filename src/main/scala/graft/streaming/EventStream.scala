@@ -122,4 +122,15 @@ object EventStream {
     parsed
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** #19e Stream-stream interval join: events enriched with the device
+    * registration that happened within the hour before the event. Both
+    * sides carry watermarks so the join state is bounded; the time-range
+    * predicate lets Spark expire rows once the watermark passes. */
+  def enrich(events: DataFrame, registrations: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(
+        registrations.withWatermark("reg_ts", "10 minutes"),
+        expr("""user_id = reg_user_id AND
+                reg_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
 }

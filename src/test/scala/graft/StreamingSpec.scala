@@ -113,6 +113,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Seq(ClosedSession(7, 1000, 1010, 2)))
   }
 
+  test("#19e stream-stream interval join enriches events with registrations") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.types.StructType
+    val evIn = MemoryStream[String]
+    val regIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = EventStream.validate(EventStream.parse(evIn.toDF()))
+    val regs = regIn.toDF().toDF("reg_user_id", "reg_ts")
+    val joined = EventStream.enrich(events, regs)
+      .select("event_id", "user_id", "reg_ts")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      regIn.addData((1L, ts("2024-01-01 00:30:00")), // 31 min before evt 1 → in window
+        (2L, ts("2024-01-01 10:00:00"))) // 10h before evt 2 → outside
+      evIn.addData(
+        wrpJson(1, 1, "click", "2024-01-01 01:01:00"),
+        wrpJson(2, 2, "view", "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      regIn.addData((9L, ts("2024-01-02 00:00:00")))
+      evIn.addData(wrpJson(9, 9, "click", "2024-01-02 00:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").select("event_id").as[Long]
+      .collect().toSet
+    assert(rows.contains(1L) && !rows.contains(2L))
+  }
+
+  test("JsonWrp batch source decodes typed Wrp and drops corrupt bodies") {
+    val raw = Seq(
+      """{"msg_type":4,"source":"mac:1","dest":"event:a/1","qos":24}""",
+      """{"msg_type":4,"source":"mac:2","dest":"event:b/2"}""",
+      """not json at all{{""",
+      """{"other":"shape"}""").toDF("value")
+    val wrps = graft.sources.JsonWrp.decodeDataset(raw).collect()
+    assert(wrps.length == 2)
+    assert(wrps.map(_.dest).toSet == Set("event:a/1", "event:b/2"))
+    assert(graft.sources.JsonWrp.corruptRecords(raw).count() == 2)
+  }
+
   test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
