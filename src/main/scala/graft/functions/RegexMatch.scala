@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** rlike with a NON-LITERAL pattern and a compiled-pattern cache.
+  *
+  * Spark's RLike caches the compiled regex only when the pattern is
+  * foldable; with a pattern column (the route-table join predicate —
+  * reference filter/filter.go:63 matches each message against every
+  * configured filter's regex) it recompiles per evaluated row-pair. The
+  * route fanout evaluates events × routes predicates, so at 100 TB that
+  * is billions of Pattern.compile calls for a handful of distinct
+  * patterns. This expression memoizes compiled patterns per JVM —
+  * route tables are small config, so the cache stays tiny.
+  *
+  * Semantics are identical to rlike: Java regex, partial match (find).
+  */
+case class RegexMatch(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"regex_match requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def prettyName: String = "regex_match"
+
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    RegexMatch.find(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, p) => s"graft.functions.RegexMatch.find($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RegexMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+object RegexMatch {
+  // route tables are bounded config; the guard only protects against a
+  // pathological unbounded-pattern workload
+  private val MaxCacheSize = 10000
+  private val cache = new ConcurrentHashMap[String, Pattern]()
+
+  def find(s: UTF8String, p: UTF8String): Boolean = {
+    val key = p.toString
+    var pat = cache.get(key)
+    if (pat == null) {
+      if (cache.size() >= MaxCacheSize) cache.clear()
+      pat = Pattern.compile(key)
+      cache.put(key, pat)
+    }
+    pat.matcher(s.toString).find()
+  }
+
+  def column(str: Column, pattern: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      RegexMatch(org.apache.spark.sql.graft.Shims.expression(str),
+        org.apache.spark.sql.graft.Shims.expression(pattern)))
+}

@@ -119,7 +119,7 @@ object Events {
   def evtRoute(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .join(broadcast(routes(s).select("stream", "event_regex")),
-        regexp_like(col("event_type"), col("event_regex")))
+        graft.functions.RegexMatch.column(col("event_type"), col("event_regex")))
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
@@ -128,9 +128,10 @@ object Events {
   def evtRouteMeta(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .join(broadcast(routes(s)),
-        regexp_like(col("event_type"), col("event_regex")) &&
+        graft.functions.RegexMatch.column(col("event_type"), col("event_regex")) &&
           (col("device_regex") === "" || col("device_regex") === ".*" ||
-            regexp_like(lpad(col("user_id").cast("string"), 12, "0"),
+            graft.functions.RegexMatch.column(
+              lpad(col("user_id").cast("string"), 12, "0"),
               col("device_regex"))))
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))

@@ -56,7 +56,7 @@ object EventStream {
     validated.join(
       broadcast(graft.queries.Events.routes(spark)
         .select(col("stream"), col("event_regex"))),
-      regexp_like(col("event_type"), col("event_regex")))
+      graft.functions.RegexMatch.column(col("event_type"), col("event_regex")))
       .drop("event_regex")
 
   /** #19d ship (kinesis_sender.go:92-100): foreachBatch sink writing one
