@@ -36,18 +36,22 @@ case class RegexMatch(left: Expression, right: Expression)
   override def prettyName: String = "regex_match"
 
   override protected def nullSafeEval(s: Any, p: Any): Any =
-    RegexMatch.find(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+    RegexMatchKernel.find(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
 
+  // NOTE: the kernel lives in a separate (non-companion) object: a
+  // companion method named `find` clashes with TreeNode.find, so Scala
+  // emits no static forwarder and generated Java would resolve to the
+  // instance method.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (s, p) => s"graft.functions.RegexMatch.find($s, $p)")
+      (s, p) => s"graft.functions.RegexMatchKernel.find($s, $p)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RegexMatch =
     copy(left = newLeft, right = newRight)
 }
 
-object RegexMatch {
+object RegexMatchKernel {
   // route tables are bounded config; the guard only protects against a
   // pathological unbounded-pattern workload
   private val MaxCacheSize = 10000
@@ -63,7 +67,9 @@ object RegexMatch {
     }
     pat.matcher(s.toString).find()
   }
+}
 
+object RegexMatch {
   def column(str: Column, pattern: Column): Column =
     org.apache.spark.sql.graft.Shims.column(
       RegexMatch(org.apache.spark.sql.graft.Shims.expression(str),

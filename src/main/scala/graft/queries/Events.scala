@@ -137,14 +137,20 @@ object Events {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
   /** #9 Deterministic batch assignment (internal/queue/queue.go:144-216,
-    * batch by size limit): row_number per stream ÷ batch size. One shuffle
-    * on the stream key; the window then runs partition-local. */
+    * batch by size limit): row_number per (stream, day) ÷ batch size.
+    * Windowing by stream alone would funnel each stream's entire history
+    * through one reducer; the day sub-key bounds every window partition
+    * while keeping assignment deterministic (the reference's queue is
+    * per-stream sequential, so any deterministic refinement is faithful). */
   def evtBatch(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("event_id")
+    val day = date_trunc("day", col("ts"))
+    val w = Window.partitionBy(col("event_type"), day).orderBy("event_id")
     Tables.events(s, d)
+      .withColumn("day", day)
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_id", floor((col("rn") - 1) / 100).cast(LongType))
-      .groupBy(col("event_type").as("stream"), col("batch_id"))
+      .groupBy(col("event_type").as("stream"), to_date(col("day")).as("day"),
+        col("batch_id"))
       .agg(count(lit(1)).as("n_events"),
         min("event_id").as("first_event"), max("event_id").as("last_event"))
   }
@@ -412,14 +418,16 @@ object Events {
         |                         r.device_regex))
         |GROUP BY 1""".stripMargin,
     "evt_batch" ->
-      """SELECT stream, batch_id, COUNT(*) AS n_events,
+      """SELECT stream, day, batch_id, COUNT(*) AS n_events,
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
         |FROM (
-        |  SELECT event_type AS stream, event_id,
-        |    CAST(floor((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1)
-        |      / 100) AS BIGINT) AS batch_id
+        |  SELECT event_type AS stream, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_id,
+        |    CAST(floor((ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, date_trunc('day', ts)
+        |      ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
         |  FROM events) t
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2, 3""".stripMargin,
     "evt_dropped" ->
       """SELECT event_type,
         |  CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

@@ -123,6 +123,33 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** #12-streaming Primary→alt delivery failover
+    * (filter/stream_dispatcher.go:60-105: try primary, then alt streams
+    * in order): per micro-batch, attempt the primary sink; on transport
+    * failure the batch lands in the alt sink instead of being lost.
+    * `failPrimary` injects the failure predicate (tests; real transports
+    * throw on their own). */
+  def failoverSink(routed: DataFrame, primaryDir: String, altDir: String,
+      checkpointDir: String,
+      failPrimary: DataFrame => Boolean = _ => false): StreamingQuery =
+    routed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try {
+          if (failPrimary(batch))
+            throw new RuntimeException("simulated transport failure")
+          batch.write.option("maxRecordsPerFile", 500)
+            .partitionBy("stream").mode("append").parquet(primaryDir)
+        } catch {
+          case _: Exception =>
+            batch.write.option("maxRecordsPerFile", 500)
+              .partitionBy("stream").mode("append").parquet(altDir)
+        }
+        ()
+      }
+      .start()
+
   /** #19e Stream-stream interval join: events enriched with the device
     * registration that happened within the hour before the event. Both
     * sides carry watermarks so the join state is bounded; the time-range

@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.Wrp
+import graft.sources.MsgPackWrp
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the pure kernels (no Spark session). */
+object MsgPackProps extends Properties("MsgPackWrp") {
+
+  private val genStr: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(40)),
+    Gen.const("héllo→世界 ünïcode"),
+    Gen.listOfN(300, Gen.alphaChar).map(_.mkString), // forces str8/str16
+    Gen.const(""))
+
+  private val genWrp: Gen[Wrp] = for {
+    mt <- Gen.chooseNum(0, 127)
+    src <- genStr; dst <- genStr; txn <- genStr; ct <- genStr
+    pids <- Gen.listOf(genStr).map(_.take(10))
+    meta <- Gen.mapOf(Gen.zip(Gen.alphaNumStr.map(_.take(10)), genStr))
+      .map(_.take(10))
+    payload <- genStr; sid <- genStr
+    qos <- Gen.chooseNum(0, 99)
+  } yield Wrp(mt, src, dst, txn, ct, pids, meta, payload, sid, qos)
+
+  property("roundtrip") = Prop.forAll(genWrp) { w =>
+    MsgPackWrp.decode(MsgPackWrp.encode(w)) == w
+  }
+
+  property("garbage never crashes decodeDataset's guard") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      try { MsgPackWrp.decode(bs.toArray); true }
+      catch { case _: Exception => true } // must throw cleanly, not hang/corrupt
+    }
+}
+
+object TopKProps extends Properties("TopKLongs") {
+  import scala.collection.mutable.ArrayBuffer
+
+  private val genPairs: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-100L, 100L), Gen.chooseNum(0L, 50L)))
+
+  /** merge-of-partials == top-k of the whole, for any split point. */
+  property("partial merge equals global topk") =
+    Prop.forAll(genPairs, Gen.chooseNum(1, 10)) { (pairs, k) =>
+      val agg = graft.functions.TopKLongs(null, null, k)
+      def bufOf(xs: List[(Long, Long)]) = {
+        val b = ArrayBuffer.empty[(Long, Long)]
+        // route through serialize/deserialize to exercise the wire path
+        xs.foreach(b += _)
+        agg.deserialize(agg.serialize(b))
+      }
+      Prop.forAll(Gen.chooseNum(0, pairs.length)) { split =>
+        val (l, r) = pairs.splitAt(split)
+        val merged = agg.merge(bufOf(l), bufOf(r))
+        val got = merged.sortBy { case (s, p) => (-s, p) }.take(k).toList
+        got == pairs.sortBy { case (s, p) => (-s, p) }.take(k)
+      }
+    }
+}

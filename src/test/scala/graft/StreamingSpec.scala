@@ -113,6 +113,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Seq(ClosedSession(7, 1000, 1010, 2)))
   }
 
+  test("#12-streaming failover sink redirects failed micro-batches to the alt dir") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val primary = java.nio.file.Files.createTempDirectory("graft_primary").toString
+    val alt = java.nio.file.Files.createTempDirectory("graft_alt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fockpt").toString
+    val routed = EventStream.route(
+      EventStream.validate(EventStream.parse(in.toDF())), spark)
+    // transport "fails" whenever the batch carries an error event
+    val q = EventStream.failoverSink(routed, primary, alt, ckpt,
+      failPrimary = b => b.filter(col("event_type") === "error").count() > 0)
+    try {
+      in.addData(wrpJson(1, 1, "click", "2024-01-01 00:00:01"))
+      q.processAllAvailable()
+      in.addData(wrpJson(2, 2, "error", "2024-01-01 00:00:02"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(primary).select("event_id").as[Long]
+      .collect().toSet == Set(1L))
+    assert(spark.read.parquet(alt).select("event_id").as[Long]
+      .collect().toSet == Set(2L))
+  }
+
   test("#19e stream-stream interval join enriches events with registrations") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.types.StructType
