@@ -9,22 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (extensions are install-time), built on the shared context. */
 class DotProductRewriteSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val base = SparkTest.spark // ensure the shared context exists first
-    // getOrCreate returns the existing default session and would ignore
-    // withExtensions — clear it, build with extensions on the same
-    // SparkContext, then restore.
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    SparkSession.setDefaultSession(base)
-    SparkSession.setActiveSession(base)
-    s
-  }
+  lazy val spark: SparkSession = SparkTest.extSpark
 
   private lazy val dataPath: String = {
     import SparkTest.spark.implicits._

@@ -13,6 +13,24 @@ object SparkTest {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Session with GraftExtensions installed (optimizer rule + planner
+    * strategy), sharing the SparkContext. getOrCreate would silently
+    * return the default session and ignore withExtensions, so the
+    * default is cleared around construction. */
+  lazy val extSpark: SparkSession = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
 }
 
 class SimHashSpec extends AnyFunSuite with BeforeAndAfterAll {
