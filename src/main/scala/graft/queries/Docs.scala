@@ -58,21 +58,27 @@ object Docs {
     // the posting list feeds both join sides AND the size table: persist
     // it so the shingling subtree runs once, not three times (at 100 TB
     // this is a checkpointed table, not a recomputed lineage)
-    val sh = shingles(s, d)
+    // The per-doc shingle count rides along with every posting-list row
+    // (it falls out of the shingle array for free), which (a) removes
+    // the post-hoc size joins and (b) lets the join predicate prune
+    // size-incompatible pairs BEFORE the pair aggregate: Jaccard >= 0.5
+    // forces |A| <= 2|B| and |B| <= 2|A|, so dropping those pairs at the
+    // join has zero effect on the result.
+    val sh = docShingleArrays(s, d)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("n_a") + col("n_b") - col("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= col("b.n_sh") * 2 &&
+          col("b.n_sh") <= col("a.n_sh") * 2)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.{Media, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal pipeline as a verifiable query (SURVEY.md §2c #47): the
+  * documents table plays the media store (payload = UTF-8 bytes of the
+  * text), flowing through the typed Dataset → per-partition decode →
+  * feature row path. The surfaced columns are byte-level facts the
+  * oracle can recompute, so the whole mapPartitions plumbing is
+  * oracle-verified even though the decode kernel itself is the stub. */
+object Mm {
+
+  def mmFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        Media(id, if (lang == "en") "image" else "audio",
+          text.getBytes("UTF-8"), 640, 480, 16000)
+      }
+    Multimodal.extractFeatures(media, dim = 16)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        size(col("features")).as("n_feat"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> (mmFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN lang = 'en' THEN 'image' ELSE 'audio' END AS kind,
+        |  length(text) AS n_bytes, 16 AS n_feat
+        |FROM documents""".stripMargin)
+}
