@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `oracleSql` carries the DuckDB twin for every SQL-expressible query.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's core operation: regex route fanout over the
+    * event stream via broadcast join. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.queries.Events.evtRoute(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

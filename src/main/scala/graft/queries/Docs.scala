@@ -221,6 +221,29 @@ object Docs {
         (sum("n_ws").cast("double") / count(lit(1))).as("avg_ws_tokens"))
   }
 
+  /** #48 PII redaction — a training-data pipeline must scrub emails /
+    * long digit runs before anything ships. The synthetic corpus has no
+    * PII, so a deterministic contact line is appended first and then
+    * redacted; the oracle replays the identical transform, verifying the
+    * redaction regexes end to end. Pure per-row regexp_replace —
+    * codegen, map-side. */
+  def docRedact(s: SparkSession, d: String): DataFrame = {
+    val withPii = concat(col("text"), lit(" contact doc"),
+      col("doc_id").cast("string"), lit("@example.com or +1555"),
+      lpad(col("doc_id").cast("string"), 7, "0"))
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phonePat = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    val redacted = regexp_replace(
+      regexp_replace(withPii, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(withPii, lit(emailPat)).as("n_emails"),
+        regexp_count(withPii, lit(phonePat)).as("n_phones"),
+        length(withPii).as("len_raw"),
+        length(redacted).as("len_redacted"),
+        substring(redacted, -30, 30).as("tail"))
+  }
+
   /** #46 Content fingerprinting: md5 + a 64-bit prefix as the dedup key;
     * per-source uniqueness accounting. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
@@ -241,7 +264,8 @@ object Docs {
     "doc_langid" -> (docLangid _),
     "doc_quality" -> (docQuality _),
     "doc_tokens" -> (docTokens _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "doc_redact" -> (docRedact _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -322,6 +346,26 @@ object Docs {
         |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
         |  FROM documents) t
         |GROUP BY 1""".stripMargin,
+    "doc_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phones,
+        |  length(t) AS len_raw,
+        |  length(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS len_redacted,
+        |  CASE WHEN length(r) <= 30 THEN r
+        |       ELSE substring(r, length(r) - 29, 30) END AS tail
+        |FROM (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or +1555'
+        |      || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS t,
+        |    regexp_replace(regexp_replace(
+        |      text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or +1555'
+        |        || lpad(CAST(doc_id AS VARCHAR), 7, '0'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS r
+        |  FROM documents) x""".stripMargin,
     "doc_fingerprint" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_unique,

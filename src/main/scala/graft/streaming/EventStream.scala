@@ -61,7 +61,14 @@ object EventStream {
 
   /** #19d ship (kinesis_sender.go:92-100): foreachBatch sink writing one
     * parquet dir per stream, each file capped at 500 records — the
-    * PutRecords batch limit. Partition key column = stream. */
+    * PutRecords batch limit. Partition key column = stream.
+    *
+    * Idempotent under micro-batch REPLAY: each batch overwrites its own
+    * batch_id=N subtree, so a batch re-delivered after a crash replaces
+    * its previous (possibly partial) output instead of appending
+    * duplicates — exactly-once output where the reference settles for
+    * at-least-once with retries (sender retry loop). Readers see
+    * batch_id as a partition column. */
   def batchedSink(routed: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     routed.writeStream
       .outputMode(OutputMode.Append)
@@ -70,8 +77,8 @@ object EventStream {
         batch.write
           .option("maxRecordsPerFile", 500)
           .partitionBy("stream")
-          .mode("append")
-          .parquet(outDir)
+          .mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()
