@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reusable event-pipeline operators — the library surface a consumer
+  * of the reference would switch to. Each is a pure DataFrame
+  * transformation; the `graft.queries.Events` entries are thin
+  * instantiations of these over the test tables.
+  */
+object Routing {
+  /** Regex route fanout (filter/filter.go:63-99): broadcast the route
+    * table, match with the compiled-pattern-cached RegexMatch — the
+    * event side never shuffles; events matching several routes fan out
+    * to all of them. Routes must carry (stream, event_regex). */
+  def fanout(events: DataFrame, routes: DataFrame, eventTypeCol: Column): DataFrame =
+    events.join(broadcast(routes),
+      graft.functions.RegexMatch.column(eventTypeCol, col("event_regex")))
+      .drop("event_regex")
+
+  /** Device-regex layer (filter_factory.go:129-167): empty or ".*"
+    * means match-all. Routes carry (stream, event_regex, device_regex). */
+  def fanoutWithDevice(events: DataFrame, routes: DataFrame,
+      eventTypeCol: Column, deviceCol: Column): DataFrame =
+    events.join(broadcast(routes),
+      graft.functions.RegexMatch.column(eventTypeCol, col("event_regex")) &&
+        (col("device_regex") === "" || col("device_regex") === ".*" ||
+          graft.functions.RegexMatch.column(deviceCol, col("device_regex"))))
+      .drop("event_regex", "device_regex")
+}
+
+object Dedup {
+  /** Keep-first per key (delivery-retry suppression): row_number = 1
+    * ordered by `order`. Shuffles only the key columns' hash — callers
+    * should key on a fingerprint, not a payload. */
+  def keepFirst(df: DataFrame, key: Seq[Column], order: Column): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
+
+object Sessionize {
+  /** Gap-based session index per user (online/offline semantics):
+    * lag + cumulative sum over ONE shuffle on the user column. Adds
+    * `session_idx` (1-based per user) and `sec` (epoch seconds). */
+  def gapSessions(df: DataFrame, user: Column, ts: Column, order: Column,
+      gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(user).orderBy(order)
+    df.withColumn("sec", unix_timestamp(ts))
+      .withColumn("__gap", col("sec") - lag("sec", 1).over(byUser))
+      .withColumn("session_idx",
+        sum(when(col("__gap").isNull || col("__gap") > gapSec, 1L)
+          .otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__gap")
+  }
+}
+
+object Batching {
+  /** Deterministic batch assignment (queue.go:144-216): row_number per
+    * (stream, bucket) ÷ batchSize. The bucket column bounds each window
+    * partition — batching per stream alone would funnel a stream's
+    * whole history through one reducer. */
+  def assign(df: DataFrame, stream: Column, bucket: Column, order: Column,
+      batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(stream, bucket).orderBy(order)
+    df.withColumn("batch_id",
+      floor((row_number().over(w) - 1) / batchSize).cast(LongType))
+  }
+}

@@ -117,22 +117,16 @@ object Events {
     * (filter/filter.go:63-80, filter_manager.go:115-140): broadcast
     * nested-loop join, regex as join predicate — map-side at any scale. */
   def evtRoute(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .join(broadcast(routes(s).select("stream", "event_regex")),
-        graft.functions.RegexMatch.column(col("event_type"), col("event_regex")))
+    graft.operators.Routing.fanout(Tables.events(s, d),
+        routes(s).select("stream", "event_regex"), col("event_type"))
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
   /** #8 Device-regex layered on the event match; empty/".*" ⇒ match-all
     * (filter/filter_factory.go:129-167). */
   def evtRouteMeta(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .join(broadcast(routes(s)),
-        graft.functions.RegexMatch.column(col("event_type"), col("event_regex")) &&
-          (col("device_regex") === "" || col("device_regex") === ".*" ||
-            graft.functions.RegexMatch.column(
-              lpad(col("user_id").cast("string"), 12, "0"),
-              col("device_regex"))))
+    graft.operators.Routing.fanoutWithDevice(Tables.events(s, d), routes(s),
+        col("event_type"), lpad(col("user_id").cast("string"), 12, "0"))
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
@@ -142,18 +136,14 @@ object Events {
     * through one reducer; the day sub-key bounds every window partition
     * while keeping assignment deterministic (the reference's queue is
     * per-stream sequential, so any deterministic refinement is faithful). */
-  def evtBatch(s: SparkSession, d: String): DataFrame = {
-    val day = date_trunc("day", col("ts"))
-    val w = Window.partitionBy(col("event_type"), day).orderBy("event_id")
-    Tables.events(s, d)
-      .withColumn("day", day)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("batch_id", floor((col("rn") - 1) / 100).cast(LongType))
+  def evtBatch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.assign(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("event_id"), 100)
       .groupBy(col("event_type").as("stream"), to_date(col("day")).as("day"),
         col("batch_id"))
       .agg(count(lit(1)).as("n_events"),
         min("event_id").as("first_event"), max("event_id").as("last_event"))
-  }
 
   /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
     * DroppedItems metric): capacity per stream per hour; arrival rank
@@ -212,17 +202,10 @@ object Events {
   /** Per-user gap-based session id: lag + cumulative sum over ONE user_id
     * shuffle; both session queries share the shape. Session boundary =
     * gap > 30 min (online/offline semantics, tags.go). */
-  private def sessions(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("event_id")
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("sec"))
-      .withColumn("gap", col("sec") - lag("sec", 1).over(byUser))
-      .withColumn("is_new",
-        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
-      .withColumn("session_idx",
-        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-  }
+  private def sessions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.gapSessions(
+      Tables.events(s, d).select("user_id", "event_id", "ts"),
+      col("user_id"), col("ts"), col("event_id"), 1800)
 
   /** #15a Sessionization: one row per (user, session) with bounds. */
   def evtSessionize(s: SparkSession, d: String): DataFrame =
@@ -243,15 +226,12 @@ object Events {
   /** #16 Duplicate-delivery suppression (delivery-retry semantics):
     * keep-first per dedup key via row_number=1. At 100 TB the shuffle key
     * is the (small) dedup key, never the payload. */
-  def evtDedup(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("dup_key").orderBy("event_id")
-    Tables.events(s, d)
-      .withColumn("dup_key", pmod(col("event_id"), lit(4000)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def evtDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.keepFirst(
+        Tables.events(s, d).withColumn("dup_key", pmod(col("event_id"), lit(4000))),
+        Seq(col("dup_key")), col("event_id"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_kept"), Exact.dsum(col("value")).as("sum_value"))
-  }
 
   /** #17 Per-type top-k heavy hitters (event/metrics.go slow-consumer
     * style): two-level aggregate then rank ≤ k. */

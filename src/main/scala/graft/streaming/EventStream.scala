@@ -53,11 +53,9 @@ object EventStream {
   /** #19c route fanout (filter/filter.go:63-99): broadcast regex join —
     * identical shape to the batch operator, map-side at any scale. */
   def route(validated: DataFrame, spark: SparkSession): DataFrame =
-    validated.join(
-      broadcast(graft.queries.Events.routes(spark)
-        .select(col("stream"), col("event_regex"))),
-      graft.functions.RegexMatch.column(col("event_type"), col("event_regex")))
-      .drop("event_regex")
+    graft.operators.Routing.fanout(validated,
+      graft.queries.Events.routes(spark).select(col("stream"), col("event_regex")),
+      col("event_type"))
 
   /** #19d ship (kinesis_sender.go:92-100): foreachBatch sink writing one
     * parquet dir per stream, each file capped at 500 records — the
