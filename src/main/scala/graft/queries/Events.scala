@@ -273,6 +273,26 @@ object Events {
       .groupBy("cfg_version")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
+  /** #18f As-of join with a LARGE right side: each event picks the
+    * latest signup "state change" of its user at or before its time via
+    * the custom sort-merge AsOfJoinExec (graft.plans) — both sides
+    * hash-cluster and sort like an equi SMJ, no broadcast, no window.
+    * Oracle: DuckDB's native ASOF JOIN. Requires the GraftExtensions
+    * planner strategy (Verify/Bench sessions install it). */
+  def evtAsofBig(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val left = ev.select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("etime"))
+    val states = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_user_id"),
+        unix_timestamp(col("ts")).as("stime"))
+      .agg(max("event_id").as("version"))
+    graft.plans.AsOfJoin.join(left, states,
+      "user_id", "etime", "s_user_id", "stime")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("version"), lit(-1L)).as("version"))
+  }
+
   /** #15c Sessionization via the built-in session_window — same gap
     * semantics as the manual lag+cumsum shape (the oracle IS the manual
     * formulation, proving the two agree). */
@@ -334,6 +354,7 @@ object Events {
     "evt_sessionize" -> (evtSessionize _),
     "evt_session_stats" -> (evtSessionStats _),
     "evt_asof" -> (evtAsof _),
+    "evt_asof_big" -> (evtAsofBig _),
     "evt_session_window" -> (evtSessionWindow _),
     "evt_dedup" -> (evtDedup _),
     "evt_topk" -> (evtTopk _),
@@ -489,6 +510,17 @@ object Events {
         |  AS c(cfg_version, active_from, active_to)
         |ON e.ts >= c.active_from AND e.ts < c.active_to
         |GROUP BY 1""".stripMargin,
+    "evt_asof_big" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS etime
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id AS s_user_id, CAST(floor(epoch(ts)) AS BIGINT) AS stime,
+        |    MAX(event_id) AS version
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, COALESCE(s.version, -1) AS version
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.s_user_id AND s.stime <= e.etime""".stripMargin,
     "evt_session_window" ->
       """SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
         |  COUNT(*) AS n_events
