@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * here we only guard against plan/runtime breakage). */
 class QueriesSmokeSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkTest.spark
+  // extensions session: evt_asof_big needs the AsOfJoin planner strategy
+  lazy val spark: SparkSession = SparkTest.extSpark
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
