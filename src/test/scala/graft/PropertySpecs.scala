@@ -34,6 +34,22 @@ object MsgPackProps extends Properties("MsgPackWrp") {
     }
 }
 
+object ExactProps extends Properties("Exact") {
+  /** Decimal-exact sums must equal the BigDecimal ground truth for any
+    * 2-decimal inputs — the invariant the whole oracle-parity strategy
+    * rests on. (The partitioning-independence half is exercised by the
+    * Spark-side specs; this pins the arithmetic.) */
+  property("decimal sum equals BigDecimal ground truth") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-99999L, 99999L))) { cents =>
+      val doubles = cents.map(_ / 100.0)
+      val viaDecimal = doubles
+        .map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      val groundTruth = BigDecimal(cents.sum) / 100
+      viaDecimal == groundTruth
+    }
+}
+
 object TopKProps extends Properties("TopKLongs") {
   import scala.collection.mutable.ArrayBuffer
 
