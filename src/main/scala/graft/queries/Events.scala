@@ -327,6 +327,75 @@ object Events {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** #13b Dest sub-type classification (tags.go: EventOnlineReceived /
+    * EventOfflineReceived / EventOperationalReceived /
+    * EventManageableReceived / EventPendingRebootReceived /
+    * EventUknownDestTypeReceived): the dest's second path segment is the
+    * device state class; anything outside the known set counts as
+    * unknown_dest_type. */
+  def evtDestClass(s: SparkSession, d: String): DataFrame = {
+    val subtype = when(pmod(col("event_id"), lit(6)) === 0, "online")
+      .when(pmod(col("event_id"), lit(6)) === 1, "offline")
+      .when(pmod(col("event_id"), lit(6)) === 2, "operational")
+      .when(pmod(col("event_id"), lit(6)) === 3, "manageable")
+      .when(pmod(col("event_id"), lit(6)) === 4, "pending-reboot")
+      .otherwise("mystery")
+    val dest = concat(lit("event:"), col("event_type"), lit("/"), subtype,
+      lit("/"), col("event_id").cast("string"))
+    val extracted = regexp_extract(dest, "^event:[^/]+/([^/]+)/", 1)
+    Tables.events(s, d)
+      .select(
+        when(extracted.isin("online", "offline", "operational",
+          "manageable", "pending-reboot"), extracted)
+          .otherwise("unknown_dest_type").as("dest_class"))
+      .groupBy("dest_class").agg(count(lit(1)).as("n"))
+  }
+
+  /** #13c Connection-interface accounting (tags.go:
+    * ConnectionInterfaceReceived / OtherConnectionInterfaceReceived /
+    * UnknownConnectionInterfaceReceived): known interfaces count as
+    * ci_received, off-list ones as other_ci, absent as unknown_ci. */
+  def evtInterface(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val iface = when(pmod(k, lit(5)) === 0, "wifi")
+      .when(pmod(k, lit(5)) === 1, "ethernet")
+      .when(pmod(k, lit(5)) === 2, "moca")
+      .when(pmod(k, lit(5)) === 3, "5g-modem")
+      .otherwise(lit(null))
+    Tables.events(s, d)
+      .select(iface.as("iface"),
+        when(iface.isNull, "unknown_ci")
+          .when(iface.isin("wifi", "ethernet", "moca"), "ci_received")
+          .otherwise("other_ci").as("ci_class"))
+      .groupBy("ci_class", "iface").agg(count(lit(1)).as("n"))
+  }
+
+  /** #13d Boot-time parsing + uptime stats (tags.go: BootTimeParseError;
+    * the surrounding system derives uptime from a boot-time metadata
+    * field): a boot timestamp string is synthesized (malformed on a
+    * deterministic subset), parsed with try_to_timestamp (NULL on
+    * failure — the reference's parse-error counter), and uptime
+    * aggregates run over the parsed rows only. */
+  def evtBootTime(s: SparkSession, d: String): DataFrame = {
+    val sec = unix_timestamp(col("ts"))
+    val bootSec = sec - floor(col("value") * 60).cast(LongType)
+    val bootStr = when(pmod(col("event_id"), lit(31)) === 0, "not-a-time")
+      .otherwise(date_format(timestamp_seconds(bootSec), "yyyy-MM-dd HH:mm:ss"))
+    val parsed = try_to_timestamp(bootStr, lit("yyyy-MM-dd HH:mm:ss"))
+    Tables.events(s, d)
+      .select(col("event_type"), sec.as("sec"), parsed.as("boot"),
+        unix_timestamp(parsed).as("boot_sec"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("boot").isNull, 1L).otherwise(0L)).as("n_parse_err"),
+        count(col("boot")).as("n_parsed"),
+        sum(when(col("boot").isNotNull, col("sec") - col("boot_sec"))
+          .otherwise(0L)).as("total_uptime_s"),
+        (sum(when(col("boot").isNotNull, col("sec") - col("boot_sec"))
+          .otherwise(0L)).cast("double") / count(col("boot")))
+          .as("avg_uptime_s"))
+  }
+
   /** #18 Payload/props field extraction (WRP metadata handling):
     * get_json_object on the props JSON. */
   def evtProps(s: SparkSession, d: String): DataFrame =
@@ -350,6 +419,9 @@ object Events {
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
     "evt_old_future" -> (evtOldFuture _),
+    "evt_dest_class" -> (evtDestClass _),
+    "evt_interface" -> (evtInterface _),
+    "evt_boot_time" -> (evtBootTime _),
     "evt_throttle" -> (evtThrottle _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_session_stats" -> (evtSessionStats _),
@@ -455,6 +527,52 @@ object Events {
         |       ELSE 'ok' END AS age_class,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_dest_class" ->
+      """SELECT CASE WHEN x IN ('online', 'offline', 'operational',
+        |                      'manageable', 'pending-reboot') THEN x
+        |            ELSE 'unknown_dest_type' END AS dest_class,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT regexp_extract('event:' || event_type || '/' ||
+        |    (CASE event_id % 6 WHEN 0 THEN 'online' WHEN 1 THEN 'offline'
+        |      WHEN 2 THEN 'operational' WHEN 3 THEN 'manageable'
+        |      WHEN 4 THEN 'pending-reboot' ELSE 'mystery' END) || '/' ||
+        |    CAST(event_id AS VARCHAR), '^event:[^/]+/([^/]+)/', 1) AS x
+        |  FROM events) t
+        |GROUP BY 1""".stripMargin,
+    "evt_interface" ->
+      """SELECT CASE WHEN iface IS NULL THEN 'unknown_ci'
+        |            WHEN iface IN ('wifi', 'ethernet', 'moca') THEN 'ci_received'
+        |            ELSE 'other_ci' END AS ci_class,
+        |  iface, COUNT(*) AS n
+        |FROM (
+        |  SELECT CASE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 5
+        |    WHEN 0 THEN 'wifi' WHEN 1 THEN 'ethernet' WHEN 2 THEN 'moca'
+        |    WHEN 3 THEN '5g-modem' ELSE NULL END AS iface
+        |  FROM events) t
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_boot_time" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN boot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_err,
+        |  COUNT(boot) AS n_parsed,
+        |  CAST(SUM(CASE WHEN boot IS NOT NULL THEN sec - boot_sec ELSE 0 END) AS BIGINT)
+        |    AS total_uptime_s,
+        |  CAST(SUM(CASE WHEN boot IS NOT NULL THEN sec - boot_sec ELSE 0 END) AS DOUBLE)
+        |    / COUNT(boot) AS avg_uptime_s
+        |FROM (
+        |  SELECT event_type, sec, boot,
+        |    CAST(floor(epoch(boot)) AS BIGINT) AS boot_sec
+        |  FROM (
+        |    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |      try_strptime(
+        |        CASE WHEN event_id % 31 = 0 THEN 'not-a-time'
+        |             ELSE strftime(make_timestamp(
+        |               (CAST(floor(epoch(ts)) AS BIGINT)
+        |                - CAST(floor(value * 60) AS BIGINT)) * 1000000),
+        |               '%Y-%m-%d %H:%M:%S') END,
+        |        '%Y-%m-%d %H:%M:%S') AS boot
+        |    FROM events) g) t
+        |GROUP BY 1""".stripMargin,
     "evt_throttle" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN n_in_hour >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled_hours,
