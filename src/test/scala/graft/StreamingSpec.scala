@@ -177,6 +177,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.JsonWrp.corruptRecords(raw).count() == 2)
   }
 
+  test("#15c streaming session_window closes sessions past the watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val sessions = EventStream.validate(EventStream.parse(in.toDF()))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").cast("long").as("start_s"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        wrpJson(1, 5, "click", "2024-01-01 00:00:00"),
+        wrpJson(2, 5, "click", "2024-01-01 00:10:00"), // same session
+        wrpJson(3, 6, "view", "2024-01-01 00:05:00"))
+      q.processAllAvailable()
+      // event far in the future closes all earlier sessions
+      in.addData(wrpJson(4, 7, "click", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sw").as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((5L, 1704067200L, 2L))) // one 2-event session
+    assert(rows.contains((6L, 1704067500L, 1L)))
+  }
+
   test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
