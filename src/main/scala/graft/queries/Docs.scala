@@ -128,6 +128,18 @@ object Docs {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** #37b Near-dup REMOVAL — the end product of detection: the standard
+    * greedy pass drops the later document of every near-dup pair (pair
+    * lists from shared-shingle Jaccard ≥ 0.5), via anti join on the
+    * deduplicated victim set. */
+  def docDedupNear(s: SparkSession, d: String): DataFrame = {
+    val victims = docNgramJaccard(s, d).select("doc_b").distinct()
+    Tables.documents(s, d)
+      .join(victims, col("doc_id") === col("doc_b"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+  }
+
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
     * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
     * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
@@ -259,6 +271,7 @@ object Docs {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact" -> (docDedupExact _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
+    "doc_dedup_near" -> (docDedupNear _),
     "doc_minhash_lsh" -> (docMinhashLsh _),
     "doc_simhash" -> (docSimhash _),
     "doc_langid" -> (docLangid _),
@@ -300,6 +313,28 @@ object Docs {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5""".stripMargin,
+    "doc_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingle
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |victims AS (
+        |  SELECT DISTINCT doc_b FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM victims)
+        |GROUP BY 1""".stripMargin,
     "doc_langid" ->
       """SELECT lang,
         |  CASE

@@ -25,6 +25,19 @@ class ShingleSpec extends AnyFunSuite {
     assert(shingle("", "a", "a b") == Seq(Seq(), Seq(), Seq()))
   }
 
+  test("minhash-LSH estimator recovers the exact-Jaccard pair set") {
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.queries.Docs.docNgramJaccard(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = graft.queries.Docs.docMinhashLsh(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16-perm signatures on clear near-dups (planted pairs are ~0.99
+    // Jaccard): the estimator must not miss any
+    assert(exact.subsetOf(est), s"missed: ${exact -- est}")
+  }
+
   test("matches the declarative HOF formulation on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val words = split(col("text"), " ")
