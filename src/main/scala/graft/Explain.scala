@@ -19,11 +19,16 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(q) => q(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query '$n'; available: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      }
     }
     spark.stop()
   }
