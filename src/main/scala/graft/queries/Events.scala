@@ -396,6 +396,19 @@ object Events {
           .as("avg_uptime_s"))
   }
 
+  /** Approximate quantile sketch per event type (Greenwald-Khanna):
+    * the mergeable path for latency-style percentiles at 100 TB.
+    * Rows-only (sketch family is Spark-internal); exact percentiles
+    * ride along so the error is visible in the output. */
+  def evtApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+          .as("approx_p"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_p"),
+        count(lit(1)).as("n"))
+
   /** #18 Payload/props field extraction (WRP metadata handling):
     * get_json_object on the props JSON. */
   def evtProps(s: SparkSession, d: String): DataFrame =
@@ -432,6 +445,7 @@ object Events {
     "evt_topk" -> (evtTopk _),
     "evt_topk_agg" -> (evtTopkAgg _),
     "evt_approx_users" -> (evtApproxUsers _),
+    "evt_approx_quantiles" -> (evtApproxQuantiles _),
     "evt_props" -> (evtProps _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,

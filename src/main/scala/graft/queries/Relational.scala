@@ -219,6 +219,23 @@ object Relational {
       .groupBy("n_name")
       .agg(count(col("c_custkey")).as("n_customers"))
 
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): nulls are
+    * synthesized deterministically on both sides so NULL<=>NULL matches
+    * are exercised. */
+  def q21NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        nullif(col("c_nationkey") % 5, lit(0)).as("ka"))
+    val b = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        nullif(col("s_nationkey") % 5, lit(0)).as("kb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(coalesce(col("ka"), lit(-1)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -239,7 +256,8 @@ object Relational {
     "q17_percentile" -> (q17Percentile _),
     "q18_range_join" -> (q18RangeJoin _),
     "q19_running_sum" -> (q19RunningSum _),
-    "q20_outer_join" -> (q20OuterJoin _))
+    "q20_outer_join" -> (q20OuterJoin _),
+    "q21_null_safe_join" -> (q21NullSafeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -355,5 +373,13 @@ object Relational {
     "q20_outer_join" ->
       """SELECT n_name, COUNT(c_custkey) AS n_customers
         |FROM nation LEFT OUTER JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q21_null_safe_join" ->
+      """SELECT COALESCE(ka, -1) AS k, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(DISTINCT s_suppkey) AS n_suppliers
+        |FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS ka FROM customer) a
+        |JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS kb FROM supplier) b
+        |  ON a.ka IS NOT DISTINCT FROM b.kb
         |GROUP BY 1""".stripMargin)
 }
