@@ -204,6 +204,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((6L, 1704067500L, 1L)))
   }
 
+  test("batch/stream parity: windowed counts over the events table agree") {
+    // the same aggregation, once through readStream over the real
+    // parquet and once as a batch plan — results must be identical
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = withTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("day_s"),
+        col("event_type"), col("n"))
+    val q = streamed.writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val viaStream = spark.table("parity").as[(Long, String, Long)]
+      .collect().toSet
+
+    val viaBatch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("day_s"),
+        col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
   test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
