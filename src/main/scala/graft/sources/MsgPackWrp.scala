@@ -60,6 +60,7 @@ object MsgPackWrp {
       case 0xd2 => r.u32().toInt.toLong // int32
       case 0xd9 => r.str(r.u8()) // str8
       case 0xda => r.str(r.u16()) // str16
+      case 0xdb => r.str(r.u32().toInt) // str32
       case 0xdc => Seq.fill(r.u16())(parse(r)) // array16
       case 0xde => parseMap(r, r.u16()) // map16
       case other =>
@@ -133,7 +134,8 @@ object MsgPackWrp {
     val b = s.getBytes(UTF_8)
     if (b.length < 32) w.u8(0xa0 | b.length)
     else if (b.length < 256) { w.u8(0xd9); w.u8(b.length) }
-    else { w.u8(0xda); w.u16(b.length) }
+    else if (b.length < 65536) { w.u8(0xda); w.u16(b.length) }
+    else { w.u8(0xdb); w.u32(b.length.toLong) } // str32
     w.out.write(b)
   }
 

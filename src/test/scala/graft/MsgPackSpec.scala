@@ -31,11 +31,13 @@ class MsgPackSpec extends AnyFunSuite {
     }
   }
 
-  test("long strings use str8/str16 encodings") {
+  test("long strings use str8/str16/str32 encodings") {
     val long1 = sample(1).copy(payload = "x" * 200) // str8
     val long2 = sample(2).copy(payload = "y" * 40000) // str16
+    val long3 = sample(3).copy(payload = "z" * 70000) // str32
     assert(MsgPackWrp.decode(MsgPackWrp.encode(long1)) == long1)
     assert(MsgPackWrp.decode(MsgPackWrp.encode(long2)) == long2)
+    assert(MsgPackWrp.decode(MsgPackWrp.encode(long3)) == long3)
   }
 
   test("decodeDataset decodes distributed and drops malformed bodies") {
