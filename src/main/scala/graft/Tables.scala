@@ -22,7 +22,13 @@ object Tables {
     * vectorized reader rejects. Read the nanos as long
     * (spark.sql.legacy.parquet.nanosAsLong) and convert to Spark's native
     * µs timestamp with INTEGER division — a double division would lose
-    * precision above 2^53 ns (~any epoch-2024 value). */
+    * precision above 2^53 ns (~any epoch-2024 value).
+    *
+    * NOTE: setting the legacy flag is a SESSION-wide side effect — any
+    * later TIMESTAMP(NANOS) parquet read in the same session also comes
+    * back as BIGINT. Acceptable here (the events table is the only
+    * nanos source in this corpus); a multi-tenant deployment would set
+    * the flag in the session builder instead. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

@@ -30,14 +30,26 @@ case class DotProduct(left: Expression, right: Expression)
           s"(${l.catalogString}, ${r.catalogString})")
     }
   override def dataType: DataType = DoubleType
+  // NULL on length mismatch or null elements — the exact semantics of
+  // aggregate(zip_with(a,b,*),0d,+) (zip_with null-pads the shorter
+  // side; null propagates through the sum), so the optimizer rewrite is
+  // truly semantics-preserving.
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (DotProduct.isInvalid(x, y)) null else DotProduct.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if (graft.functions.DotProduct.isInvalid($a, $b)) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
+      |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -45,6 +57,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** Length mismatch or any null element ⇒ the HOF formulation yields
+    * NULL; mirror it exactly. */
+  def isInvalid(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return true
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Shared by interpreted eval and generated code. Sequential
     * left-to-right sum — bit-compatible with DuckDB list_dot_product. */
   def compute(a: ArrayData, b: ArrayData): Double = {

@@ -111,27 +111,42 @@ case class AsOfJoinExec(
       var matchRow: InternalRow = null
 
       lIter.map { lRow =>
-        val key = lkEval.eval(lRow).asInstanceOf[Long]
-        val time = ltEval.eval(lRow).asInstanceOf[Long]
-        if (hasMatch && matchKey != key) { hasMatch = false; matchRow = null }
-        // advance the right side up to (key, time)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hKey = rkEval.eval(head).asInstanceOf[Long]
-          val hTime = rtEval.eval(head).asInstanceOf[Long]
-          if (hKey < key || (hKey == key && hTime <= time)) {
-            if (hKey == key) {
-              matchRow = rBuf.next().copy() // candidate: latest ≤ time
-              matchKey = key
-              hasMatch = true
+        val keyV = lkEval.eval(lRow)
+        val timeV = ltEval.eval(lRow)
+        // SQL as-of semantics: a NULL key or time never matches
+        // (asInstanceOf[Long] on null would silently unbox to 0 and
+        // spuriously match key-0 rows)
+        if (keyV == null || timeV == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          val key = keyV.asInstanceOf[Long]
+          val time = timeV.asInstanceOf[Long]
+          if (hasMatch && matchKey != key) { hasMatch = false; matchRow = null }
+          // advance the right side up to (key, time)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hKeyV = rkEval.eval(head)
+            val hTimeV = rtEval.eval(head)
+            if (hKeyV == null || hTimeV == null) {
+              rBuf.next() // null-keyed right rows can never match
             } else {
-              rBuf.next() // different (smaller) key: discard
+              val hKey = hKeyV.asInstanceOf[Long]
+              val hTime = hTimeV.asInstanceOf[Long]
+              if (hKey < key || (hKey == key && hTime <= time)) {
+                if (hKey == key) {
+                  matchRow = rBuf.next().copy() // candidate: latest ≤ time
+                  matchKey = key
+                  hasMatch = true
+                } else {
+                  rBuf.next() // different (smaller) key: discard
+                }
+              } else advancing = false
             }
-          } else advancing = false
+          }
+          if (hasMatch && matchKey == key) proj(joined(lRow, matchRow))
+          else proj(joined(lRow, nullRight))
         }
-        if (hasMatch && matchKey == key) proj(joined(lRow, matchRow))
-        else proj(joined(lRow, nullRight))
       }
     }
   }

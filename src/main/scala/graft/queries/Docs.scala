@@ -64,6 +64,10 @@ object Docs {
     // size-incompatible pairs BEFORE the pair aggregate: Jaccard >= 0.5
     // forces |A| <= 2|B| and |B| <= 2|A|, so dropping those pairs at the
     // join has zero effect on the result.
+    // Cache lifetime: the persist is deliberately left to the session
+    // (CacheManager dedupes identical plans across the near-dup family,
+    // incl. doc_dedup_near's reuse); callers owning a long session can
+    // spark.catalog.clearCache() between corpora.
     val sh = docShingleArrays(s, d)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))

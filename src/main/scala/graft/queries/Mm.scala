@@ -35,6 +35,6 @@ object Mm {
     "mm_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN lang = 'en' THEN 'image' ELSE 'audio' END AS kind,
-        |  length(text) AS n_bytes, 16 AS n_feat
+        |  octet_length(encode(text)) AS n_bytes, 16 AS n_feat
         |FROM documents""".stripMargin)
 }

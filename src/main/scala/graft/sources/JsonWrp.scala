@@ -21,8 +21,11 @@ object JsonWrp {
       .as[Wrp]
   }
 
-  /** The rows decodeDataset dropped — the dead-letter side. */
+  /** The rows decodeDataset dropped — the dead-letter side. Parses each
+    * body once (a filter with two from_json calls would re-parse per
+    * predicate evaluation). */
   def corruptRecords(raw: DataFrame, jsonCol: String = "value"): DataFrame =
-    raw.filter(from_json(col(jsonCol), Wrp.schema).isNull ||
-      from_json(col(jsonCol), Wrp.schema).getField("msg_type").isNull)
+    raw.withColumn("__m", from_json(col(jsonCol), Wrp.schema))
+      .filter(col("__m").isNull || col("__m.msg_type").isNull)
+      .drop("__m")
 }

@@ -158,11 +158,15 @@ object MsgPackWrp {
     strField("transaction_uuid", wrp.transaction_uuid)
     strField("content_type", wrp.content_type)
     if (wrp.partner_ids.nonEmpty) fields("partner_ids") = () => {
-      w.u8(0x90 | wrp.partner_ids.length)
+      // fixarray caps at 15 elements; beyond that 0x90|len corrupts the
+      // marker byte (0x90|16 = 0xa0 = fixstr) — use array16
+      if (wrp.partner_ids.length < 16) w.u8(0x90 | wrp.partner_ids.length)
+      else { w.u8(0xdc); w.u16(wrp.partner_ids.length) }
       wrp.partner_ids.foreach(writeStr(w, _))
     }
     if (wrp.metadata.nonEmpty) fields("metadata") = () => {
-      w.u8(0x80 | wrp.metadata.size)
+      if (wrp.metadata.size < 16) w.u8(0x80 | wrp.metadata.size)
+      else { w.u8(0xde); w.u16(wrp.metadata.size) }
       wrp.metadata.foreach { case (k, v) => writeStr(w, k); writeStr(w, v) }
     }
     strField("payload", wrp.payload)

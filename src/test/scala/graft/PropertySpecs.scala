@@ -16,9 +16,9 @@ object MsgPackProps extends Properties("MsgPackWrp") {
   private val genWrp: Gen[Wrp] = for {
     mt <- Gen.chooseNum(0, 127)
     src <- genStr; dst <- genStr; txn <- genStr; ct <- genStr
-    pids <- Gen.listOf(genStr).map(_.take(10))
+    pids <- Gen.listOf(genStr).map(_.take(40)) // exceeds fixarray's 15
     meta <- Gen.mapOf(Gen.zip(Gen.alphaNumStr.map(_.take(10)), genStr))
-      .map(_.take(10))
+      .map(_.take(40)) // exceeds fixmap's 15
     payload <- genStr; sid <- genStr
     qos <- Gen.chooseNum(0, 99)
   } yield Wrp(mt, src, dst, txn, ct, pids, meta, payload, sid, qos)
