@@ -33,6 +33,25 @@ class DotProductRewriteSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate("), s"HOF survived:\n$plan")
   }
 
+  test("rewrite preserves NULL semantics: length mismatch and null elements") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_dotnull").toString + "/v"
+    Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)), // length mismatch
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))) // null elem
+      .toDF("id", "a", "b").write.parquet(p)
+    def run(s: SparkSession) = s.read.parquet(p).select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val withRule = run(spark)
+    val without = run(SparkTest.spark)
+    assert(withRule == without, s"rewrite diverged: $withRule vs $without")
+    assert(withRule(1L) == 11.0 && withRule(2L) == null && withRule(3L) == null)
+  }
+
   test("rewrite is bit-exact vs the interpreted HOF") {
     val rewritten = hofDot(spark).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
