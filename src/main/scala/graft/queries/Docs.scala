@@ -40,11 +40,15 @@ object Docs {
     * re-delivery of itself, deduped on md5(text) via row_number=1. The
     * shuffle key is the fingerprint, not the document body. */
   def docDedupExact(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+    // fingerprint map-side and DROP the text before the shuffle — the
+    // window only needs (fp, doc_id, output cols), so the corpus body
+    // never crosses the wire (at 100 TB that is the whole game)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("fp"))
     val redelivered = docs.withColumn("doc_id", col("doc_id") + 1000000L)
     val w = Window.partitionBy("fp").orderBy("doc_id")
     docs.unionByName(redelivered)
-      .withColumn("fp", md5(col("text")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy("lang")

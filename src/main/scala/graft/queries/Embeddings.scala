@@ -129,12 +129,14 @@ object Embeddings {
         t => t.getField("cx")).as("ce"))
       .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
     // assign every vector to its nearest centroid (broadcast, map-side;
-    // the max_by tiebreak keeps assignment deterministic)
+    // the max_by tiebreak keeps assignment deterministic). e/norm ride
+    // through the aggregate (identical on every replicated row) instead
+    // of a join-back shuffle to recover them.
     val assigned = v.crossJoin(broadcast(cent))
       .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
       .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
-      .join(v, "vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
+        first(col("e")).as("e"), first(col("norm")).as("norm"))
     val q = broadcast(assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("cluster")))
