@@ -61,6 +61,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastExchange"), plan)
   }
 
+  test("handles empty right partitions and right side smaller than partition count") {
+    // one-user right side: after hash clustering most right partitions
+    // are empty — every left row in those partitions takes the null path
+    val tinyStates = states.filter(col("s_user_id") === 3L)
+    val out = AsOfJoin.join(events, tinyStates,
+      "user_id", "etime", "s_user_id", "stime")
+      .select("event_id", "user_id", "version")
+    val rows = out.collect()
+    assert(rows.length == 2000)
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.forall(_.getLong(1) == 3L))
+    assert(rows.filter(_.isNullAt(2)).nonEmpty)
+  }
+
   test("result is independent of input partitioning") {
     val a = canon(AsOfJoin.join(events.repartition(1), states.repartition(1),
       "user_id", "etime", "s_user_id", "stime")
