@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-first consumers: temp views + spark.sql + the registered custom
+  * functions must express the same pipelines the Column API does. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+
+  test("the engine is drivable from pure SQL, custom functions included") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev")
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs")
+
+    // reference-style routing metric in SQL
+    val counts = spark.sql(
+      """SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("click", "view", "purchase", "signup", "error"))
+
+    // sessionization in SQL (lag + cumulative sum)
+    val sessions = spark.sql(
+      """SELECT user_id, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM (SELECT user_id,
+        |        unix_timestamp(ts) - lag(unix_timestamp(ts))
+        |          OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |      FROM ev) g
+        |GROUP BY 1""".stripMargin).count()
+    assert(sessions > 0)
+
+    // the custom simhash64 expression from SQL
+    val sigs = spark.sql(
+      "SELECT doc_id, simhash64(split(text, ' ')) AS sig FROM docs")
+      .collect()
+    assert(sigs.length == spark.table("docs").count() &&
+      sigs.map(_.getLong(1)).distinct.length > 1)
+  }
+}
