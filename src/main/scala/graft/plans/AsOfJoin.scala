@@ -168,13 +168,27 @@ object AsOfJoin {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val lp = Shims.plan(left)
     val rp = Shims.plan(right)
-    def attr(p: LogicalPlan, side: String, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"asof: no column '$n' on the $side side " +
-          s"(have ${p.output.map(_.name).mkString(", ")})"))
+    // narrower integral columns are widened to Long at construction —
+    // the exec evals keys as Long, and a task-time ClassCastException
+    // on an int column is a terrible failure mode
+    def attr(p: LogicalPlan, side: String, n: String): Expression = {
+      val a: Attribute = p.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(
+          s"asof: no column '$n' on the $side side " +
+            s"(have ${p.output.map(_.name).mkString(", ")})"))
+      a.dataType match {
+        case LongType => a
+        case ByteType | ShortType | IntegerType => Cast(a, LongType)
+        case other => throw new IllegalArgumentException(
+          s"asof: column '$n' must be an integral type (epoch seconds / " +
+            s"ids), got ${other.catalogString}")
+      }
+    }
     Shims.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp,
         attr(lp, "left", leftKey), attr(lp, "left", leftTime),

@@ -75,6 +75,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows.filter(_.isNullAt(2)).nonEmpty)
   }
 
+  test("integer key/time columns are widened, not crashed on") {
+    import spark.implicits._
+    // int columns: the exec evals Long; construction must widen (a
+    // task-time ClassCastException was the old failure mode)
+    val l = Seq((1, 10, 100L), (2, 20, 101L)).toDF("k", "t", "payload")
+    val r = Seq((1, 5, 7L)).toDF("rk", "rt", "version")
+    val out = AsOfJoin.join(l, r, "k", "t", "rk", "rt")
+      .select("payload", "version").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(out == Set((100L, 7L), (101L, -1L)))
+    // non-integral types fail fast with a named column
+    val bad = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l.withColumn("k", col("k").cast("string")), r, "k", "t", "rk", "rt")
+    }
+    assert(bad.getMessage.contains("'k'"))
+  }
+
   test("result is independent of input partitioning") {
     val a = canon(AsOfJoin.join(events.repartition(1), states.repartition(1),
       "user_id", "etime", "s_user_id", "stime")
