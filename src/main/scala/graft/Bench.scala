@@ -14,23 +14,36 @@ object Bench {
     // Warm the JVM/codegen/scheduler once so the first timed query does
     // not absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // deterministic execution order → comparable per-round JSON
+    // deterministic execution order → comparable per-round JSON.
+    // The host is noisy (±50% run-to-run documented in SURVEY §5): each
+    // query runs SPARK_GRAFT_RUNS times (default 2) and reports the
+    // per-query MEDIAN, so a single scheduler hiccup doesn't read as a
+    // regression.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def median(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      if (s0.size % 2 == 1) s0(s0.size / 2)
+      else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        } finally CacheScope.releaseAll()
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a broken query must not read as a fast one: failures are listed
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

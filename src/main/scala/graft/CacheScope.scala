@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic lifecycle for intra-query persists.
+  *
+  * The near-dup family (graft.queries.Docs) persists shared subtrees
+  * (posting lists, signatures) that feed multiple branches of ONE query
+  * plan. Those caches must not accumulate for the lifetime of the
+  * session: a 100 TB pipeline iterating corpora would pin executor
+  * storage until eviction pressure. Query builders register each persist
+  * here; the driving loop (Verify / Bench / tests) calls [[releaseAll]]
+  * after the consuming action, returning storage deterministically
+  * instead of relying on CacheManager luck.
+  */
+object CacheScope {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist (MEMORY_AND_DISK) and track for the next releaseAll. */
+  def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every tracked DataFrame (non-blocking) and clear the
+    * registry. Safe to call between queries — lazily-defined plans that
+    * have not yet run simply recompute. */
+  def releaseAll(): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = tracked.poll()
+    }
+  }
+}

@@ -61,9 +61,13 @@ object RegexMatchKernel {
     val key = p.toString
     var pat = cache.get(key)
     if (pat == null) {
-      if (cache.size() >= MaxCacheSize) cache.clear()
+      // At the cap, compile-and-use WITHOUT caching: clearing the shared
+      // map here would let an adversarial high-cardinality pattern column
+      // make every executor thread clear + recompile in a loop — strictly
+      // worse than no cache. The bounded set of cached patterns keeps
+      // serving the hot (config-table) entries.
       pat = Pattern.compile(key)
-      cache.put(key, pat)
+      if (cache.size() < MaxCacheSize) cache.putIfAbsent(key, pat)
     }
     pat.matcher(s.toString).find()
   }

@@ -21,14 +21,20 @@ object Routing {
       .drop("event_regex")
 
   /** Device-regex layer (filter_factory.go:129-167): empty or ".*"
-    * means match-all. Routes carry (stream, event_regex, device_regex). */
+    * means match-all. Per filter/filter.go:86 the device regex matches
+    * the SOURCE or the DEST with its "event:" scheme stripped
+    * (TrimPrefix) — either side passing admits the event. Routes carry
+    * (stream, event_regex, device_regex). */
   def fanoutWithDevice(events: DataFrame, routes: DataFrame,
-      eventTypeCol: Column, deviceCol: Column): DataFrame =
+      eventTypeCol: Column, sourceCol: Column, destCol: Column): DataFrame = {
+    val strippedDest = regexp_replace(destCol, "^event:", "")
     events.join(broadcast(routes),
       graft.functions.RegexMatch.column(eventTypeCol, col("event_regex")) &&
         (col("device_regex") === "" || col("device_regex") === ".*" ||
-          graft.functions.RegexMatch.column(deviceCol, col("device_regex"))))
+          graft.functions.RegexMatch.column(sourceCol, col("device_regex")) ||
+          graft.functions.RegexMatch.column(strippedDest, col("device_regex"))))
       .drop("event_regex", "device_regex")
+  }
 }
 
 object Dedup {

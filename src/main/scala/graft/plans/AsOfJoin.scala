@@ -177,7 +177,13 @@ object AsOfJoin {
     // the exec evals keys as Long, and a task-time ClassCastException
     // on an int column is a terrible failure mode
     def attr(p: LogicalPlan, side: String, n: String): Expression = {
-      val a: Attribute = p.output.find(_.name == n)
+      val matches = p.output.filter(_.name == n)
+      // post-join plans commonly carry duplicate names — silently taking
+      // the first would join on the wrong side's column
+      if (matches.size > 1) throw new IllegalArgumentException(
+        s"asof: ambiguous column '$n' on the $side side " +
+          s"(${matches.size} attributes match; alias one before joining)")
+      val a: Attribute = matches.headOption
         .getOrElse(throw new IllegalArgumentException(
           s"asof: no column '$n' on the $side side " +
             s"(have ${p.output.map(_.name).mkString(", ")})"))

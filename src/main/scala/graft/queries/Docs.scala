@@ -68,14 +68,12 @@ object Docs {
     // size-incompatible pairs BEFORE the pair aggregate: Jaccard >= 0.5
     // forces |A| <= 2|B| and |B| <= 2|A|, so dropping those pairs at the
     // join has zero effect on the result.
-    // Cache lifetime: the persist is deliberately left to the session
-    // (CacheManager dedupes identical plans across the near-dup family,
-    // incl. doc_dedup_near's reuse); callers owning a long session can
-    // spark.catalog.clearCache() between corpora.
-    val sh = docShingleArrays(s, d)
+    // Cache lifetime: registered with graft.CacheScope — the driving
+    // loop (Verify/Bench/tests) releases it after the consuming action,
+    // so the posting list never outlives its query.
+    val sh = graft.CacheScope.persistTracked(docShingleArrays(s, d)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(col("shingles")).as("shingle")))
     val jac = col("inter").cast("double") /
       (col("n_a") + col("n_b") - col("inter"))
     sh.as("a")
@@ -104,11 +102,10 @@ object Docs {
   def docMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val k = 16
     val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
-    val sigs = shingles(s, d)
+    val sigs = graft.CacheScope.persistTracked(shingles(s, d)
       .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
-      .select(col("doc_id"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("sig")))
     // one pass over the signatures: explode the 4 band structs
     val bandStructs = (0 until 4).map { b =>
       val cols = (4 * b until 4 * b + 4).map(j => element_at(col("sig"), j + 1))
@@ -123,12 +120,16 @@ object Docs {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // estimate Jaccard from signature agreement on the candidates only
+    // estimate Jaccard from signature agreement on the candidates only.
+    // No broadcast hint on the candidate side: the pair count is
+    // data-dependent (quadratic in bucket skew), so forcing it onto
+    // every executor risks OOM at scale — the signature side is the
+    // bounded one, and AQE picks the join strategy from runtime sizes.
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
-    broadcast(cand)
+    cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", est)
@@ -160,13 +161,13 @@ object Docs {
     // vocabulary are weakly discriminating; shingles are doc-specific)
     val sigs = docShingleArrays(s, d)
       .select(col("doc_id"), simhash64(col("shingles")).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(7))).as("band_idx"))
+    val bands = graft.CacheScope.persistTracked(
+      sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("band_idx"))
       .withColumn("band",
-        expr("shiftrightunsigned(sig, band_idx * 8)").bitwiseAND(lit(255L)))
-      // both sides of the candidate self-join: persist so the signature
-      // computation (shingle + simhash) runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        expr("shiftrightunsigned(sig, band_idx * 8)").bitwiseAND(lit(255L))))
+      // both sides of the candidate self-join: persisted (scope-tracked)
+      // so the signature computation (shingle + simhash) runs once
     // Hamming filter BEFORE the pair-dedup: bit_count is a cheap codegen
     // op per candidate row, while distinct on millions of correlated-band
     // candidates is a full shuffle. Order matters 10x here.

@@ -56,10 +56,54 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
-  /** #42 Cosine near-dup pairs (τ = 0.4): brute-force all-pairs with the
-    * per-vector norm precomputed. The oracle-matched exact baseline; the
-    * 100 TB path is the LSH-bucketed variant below. */
+  /** #42 Cosine near-dup pairs (τ = 0.4), the 100 TB path: banded
+    * random-hyperplane LSH (8 bands × 4 sign bits over 32 deterministic
+    * planes) generates candidates IN-BUCKET — a pair
+    * is considered iff it agrees on some band — then exact cosine
+    * verifies each candidate once (pairs are deduped before the verify
+    * join). Only (vec_id, band_idx, band_key) rows shuffle for
+    * candidate generation; no cartesian anywhere. The oracle replays
+    * the identical banding in DuckDB (plane constants are embedded as
+    * literals), so the driver check is exact, not rows-only; the
+    * brute-force all-pairs form survives as [[embNeardupExact]], the
+    * small-scale recall baseline. */
   def embNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    // 8 bands × 4 sign bits: 16 buckets per band caps in-bucket pair
+    // counts at ~N²/16 per band; 8 OR'd bands push τ-edge recall to
+    // ~0.75 (≥0.95 for cos ≥ 0.7). Band width/count are the scale knobs.
+    val pl = planes(32, 64)
+    def bit(p: Int): Column =
+      when(dot(col("e"), array(pl(p).map(lit): _*)) >= 0, 1).otherwise(0)
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band_idx"),
+        (0 until 4).map(i => bit(4 * b + i) * (1 << i)).reduce(_ + _)
+          .as("band_key"))
+    }
+    val bands = v.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band_idx").as("band_idx"),
+        col("bs.band_key").as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val av = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("norm").as("na"), col("label").as("label_a"))
+    val bv = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("norm").as("nb"), col("label").as("label_b"))
+    cand.join(av, "vec_a").join(bv, "vec_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+  }
+
+  /** #42b Brute-force all-pairs cosine near-dup: the exact-recall
+    * baseline for [[embNeardup]]. All-pairs is quadratic by definition —
+    * this form is for small-scale cross-checks and oracle twinning only;
+    * the bucketed variant above is the production path. */
+  def embNeardupExact(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
       col("norm").as("na"), col("label").as("label_a"))
@@ -156,6 +200,7 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
+    "emb_neardup_exact" -> (embNeardupExact _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ann_ivf" -> (embAnnIvf _))
 
@@ -176,7 +221,33 @@ object Embeddings {
         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 5) t
         |WHERE rnk <= 5""".stripMargin,
-    "emb_neardup" ->
+    "emb_neardup" -> {
+      // replay the banded sign-bucket EXACTLY: the plane constants are
+      // deterministic (murmur3 of (plane, dim)), embedded as literals;
+      // list_dot_product evaluates the same sequential double sum, so
+      // every sign bit — and therefore the candidate-pair set — agrees
+      // bit for bit with the Spark plan
+      val pl = planes(32, 64)
+      def bitSql(p: Int): String =
+        s"CASE WHEN list_dot_product(e, ${pl(p).mkString("[", ", ", "]")}) >= 0 THEN 1 ELSE 0 END"
+      def bandSql(b: Int): String =
+        (0 until 4).map(i => s"${1 << i}*(${bitSql(4 * b + i)})").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+         |s AS (SELECT vec_id, label, e, norm,
+         |${(0 until 8).map(b => s"  ${bandSql(b)} AS k$b").mkString(",\n")}
+         |  FROM n)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cos,
+         |  a.label = b.label AS same_label
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |  AND (${(0 until 8).map(b => s"a.k$b = b.k$b").mkString(" OR ")})
+         |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin
+    },
+    "emb_neardup_exact" ->
       """WITH v AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -54,15 +54,31 @@ object Events {
         col("m.source").as("source"), col("m.dest").as("dest"))
   }
 
-  /** #2 Validation (request_handler.go:105-131): msg_type must be 4
-    * (SimpleEvent) and dest non-empty. Invalid rows are synthesized
-    * deterministically so the accounting paths are exercised. */
-  def wrpValidate(s: SparkSession, d: String): DataFrame =
+  /** #2 Validation (request_handler.go:95-131), full 400-reason ladder in
+    * the reference's check order: empty payload → decode/format error →
+    * msg_type != 4 → invalid UTF-8 (wrp.UTF8) → accepted. Payload bytes
+    * are synthesized deterministically (empty on %101, undecodable on
+    * %89, invalid UTF-8 on %79, msg_type 3 on %97); the empty and UTF-8
+    * classes are derived from the ACTUAL bytes (length / is_valid_utf8 —
+    * a binary→string cast does not validate, so the checker sees the raw
+    * bytes), while the oracle replays the arithmetic independently. */
+  def wrpValidate(s: SparkSession, d: String): DataFrame = {
+    val payloadBytes =
+      when(pmod(col("event_id"), lit(101)) === 0, encode(lit(""), "UTF-8"))
+        .when(pmod(col("event_id"), lit(79)) === 0, unhex(lit("7BFF7D")))
+        .otherwise(encode(
+          concat(lit("{\"v\": "), col("value").cast("string"), lit("}")),
+          "UTF-8"))
+    val msgType = when(pmod(col("event_id"), lit(97)) === 0, 3).otherwise(4)
     Tables.events(s, d)
       .select(
-        (when(pmod(col("event_id"), lit(97)) === 0, 3).otherwise(4) === 4 &&
-          !(pmod(col("event_id"), lit(101)) === 0)).as("is_valid"))
-      .groupBy("is_valid").agg(count(lit(1)).as("n"))
+        when(length(payloadBytes) === 0, "empty_payload")
+          .when(pmod(col("event_id"), lit(89)) === 0, "invalid_format")
+          .when(msgType =!= 4, "invalid_msg_type")
+          .when(!is_valid_utf8(payloadBytes.cast("string")), "invalid_utf8")
+          .otherwise("valid").as("reject_reason"))
+      .groupBy("reject_reason").agg(count(lit(1)).as("n"))
+  }
 
   /** #3 fixWrp normalization (request_handler.go:141-163): default the
     * content type, generate a deterministic transaction uuid (sha2 of the
@@ -122,11 +138,29 @@ object Events {
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
+  /** Route table with device regexes for the metadata layer. Separate
+    * from `routes` (whose streams the plain fanout + streaming pipeline
+    * share): s_errors matches on the SOURCE device id only, s_dest_acks
+    * matches on the stripped DEST only — together they exercise both
+    * sides of the filter.go:86 disjunction. */
+  def metaRoutes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("s_clicks", "^(click|view)$", ""),
+      ("s_commerce", "^(purchase|signup)$", ".*"),
+      ("s_errors", "error", "^mac:0000000000[0-4][0-9]$"),
+      ("s_dest_acks", ".*", "^error/[0-9]*[05]$"),
+      ("s_firehose", ".*", "")
+    ).toDF("stream", "event_regex", "device_regex")
+  }
+
   /** #8 Device-regex layered on the event match; empty/".*" ⇒ match-all
-    * (filter/filter_factory.go:129-167). */
+    * (filter/filter_factory.go:129-167); the regex is tried against the
+    * source AND the "event:"-stripped dest (filter/filter.go:86) — the
+    * s_dest_acks route matches exclusively via the dest side. */
   def evtRouteMeta(s: SparkSession, d: String): DataFrame =
-    graft.operators.Routing.fanoutWithDevice(Tables.events(s, d), routes(s),
-        col("event_type"), lpad(col("user_id").cast("string"), 12, "0"))
+    graft.operators.Routing.fanoutWithDevice(Tables.events(s, d), metaRoutes(s),
+        col("event_type"), device(col("user_id")), destCol)
       .groupBy("stream")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
@@ -168,15 +202,29 @@ object Events {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
   /** #12 Delivery failover accounting (filter/stream_dispatcher.go:60-105:
-    * primary → alt streams in order): deterministic failure predicate
-    * stands in for the transport error. */
-  def evtFailover(s: SparkSession, d: String): DataFrame =
+    * primary → alt streams in order) WITH retry accounting
+    * (filter/filter.go:30 deliveryRetries; internal/kinesis retry loop):
+    * a deterministic failure predicate stands in for the transport error.
+    * Events that exhaust all 3 retries (%10) fail over to the alt stream;
+    * %7 / %3 events succeed after 2 / 1 transient retries. Per-stream
+    * output carries total/max retries and the failed-over count — the
+    * reference's deliveryRetries dimension. */
+  def evtFailover(s: SparkSession, d: String): DataFrame = {
+    val failedOver = pmod(col("event_id"), lit(10)) === 0
+    val retries = when(failedOver, 3)
+      .when(pmod(col("event_id"), lit(7)) === 0, 2)
+      .when(pmod(col("event_id"), lit(3)) === 0, 1)
+      .otherwise(0)
     Tables.events(s, d)
       .withColumn("delivered_to",
-        when(pmod(col("event_id"), lit(10)) =!= 0, col("event_type"))
+        when(!failedOver, col("event_type"))
           .otherwise(concat(col("event_type"), lit("_alt"))))
+      .withColumn("retries", retries.cast(LongType))
       .groupBy("delivered_to")
-      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"),
+        sum("retries").as("total_retries"), max("retries").as("max_retries"),
+        sum(when(failedOver, 1L).otherwise(0L)).as("n_failed_over"))
+  }
 
   /** #13 Old/future event detection (internal/metrics/tags.go:
     * OldEventReceived / FutureEventReceived). */
@@ -396,17 +444,88 @@ object Events {
           .as("avg_uptime_s"))
   }
 
+  /** Parse-error metric vocabulary (internal/metrics/tags.go:36-55):
+    * CpeTimestampParseError / XmidtTimestampParseError /
+    * PayloadParseError / XmidtPayloadTimestampParseError /
+    * EventInvalidSessionId / NoSessionStartError, as per-type counters.
+    * Each input (two timestamp strings, a payload JSON carrying its own
+    * timestamp, a session JSON with id + optional start) is synthesized
+    * with deterministic corruption; the counters are then derived from
+    * ACTUAL parsing (try_to_timestamp NULL, get_json_object NULL, id
+    * regex) while the oracle replays the corruption arithmetic — two
+    * independent derivations that must agree. */
+  def evtParseErrors(s: SparkSession, d: String): DataFrame = {
+    val sec = unix_timestamp(col("ts"))
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    def tsStr(offset: Int): Column =
+      date_format(timestamp_seconds(sec - offset), fmt)
+    val cpeStr = when(pmod(col("event_id"), lit(37)) === 0, "not-a-cpe-ts")
+      .otherwise(tsStr(5))
+    val xmidtStr = when(pmod(col("event_id"), lit(41)) === 0, "not-a-xmidt-ts")
+      .otherwise(tsStr(2))
+    val payloadJson = when(pmod(col("event_id"), lit(43)) === 0, lit("{broken"))
+      .otherwise(concat(lit("{\"ts\": \""),
+        when(pmod(col("event_id"), lit(47)) === 0, lit("not-a-payload-ts"))
+          .otherwise(tsStr(1)),
+        lit("\"}")))
+    val sessionId = when(pmod(col("event_id"), lit(53)) === 0, lit("not a session!"))
+      .otherwise(substring(sha2(col("event_id").cast("string"), 256), 1, 16))
+    val sessJson = concat(lit("{\"session_id\": \""), sessionId, lit("\""),
+      when(pmod(col("event_id"), lit(59)) === 0, lit(""))
+        .otherwise(concat(lit(", \"session_start\": "), (sec - 100).cast("string"))),
+      lit("}"))
+    val pts = get_json_object(payloadJson, "$.ts")
+    Tables.events(s, d)
+      .select(col("event_type"),
+        try_to_timestamp(cpeStr, lit(fmt)).isNull.as("cpe_err"),
+        try_to_timestamp(xmidtStr, lit(fmt)).isNull.as("xmidt_err"),
+        pts.isNull.as("payload_err"),
+        (pts.isNotNull && try_to_timestamp(pts, lit(fmt)).isNull).as("pts_err"),
+        (!get_json_object(sessJson, "$.session_id").rlike("^[0-9a-f]{16}$"))
+          .as("sid_err"),
+        get_json_object(sessJson, "$.session_start").isNull.as("nostart_err"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("cpe_err"), 1L).otherwise(0L)).as("n_cpe_ts_err"),
+        sum(when(col("xmidt_err"), 1L).otherwise(0L)).as("n_xmidt_ts_err"),
+        sum(when(col("payload_err"), 1L).otherwise(0L)).as("n_payload_parse_err"),
+        sum(when(col("pts_err"), 1L).otherwise(0L)).as("n_payload_ts_err"),
+        sum(when(col("sid_err"), 1L).otherwise(0L)).as("n_invalid_session_id"),
+        sum(when(col("nostart_err"), 1L).otherwise(0L)).as("n_no_session_start"))
+  }
+
   /** Approximate quantile sketch per event type (Greenwald-Khanna):
     * the mergeable path for latency-style percentiles at 100 TB.
-    * Rows-only (sketch family is Spark-internal); exact percentiles
-    * ride along so the error is visible in the output. */
+    * Rows-only (the sketch family is Spark-internal); the exact
+    * percentiles ride along as SCALAR columns so the error is visible —
+    * array outputs are kept out of the driver's row-hash comparison. */
   def evtApproxQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
-          .as("approx_p"),
-        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_p"),
+          .as("ap"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("ep"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("ap"), 1).as("approx_p50"),
+        element_at(col("ap"), 2).as("approx_p90"),
+        element_at(col("ap"), 3).as("approx_p99"),
+        element_at(col("ep"), 1).as("exact_p50"),
+        element_at(col("ep"), 2).as("exact_p90"),
+        element_at(col("ep"), 3).as("exact_p99"),
+        col("n"))
+
+  /** Exact per-type percentiles as the oracle-backed twin of the sketch
+    * above: Spark percentile() is linear interpolation ≡ DuckDB
+    * quantile_cont, bit-exact on doubles. */
+  def evtQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
         count(lit(1)).as("n"))
 
   /** #18 Payload/props field extraction (WRP metadata handling):
@@ -446,6 +565,8 @@ object Events {
     "evt_topk_agg" -> (evtTopkAgg _),
     "evt_approx_users" -> (evtApproxUsers _),
     "evt_approx_quantiles" -> (evtApproxQuantiles _),
+    "evt_quantiles" -> (evtQuantiles _),
+    "evt_parse_errors" -> (evtParseErrors _),
     "evt_props" -> (evtProps _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
@@ -458,8 +579,11 @@ object Events {
         |  'event:' || event_type || '/' || CAST(event_id AS VARCHAR) AS dest
         |FROM events""".stripMargin,
     "wrp_validate" ->
-      """SELECT ((CASE WHEN event_id % 97 = 0 THEN 3 ELSE 4 END) = 4
-        |        AND NOT (event_id % 101 = 0)) AS is_valid, COUNT(*) AS n
+      """SELECT CASE WHEN event_id % 101 = 0 THEN 'empty_payload'
+        |            WHEN event_id % 89 = 0 THEN 'invalid_format'
+        |            WHEN event_id % 97 = 0 THEN 'invalid_msg_type'
+        |            WHEN event_id % 79 = 0 THEN 'invalid_utf8'
+        |            ELSE 'valid' END AS reject_reason, COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "wrp_fix" ->
       """SELECT COALESCE(CASE WHEN event_id % 5 = 0 THEN NULL
@@ -497,12 +621,16 @@ object Events {
         |FROM events e CROSS JOIN (VALUES
         |  ('s_clicks', '^(click|view)$', ''),
         |  ('s_commerce', '^(purchase|signup)$', '.*'),
-        |  ('s_errors', 'error', '^0000000000[0-4][0-9]$'),
+        |  ('s_errors', 'error', '^mac:0000000000[0-4][0-9]$'),
+        |  ('s_dest_acks', '.*', '^error/[0-9]*[05]$'),
         |  ('s_firehose', '.*', '')) AS r(stream, event_regex, device_regex)
         |WHERE regexp_matches(e.event_type, r.event_regex)
         |  AND (r.device_regex = '' OR r.device_regex = '.*'
-        |       OR regexp_matches(lpad(CAST(e.user_id AS VARCHAR), 12, '0'),
-        |                         r.device_regex))
+        |       OR regexp_matches('mac:' || lpad(CAST(e.user_id AS VARCHAR), 12, '0'),
+        |                         r.device_regex)
+        |       OR regexp_matches(regexp_replace('event:' || e.event_type || '/' ||
+        |            CAST(e.event_id AS VARCHAR), '^event:', ''),
+        |          r.device_regex))
         |GROUP BY 1""".stripMargin,
     "evt_batch" ->
       """SELECT stream, day, batch_id, COUNT(*) AS n_events,
@@ -532,8 +660,19 @@ object Events {
       """SELECT CASE WHEN event_id % 10 <> 0 THEN event_type
         |            ELSE event_type || '_alt' END AS delivered_to,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(retries) AS BIGINT) AS total_retries,
+        |  MAX(retries) AS max_retries,
+        |  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_failed_over
+        |FROM (
+        |  SELECT event_id, event_type, value,
+        |    CAST(CASE WHEN event_id % 10 = 0 THEN 3
+        |              WHEN event_id % 7 = 0 THEN 2
+        |              WHEN event_id % 3 = 0 THEN 1
+        |              ELSE 0 END AS BIGINT) AS retries
+        |  FROM events) t
+        |GROUP BY 1""".stripMargin,
     "evt_old_future" ->
       """SELECT event_type,
         |  CASE WHEN ts < TIMESTAMP '2024-01-05' THEN 'old'
@@ -690,6 +829,28 @@ object Events {
         |    SELECT event_type, user_id, COUNT(*) AS n
         |    FROM events GROUP BY 1, 2) c) r
         |WHERE rnk <= 3""".stripMargin,
+    "evt_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_parse_errors" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cpe_ts_err,
+        |  CAST(SUM(CASE WHEN event_id % 41 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_xmidt_ts_err,
+        |  CAST(SUM(CASE WHEN event_id % 43 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_payload_parse_err,
+        |  CAST(SUM(CASE WHEN event_id % 43 <> 0 AND event_id % 47 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_payload_ts_err,
+        |  CAST(SUM(CASE WHEN event_id % 53 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_invalid_session_id,
+        |  CAST(SUM(CASE WHEN event_id % 59 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_session_start
+        |FROM events GROUP BY 1""".stripMargin,
     "evt_props" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
         |  COUNT(*) AS n,

@@ -30,6 +30,7 @@ object MsgPackWrp {
     def bytes(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r
     }
+    def u64(): Long = (u32() << 32) | u32()
     def str(n: Int): String = new String(bytes(n), UTF_8)
   }
 
@@ -52,17 +53,24 @@ object MsgPackWrp {
       case 0xc3 => true
       case 0xc4 => r.bytes(r.u8()) // bin8
       case 0xc5 => r.bytes(r.u16()) // bin16
+      case 0xca => // float32
+        java.lang.Float.intBitsToFloat(r.u32().toInt).toDouble
+      case 0xcb => java.lang.Double.longBitsToDouble(r.u64()) // float64
       case 0xcc => r.u8().toLong // uint8
       case 0xcd => r.u16().toLong // uint16
       case 0xce => r.u32() // uint32
+      case 0xcf => r.u64() // uint64 (two's-complement beyond Long.MaxValue)
       case 0xd0 => r.u8().toByte.toLong // int8
       case 0xd1 => r.u16().toShort.toLong // int16
       case 0xd2 => r.u32().toInt.toLong // int32
+      case 0xd3 => r.u64() // int64 (standard for epoch-ns timestamps)
       case 0xd9 => r.str(r.u8()) // str8
       case 0xda => r.str(r.u16()) // str16
       case 0xdb => r.str(r.u32().toInt) // str32
       case 0xdc => Seq.fill(r.u16())(parse(r)) // array16
+      case 0xdd => Seq.fill(r.u32().toInt)(parse(r)) // array32
       case 0xde => parseMap(r, r.u16()) // map16
+      case 0xdf => parseMap(r, r.u32().toInt) // map32
       case other =>
         throw new IllegalArgumentException(
           f"unsupported msgpack type 0x$other%02x at ${r.pos - 1}")
@@ -99,6 +107,7 @@ object MsgPackWrp {
     }
     def int(k: String, dflt: Int): Int = m.get(k) match {
       case Some(l: Long) => l.toInt
+      case Some(d: Double) => d.toInt // encoders that emit float32/64 ints
       case _ => dflt
     }
     Wrp(
@@ -128,6 +137,7 @@ object MsgPackWrp {
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v) }
   }
 
   private def writeStr(w: Writer, s: String): Unit = {
@@ -143,7 +153,8 @@ object MsgPackWrp {
     if (v >= 0 && v <= 0x7f) w.u8(v.toInt)
     else if (v < 0 && v >= -32) w.u8((v & 0xff).toInt)
     else if (v >= 0 && v <= 0xffff) { w.u8(0xcd); w.u16(v.toInt) }
-    else { w.u8(0xd2); w.u32(v) }
+    else if (v >= Int.MinValue && v <= Int.MaxValue) { w.u8(0xd2); w.u32(v & 0xffffffffL) }
+    else { w.u8(0xd3); w.u64(v) } // int64 — epoch-ns scale values
 
   /** Encode a WRP message (null string fields are omitted, like the
     * reference's omitempty JSON tags). */

@@ -133,7 +133,16 @@ object EventStream {
     * in order): per micro-batch, attempt the primary sink; on transport
     * failure the batch lands in the alt sink instead of being lost.
     * `failPrimary` injects the failure predicate (tests; real transports
-    * throw on their own). */
+    * throw on their own).
+    *
+    * Delivery unit = the batch_id partition directory: a parquet write
+    * is not atomic at the directory level, so each batch writes under
+    * its own `batch_id=N` partition (dynamic overwrite ⇒ idempotent
+    * under checkpoint replay) and a failed primary attempt SCRUBS its
+    * partial partition before diverting — readers of primaryDir ∪
+    * altDir never see a batch twice. Only transport/IO failures divert
+    * (IOException / SparkException); logic errors (analysis, codegen)
+    * propagate and fail the query instead of silently landing in alt. */
   def failoverSink(routed: DataFrame, primaryDir: String, altDir: String,
       checkpointDir: String,
       failPrimary: DataFrame => Boolean = _ => false): StreamingQuery =
@@ -141,15 +150,23 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stamped = batch.withColumn("batch_id", lit(batchId))
+        def write(dir: String): Unit =
+          stamped.write.option("maxRecordsPerFile", 500)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "stream").mode("overwrite").parquet(dir)
         try {
           if (failPrimary(batch))
-            throw new RuntimeException("simulated transport failure")
-          batch.write.option("maxRecordsPerFile", 500)
-            .partitionBy("stream").mode("append").parquet(primaryDir)
+            throw new java.io.IOException("simulated transport failure")
+          write(primaryDir)
         } catch {
-          case _: Exception =>
-            batch.write.option("maxRecordsPerFile", 500)
-              .partitionBy("stream").mode("append").parquet(altDir)
+          case _: java.io.IOException | _: org.apache.spark.SparkException =>
+            val partial = new org.apache.hadoop.fs.Path(
+              s"$primaryDir/batch_id=$batchId")
+            val fs = partial.getFileSystem(
+              batch.sparkSession.sessionState.newHadoopConf())
+            fs.delete(partial, true)
+            write(altDir)
         }
         ()
       }

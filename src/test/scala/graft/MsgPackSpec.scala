@@ -40,6 +40,38 @@ class MsgPackSpec extends AnyFunSuite {
     assert(MsgPackWrp.decode(MsgPackWrp.encode(long3)) == long3)
   }
 
+  test("64-bit and float markers decode (interop: int64/uint64/float32/64, array32/map32)") {
+    // hand-built body: fixmap{ "msg_type": int64(4), "qos": float64(7.0),
+    // "source": fixstr } — standard WRP encoders emit 0xd3/0xcf for
+    // values beyond int32 (epoch-ns timestamps), so these markers must
+    // not be dropped as malformed
+    def fixstr(s: String): Array[Byte] =
+      Array((0xa0 | s.length).toByte) ++ s.getBytes("UTF-8")
+    def be64(v: Long): Array[Byte] =
+      (7 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    val body: Array[Byte] =
+      Array(0x83.toByte) ++ // fixmap(3)
+        fixstr("msg_type") ++ (Array(0xd3.toByte) ++ be64(4L)) ++
+        fixstr("qos") ++ (Array(0xcb.toByte) ++ be64(java.lang.Double.doubleToLongBits(7.0))) ++
+        fixstr("source") ++ fixstr("mac:1")
+    val w = MsgPackWrp.decode(body)
+    assert(w.msg_type == 4 && w.qos == 7 && w.source == "mac:1")
+
+    // float32 + uint64 + array32 partner_ids + map32 metadata
+    def be32(v: Int): Array[Byte] =
+      (3 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    val body2: Array[Byte] =
+      Array(0x84.toByte) ++
+        fixstr("msg_type") ++ (Array(0xca.toByte) ++ be32(java.lang.Float.floatToIntBits(4.0f))) ++
+        fixstr("qos") ++ (Array(0xcf.toByte) ++ be64(99L)) ++
+        fixstr("partner_ids") ++ (Array(0xdd.toByte) ++ be32(2) ++ fixstr("p1") ++ fixstr("p2")) ++
+        fixstr("metadata") ++ (Array(0xdf.toByte) ++ be32(1) ++ fixstr("k") ++ fixstr("v"))
+    val w2 = MsgPackWrp.decode(body2)
+    assert(w2.msg_type == 4 && w2.qos == 99)
+    assert(w2.partner_ids == Seq("p1", "p2") && w2.metadata == Map("k" -> "v"))
+
+  }
+
   test("decodeDataset decodes distributed and drops malformed bodies") {
     import spark.implicits._
     val good = (0 until 100).map(i => MsgPackWrp.encode(sample(i)))

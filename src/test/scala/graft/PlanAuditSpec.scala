@@ -49,6 +49,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_neardup (bucketed) has no cartesian / unconditioned BNLJ") {
+    val p = planOf("emb_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("doc_minhash_lsh carries no forced broadcast of the candidate set") {
+    // the candidate-pair cardinality is data-dependent (quadratic in
+    // bucket skew): a broadcast HINT would pin it onto every executor
+    // regardless of size — strategy choice must stay with AQE
+    val df = SparkEntry.queries("doc_minhash_lsh")(spark, d)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"), logical)
+  }
+
   test("whole-stage codegen covers the scan->filter->project paths") {
     // "*(n)" prefixes mark whole-stage-codegen stages in plan toString
     val p = planOf("q2_filter_project")
