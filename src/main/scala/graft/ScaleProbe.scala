@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc scale probe (SURVEY §5b): times selected operators against an
+  * arbitrary data directory — used with synthetic larger-than-testdata
+  * tables to confirm the scale-path plans beat their exact twins once N
+  * grows. Usage: runMain graft.ScaleProbe <dir> <query> [query ...] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.tail.foreach { q =>
+      val t0 = System.nanoTime()
+      // "neardup:<bands>:<bits>:<tau>" probes the parameterized LSH
+      // operator directly; anything else is a SparkEntry query name
+      val n = q.split(":") match {
+        case Array("neardup", bands, bits, tau) =>
+          val v = Tables.embeddings(spark, dir)
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.expr(
+                "transform(embedding, x -> cast(x as double))").as("e"))
+            .withColumn("norm", org.apache.spark.sql.functions.sqrt(
+              graft.functions.DotProduct.column(
+                org.apache.spark.sql.functions.col("e"),
+                org.apache.spark.sql.functions.col("e"))))
+          graft.operators.Similarity.lshNearDupPairs(v, 64,
+            bands.toInt, bits.toInt, tau.toDouble).count()
+        case _ => SparkEntry.queries(q)(spark, dir).count()
+      }
+      println(f"[probe] $q%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}

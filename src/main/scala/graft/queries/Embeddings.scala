@@ -67,37 +67,16 @@ object Embeddings {
     * literals), so the driver check is exact, not rows-only; the
     * brute-force all-pairs form survives as [[embNeardupExact]], the
     * small-scale recall baseline. */
-  def embNeardup(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
+  def embNeardup(s: SparkSession, d: String): DataFrame =
     // 8 bands × 4 sign bits: 16 buckets per band caps in-bucket pair
     // counts at ~N²/16 per band; 8 OR'd bands push τ-edge recall to
-    // ~0.75 (≥0.95 for cos ≥ 0.7). Band width/count are the scale knobs.
-    val pl = planes(32, 64)
-    def bit(p: Int): Column =
-      when(dot(col("e"), array(pl(p).map(lit): _*)) >= 0, 1).otherwise(0)
-    val bandStructs = (0 until 8).map { b =>
-      struct(lit(b).as("band_idx"),
-        (0 until 4).map(i => bit(4 * b + i) * (1 << i)).reduce(_ + _)
-          .as("band_key"))
-    }
-    val bands = v.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band_idx").as("band_idx"),
-        col("bs.band_key").as("band_key"))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_key"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val av = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
-      col("norm").as("na"), col("label").as("label_a"))
-    val bv = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
-      col("norm").as("nb"), col("label").as("label_b"))
-    cand.join(av, "vec_a").join(bv, "vec_b")
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.4)
+    // ~0.75 (≥0.95 for cos ≥ 0.7). Band width/count are the scale knobs
+    // (see graft.operators.Similarity for the selectivity math).
+    graft.operators.Similarity
+      .lshNearDupPairs(vecs(s, d), dim = 64, bands = 8, bitsPerBand = 4,
+        tau = 0.4, carry = Seq("label"))
       .select(col("vec_a"), col("vec_b"), col("cos"),
         (col("label_a") === col("label_b")).as("same_label"))
-  }
 
   /** #42b Brute-force all-pairs cosine near-dup: the exact-recall
     * baseline for [[embNeardup]]. All-pairs is quadratic by definition —
@@ -117,16 +96,11 @@ object Embeddings {
         (col("label_a") === col("label_b")).as("same_label"))
   }
 
-  /** Deterministic random-hyperplane components: murmur3 of (plane, dim)
-    * scaled to [-1, 1). Computed once on the driver; the planes are a
-    * literal broadcast to every task. */
+  /** Deterministic random-hyperplane components — the shared family in
+    * graft.operators.Similarity (one definition so queries, the
+    * library operator, and the generated oracle SQL can never drift). */
   private def planes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
-    (0 until nPlanes).map { p =>
-      Array.tabulate(dim) { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, j))
-        (math.floorMod(h, 2001) - 1000) / 1000.0
-      }
-    }
+    graft.operators.Similarity.planes(nPlanes, dim)
 
   /** #41 LSH-bucketed ANN (rows-only: hyperplane family is Spark-side):
     * 8 random-hyperplane sign bits → bucket id; exact cosine only within

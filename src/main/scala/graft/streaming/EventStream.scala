@@ -142,10 +142,17 @@ object EventStream {
     * partial partition before diverting — readers of primaryDir ∪
     * altDir never see a batch twice. Only transport/IO failures divert
     * (IOException / SparkException); logic errors (analysis, codegen)
-    * propagate and fail the query instead of silently landing in alt. */
+    * propagate and fail the query instead of silently landing in alt.
+    *
+    * `maxRetries` mirrors the reference's deliveryRetries
+    * (filter/filter.go:30; internal/kinesis retry loop): the primary is
+    * retried that many times before the batch fails over. Dynamic
+    * partition overwrite makes retries idempotent — a half-written
+    * attempt is replaced wholesale by the next. */
   def failoverSink(routed: DataFrame, primaryDir: String, altDir: String,
       checkpointDir: String,
-      failPrimary: DataFrame => Boolean = _ => false): StreamingQuery =
+      failPrimary: (DataFrame, Int) => Boolean = (_, _) => false,
+      maxRetries: Int = 0): StreamingQuery =
     routed.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -155,11 +162,18 @@ object EventStream {
           stamped.write.option("maxRecordsPerFile", 500)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "stream").mode("overwrite").parquet(dir)
-        try {
-          if (failPrimary(batch))
-            throw new java.io.IOException("simulated transport failure")
-          write(primaryDir)
-        } catch {
+        def attemptPrimary(attempt: Int): Unit =
+          try {
+            if (failPrimary(batch, attempt))
+              throw new java.io.IOException("simulated transport failure")
+            write(primaryDir)
+          } catch {
+            case _: java.io.IOException | _: org.apache.spark.SparkException
+                if attempt < maxRetries =>
+              attemptPrimary(attempt + 1)
+          }
+        try attemptPrimary(0)
+        catch {
           case _: java.io.IOException | _: org.apache.spark.SparkException =>
             val partial = new org.apache.hadoop.fs.Path(
               s"$primaryDir/batch_id=$batchId")

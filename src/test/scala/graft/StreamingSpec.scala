@@ -150,7 +150,7 @@ class StreamingSpec extends AnyFunSuite {
       EventStream.validate(EventStream.parse(in.toDF())), spark)
     // transport "fails" whenever the batch carries an error event
     val q = EventStream.failoverSink(routed, primary, alt, ckpt,
-      failPrimary = b => b.filter(col("event_type") === "error").count() > 0)
+      failPrimary = (b, _) => b.filter(col("event_type") === "error").count() > 0)
     try {
       in.addData(wrpJson(1, 1, "click", "2024-01-01 00:00:01"))
       q.processAllAvailable()
@@ -161,6 +161,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet == Set(1L))
     assert(spark.read.parquet(alt).select("event_id").as[Long]
       .collect().toSet == Set(2L))
+  }
+
+  test("#12b-streaming delivery retries: transient failures retry the primary, only exhaustion fails over") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val primary = java.nio.file.Files.createTempDirectory("graft_rprimary").toString
+    val alt = java.nio.file.Files.createTempDirectory("graft_ralt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt").toString
+    val routed = EventStream.route(
+      EventStream.validate(EventStream.parse(in.toDF())), spark)
+    // 'view' batches fail twice then succeed (transient); 'error'
+    // batches fail every attempt (exhaustion → alt)
+    val q = EventStream.failoverSink(routed, primary, alt, ckpt,
+      failPrimary = (b, attempt) =>
+        (b.filter(col("event_type") === "view").count() > 0 && attempt < 2) ||
+          b.filter(col("event_type") === "error").count() > 0,
+      maxRetries = 3)
+    try {
+      in.addData(wrpJson(1, 1, "view", "2024-01-01 00:00:01"))
+      q.processAllAvailable()
+      in.addData(wrpJson(2, 2, "error", "2024-01-01 00:00:02"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(primary).select("event_id").as[Long]
+      .collect().toSet == Set(1L), "transient failure must retry into primary")
+    assert(spark.read.parquet(alt).select("event_id").as[Long]
+      .collect().toSet == Set(2L), "exhausted retries must fail over")
   }
 
   test("#19e stream-stream interval join enriches events with registrations") {
