@@ -21,6 +21,16 @@ object ScaleProbe {
       // "neardup:<bands>:<bits>:<tau>" probes the parameterized LSH
       // operator directly; anything else is a SparkEntry query name
       val n = q.split(":") match {
+        case Array("minhash", k, bands, tau) =>
+          graft.operators.TextDedup.minhashLshPairs(
+            Tables.documents(spark, dir), 3, k.toInt, bands.toInt,
+            tau.toDouble).count()
+        case Array("simhash", bands, maxH) =>
+          graft.operators.TextDedup.simhashPairs(
+            Tables.documents(spark, dir), 3, bands.toInt, maxH.toInt).count()
+        case Array("jaccard", tau) =>
+          graft.operators.TextDedup.ngramJaccardPairs(
+            Tables.documents(spark, dir), 3, tau.toDouble).count()
         case Array("neardup", bands, bits, tau) =>
           val v = Tables.embeddings(spark, dir)
             .select(org.apache.spark.sql.functions.col("vec_id"),

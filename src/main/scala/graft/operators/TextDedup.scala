@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized text near-duplicate mining — the library form of the
+  * `doc_ngram_jaccard` / `doc_minhash_lsh` / `doc_simhash` queries
+  * (SURVEY §2c #37-39), for callers that need different shingle sizes,
+  * signature widths, or banding than the oracle-pinned defaults.
+  *
+  * Shared scale shape: shingling is the codegen'd ShingleNGrams
+  * expression (map-side); only fingerprint-sized rows (shingle strings,
+  * k-wide signatures, band keys) ever shuffle — never document bodies;
+  * candidate generation is always a posting-list or band-bucket equi
+  * join, never cartesian.
+  *
+  * Inputs carry (doc_id, text); intermediate persists are registered
+  * with graft.CacheScope — call CacheScope.releaseAll() after the
+  * consuming action.
+  */
+object TextDedup {
+
+  /** (doc_id, shingles): distinct word n-gram shingle array per doc. */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleNGrams.column(split(col("text"), " "), n)
+        .as("shingles"))
+
+  /** Exact Jaccard near-dup pairs at threshold tau via the
+    * shared-shingle posting-list self-join. Size-incompatible pairs are
+    * pruned AT THE JOIN: jaccard >= tau forces |A| >= tau*|B| and
+    * |B| >= tau*|A|, so the predicate drops them with zero effect on
+    * the result. Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    val sh = graft.CacheScope.persistTracked(shingleArrays(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle")))
+    val jac = col("inter").cast("double") /
+      (col("n_a") + col("n_b") - col("inter"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh").cast("double") * tau <= col("b.n_sh") &&
+          col("b.n_sh").cast("double") * tau <= col("a.n_sh"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signatures (k seeded murmur3 minima over the shingle
+    * posting list) banded into `bands` buckets; candidates pair on any
+    * shared band bucket and similarity is ESTIMATED from signature
+    * agreement (the unbiased MinHash estimator) — verification touches
+    * only the k-wide signature table, never posting lists. Output:
+    * (doc_a, doc_b, est_jaccard). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
+    val sigs = graft.CacheScope.persistTracked(
+      shingleArrays(docs, n)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
+        .select(col("doc_id"), col("sig")))
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
+        .map(j => element_at(col("sig"), j + 1))
+      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_idx").as("band_idx"),
+        col("bs.band_hash").as("band_hash"))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // no broadcast hint: candidate cardinality is data-dependent
+    // (quadratic in bucket skew) — AQE picks from runtime sizes
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (codegen'd
+    * SimHash64 over shingles), candidates pair on any equal
+    * (64/bands)-bit band — pigeonhole guarantees every pair within
+    * Hamming ≤ bands-1 shares a band — then verified with
+    * bit_count(xor) ≤ maxHamming. Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, n: Int = 3, bands: Int = 8,
+      maxHamming: Int = 7): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    import graft.functions.GraftFunctions.simhash64
+    val sigs = shingleArrays(docs, n)
+      .select(col("doc_id"), simhash64(col("shingles")).as("sig"))
+    val bandRows = graft.CacheScope.persistTracked(
+      sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .withColumn("band",
+        expr(s"shiftrightunsigned(sig, band_idx * $width)")
+          .bitwiseAND(lit(mask))))
+    bandRows.as("a")
+      .join(bandRows.as("b"), Seq("band_idx", "band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+      .distinct()
+  }
+}

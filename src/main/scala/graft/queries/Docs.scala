@@ -20,21 +20,13 @@ import org.apache.spark.sql.types.LongType
   */
 object Docs {
 
-  /** doc_id with its distinct word-3-gram shingle array. Shingling is
-    * the native codegen'd ShingleNGrams expression — the composable HOF
-    * formulation re-evaluates split() inside every lambda call after
-    * CollapseProject inlines it (O(words²) per doc; 6.6s vs 0.9s at
-    * sf0.1). Map-side, no window, no shuffle. */
-  private def docShingleArrays(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.ShingleNGrams.column(split(col("text"), " "), 3)
-          .as("shingles"))
-
-  /** (doc_id, shingle) posting list, distinct per doc. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docShingleArrays(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+  // Shingling and the three near-dup miners live in the parameterized
+  // graft.operators.TextDedup (shingle size / signature width / banding
+  // are caller knobs); these queries pin the oracle-verified defaults.
+  // Shingling is the native codegen'd ShingleNGrams expression — the
+  // composable HOF formulation re-evaluates split() inside every lambda
+  // call after CollapseProject inlines it (O(words²) per doc; 6.6s vs
+  // 0.9s at sf0.1).
 
   /** #36 Exact dedup, keep-first: the corpus unioned with a simulated
     * re-delivery of itself, deduped on md5(text) via row_number=1. The
@@ -57,38 +49,13 @@ object Docs {
 
   /** #37 N-gram Jaccard near-dup pairs: candidates from the shared-shingle
     * self-join (each bucket = one shingle's posting list), exact Jaccard
-    * on distinct-shingle counts, τ = 0.5. */
-  def docNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // the posting list feeds both join sides AND the size table: persist
-    // it so the shingling subtree runs once, not three times (at 100 TB
-    // this is a checkpointed table, not a recomputed lineage)
-    // The per-doc shingle count rides along with every posting-list row
-    // (it falls out of the shingle array for free), which (a) removes
-    // the post-hoc size joins and (b) lets the join predicate prune
-    // size-incompatible pairs BEFORE the pair aggregate: Jaccard >= 0.5
-    // forces |A| <= 2|B| and |B| <= 2|A|, so dropping those pairs at the
-    // join has zero effect on the result.
-    // Cache lifetime: registered with graft.CacheScope — the driving
-    // loop (Verify/Bench/tests) releases it after the consuming action,
-    // so the posting list never outlives its query.
-    val sh = graft.CacheScope.persistTracked(docShingleArrays(s, d)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle")))
-    val jac = col("inter").cast("double") /
-      (col("n_a") + col("n_b") - col("inter"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") <= col("b.n_sh") * 2 &&
-          col("b.n_sh") <= col("a.n_sh") * 2)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
-  }
+    * on distinct-shingle counts, τ = 0.5. The operator prunes
+    * size-incompatible pairs at the join (jaccard ≥ τ forces
+    * |A| ≥ τ|B| ∧ |B| ≥ τ|A|) with zero effect on the result, and
+    * registers its posting-list persist with CacheScope. */
+  def docNgramJaccard(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.ngramJaccardPairs(
+      Tables.documents(s, d), n = 3, tau = 0.5)
 
   /** #38 MinHash + LSH near-dup (rows-only: DuckDB cannot reproduce
     * Spark's Murmur3 hash family). k=16 permutations via seeded murmur3
@@ -99,43 +66,9 @@ object Docs {
     * signature table, never the posting lists. At scale the only
     * corpus-sized shuffles are the signature aggregate and the
     * (band_idx, band_hash, doc_id) band table. */
-  def docMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val k = 16
-    val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
-    val sigs = graft.CacheScope.persistTracked(shingles(s, d)
-      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
-      .select(col("doc_id"), col("sig")))
-    // one pass over the signatures: explode the 4 band structs
-    val bandStructs = (0 until 4).map { b =>
-      val cols = (4 * b until 4 * b + 4).map(j => element_at(col("sig"), j + 1))
-      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_idx").as("band_idx"),
-        col("bs.band_hash").as("band_hash"))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_hash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // estimate Jaccard from signature agreement on the candidates only.
-    // No broadcast hint on the candidate side: the pair count is
-    // data-dependent (quadratic in bucket skew), so forcing it onto
-    // every executor risks OOM at scale — the signature side is the
-    // bounded one, and AQE picks the join strategy from runtime sizes.
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "est_jaccard")
-  }
+  def docMinhashLsh(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.minhashLshPairs(
+      Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5)
 
   /** #37b Near-dup REMOVAL — the end product of detection: the standard
     * greedy pass drops the later document of every near-dup pair (pair
@@ -155,32 +88,14 @@ object Docs {
     * pair within Hamming ≤ 7 shares a band), then verified with
     * bit_count(xor) ≤ 7. At 100 TB only (band_idx, band, doc_id, sig)
     * shuffles — never text. */
-  def docSimhash(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.simhash64
+  def docSimhash(s: SparkSession, d: String): DataFrame =
     // signature over 3-gram shingles (word unigrams from a small
-    // vocabulary are weakly discriminating; shingles are doc-specific)
-    val sigs = docShingleArrays(s, d)
-      .select(col("doc_id"), simhash64(col("shingles")).as("sig"))
-    val bands = graft.CacheScope.persistTracked(
-      sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(7))).as("band_idx"))
-      .withColumn("band",
-        expr("shiftrightunsigned(sig, band_idx * 8)").bitwiseAND(lit(255L))))
-      // both sides of the candidate self-join: persisted (scope-tracked)
-      // so the signature computation (shingle + simhash) runs once
-    // Hamming filter BEFORE the pair-dedup: bit_count is a cheap codegen
-    // op per candidate row, while distinct on millions of correlated-band
-    // candidates is a full shuffle. Order matters 10x here.
-    bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
-      .filter(col("hamming") <= 7)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming"))
-      .distinct()
-  }
+    // vocabulary are weakly discriminating; shingles are doc-specific);
+    // the operator applies the Hamming filter BEFORE pair-dedup —
+    // bit_count is cheap codegen per candidate, distinct on correlated
+    // band candidates is a full shuffle (order matters 10x)
+    graft.operators.TextDedup.simhashPairs(
+      Tables.documents(s, d), n = 3, bands = 8, maxHamming = 7)
 
   /** #43 Language ID: stopword-profile heuristic — per-language stopword
     * hit counts, argmax with fixed precedence. Pure per-row regex

@@ -494,6 +494,27 @@ object Events {
         sum(when(col("nostart_err"), 1L).otherwise(0L)).as("n_no_session_start"))
   }
 
+  /** Device-id (mac) extraction errors (tags.go: EventNoMacFound /
+    * EventInvalidMac): sources are synthesized with deterministic
+    * corruption (non-mac scheme on %61, malformed mac on %67) and
+    * classified by ACTUAL regex validation of the string — the oracle
+    * replays the corruption arithmetic independently. */
+  def evtMacErrors(s: SparkSession, d: String): DataFrame = {
+    val source =
+      when(pmod(col("event_id"), lit(61)) === 0,
+        concat(lit("dns:host-"), col("event_id").cast("string")))
+      .when(pmod(col("event_id"), lit(67)) === 0,
+        concat(lit("mac:XYZ"), col("event_id").cast("string")))
+      .otherwise(concat(lit("mac:"),
+        lpad(lower(conv(col("user_id").cast("string"), 10, 16)), 12, "0")))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        when(!source.rlike("^mac:"), "no_mac_found")
+          .when(!source.rlike("^mac:[0-9a-f]{12}$"), "invalid_mac")
+          .otherwise("ok").as("mac_class"))
+      .groupBy("event_type", "mac_class").agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate quantile sketch per event type (Greenwald-Khanna):
     * the mergeable path for latency-style percentiles at 100 TB.
     * Rows-only (the sketch family is Spark-internal); the exact
@@ -567,6 +588,7 @@ object Events {
     "evt_approx_quantiles" -> (evtApproxQuantiles _),
     "evt_quantiles" -> (evtQuantiles _),
     "evt_parse_errors" -> (evtParseErrors _),
+    "evt_mac_errors" -> (evtMacErrors _),
     "evt_props" -> (evtProps _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
@@ -851,6 +873,13 @@ object Events {
         |  CAST(SUM(CASE WHEN event_id % 59 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_no_session_start
         |FROM events GROUP BY 1""".stripMargin,
+    "evt_mac_errors" ->
+      """SELECT event_type,
+        |  CASE WHEN event_id % 61 = 0 THEN 'no_mac_found'
+        |       WHEN event_id % 67 = 0 THEN 'invalid_mac'
+        |       ELSE 'ok' END AS mac_class,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "evt_props" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
         |  COUNT(*) AS n,
