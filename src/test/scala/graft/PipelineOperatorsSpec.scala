@@ -66,6 +66,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Routing.fanoutWithDevice: device regex admits via source OR stripped dest (filter.go:86)") {
+    import graft.operators.Routing
+    val events = Seq(
+      // (event_id, event_type, source, dest)
+      (1L, "click", "mac:aaa", "event:click/1"),
+      (2L, "click", "dns:box", "event:click/2"),
+      (3L, "error", "mac:bbb", "event:error/3")
+    ).toDF("event_id", "event_type", "source", "dest")
+    val routes = Seq(
+      ("r_all", ".*", ""),            // empty ⇒ match-all
+      ("r_star", ".*", ".*"),         // .* ⇒ match-all
+      ("r_src", ".*", "^mac:"),       // matches via source only
+      ("r_dest", ".*", "^click/"),    // matches via STRIPPED dest only
+      ("r_none", ".*", "^zzz$")       // matches neither side
+    ).toDF("stream", "event_regex", "device_regex")
+    val got = Routing.fanoutWithDevice(events, routes,
+        col("event_type"), col("source"), col("dest"))
+      .select("stream", "event_id").as[(String, Long)].collect().toSet
+    val all = Set(1L, 2L, 3L)
+    val expected =
+      all.map(("r_all", _)) ++ all.map(("r_star", _)) ++
+        Set(("r_src", 1L), ("r_src", 3L)) ++        // mac: sources
+        Set(("r_dest", 1L), ("r_dest", 2L))         // "click/…" stripped dests
+    assert(got == expected)
+  }
+
   test("Dedup.keepFirst keeps exactly the minimum-order row per key") {
     val df = evts.toDF("event_id", "user_id", "sec0")
       .withColumn("key", col("event_id") % 37)
