@@ -231,5 +231,31 @@ object Embeddings {
         |  list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cos,
         |  a.label = b.label AS same_label
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin)
+        |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin,
+    "emb_ann_lsh" -> {
+      // same literal-replay trick as emb_neardup: the 8-bit sign bucket
+      // is reproducible in DuckDB, so the ANN probe is fully
+      // oracle-checkable (identical buckets ⇒ identical candidate sets;
+      // bit-identical cos ⇒ identical ranks)
+      val pl = planes(8, 64)
+      def bitSql(p: Int): String =
+        s"${1L << p}*(CASE WHEN list_dot_product(e, ${pl(p).mkString("[", ", ", "]")}) >= 0 THEN 1 ELSE 0 END)"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+         |s AS (SELECT vec_id, e, norm,
+         |  CAST(${(0 until 8).map(bitSql).mkString(" + ")} AS BIGINT) AS bucket
+         |  FROM n)
+         |SELECT query_id, neighbor_id, rnk, cos, bucket FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(c.e, q.e) / (c.norm * q.norm) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(c.e, q.e) / (c.norm * q.norm) DESC,
+         |               c.vec_id ASC) AS rnk,
+         |    q.bucket AS bucket
+         |  FROM s q JOIN s c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5) t
+         |WHERE rnk <= 5""".stripMargin
+    })
 }
