@@ -129,19 +129,30 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "cos", "bucket")
   }
 
-  /** #41b IVF-bucketed ANN (rows-only): coarse quantization — centroids
-    * are computed in-plan (per-label per-dimension means, no driver
+  /** #41b IVF-bucketed ANN: coarse quantization — centroids are
+    * computed in-plan (per-label per-dimension means, no driver
     * collect), every vector is assigned to its nearest centroid via a
     * broadcast of the tiny centroid table, and each query probes only
     * its own cell. The scan cost per query drops from N to N/cells;
-    * recall is traded at cell boundaries (the classic IVF deal). */
+    * recall is traded at cell boundaries (the classic IVF deal).
+    *
+    * Cross-engine exactness: a distributed `avg` merges partial sums in
+    * partition order, which need not match DuckDB's — so each centroid
+    * component is folded SEQUENTIALLY over the vec_id-ordered value
+    * list in both engines (collect_list+sort+aggregate here,
+    * list_sum over list(x ORDER BY vec_id) there). Bit-identical
+    * centroids ⇒ identical assignments ⇒ identical probe results, which
+    * upgrades this query from rows-only to oracle-exact. The fold is
+    * interpreted, but over exactly labels×dims rows (KBs). */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    // centroids: mean per (label, dim), re-assembled into an array —
-    // entirely declarative, 10x64 rows, broadcast downstream
+    val seqMean = aggregate(
+      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / count(lit(1))
     val cent = v
-      .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(seqMean.as("cx"))
       .groupBy(col("label").as("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("ce"))
@@ -257,5 +268,44 @@ object Embeddings {
          |  FROM s q JOIN s c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 5) t
          |WHERE rnk <= 5""".stripMargin
-    })
+    },
+    "emb_ann_ivf" ->
+      // centroid components are sequential folds over vec_id-ordered
+      // value lists in BOTH engines (see embAnnIvf scaladoc), so the
+      // assignment and probe replay exactly
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+        |ex AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos, e[CAST(i AS INTEGER)] AS x
+        |  FROM n, range(1, 65) t(i)),
+        |cx AS (
+        |  SELECT label, pos,
+        |    list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS cx
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label AS cluster, list(cx ORDER BY pos) AS ce
+        |  FROM cx GROUP BY 1),
+        |cn AS (SELECT cluster, ce, sqrt(list_dot_product(ce, ce)) AS cnorm FROM cent),
+        |assigned AS (
+        |  SELECT vec_id, e, norm, cluster FROM (
+        |    SELECT n.vec_id, n.e, n.norm, c.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.e, c.ce) / (n.norm * c.cnorm) DESC,
+        |                 c.cluster ASC) AS rn
+        |    FROM n CROSS JOIN cn c) t
+        |  WHERE rn = 1)
+        |SELECT query_id, neighbor_id, rnk, cos, cluster FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(c.e, q.e) / (c.norm * q.norm) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(c.e, q.e) / (c.norm * q.norm) DESC,
+        |               c.vec_id ASC) AS rnk,
+        |    q.cluster AS cluster
+        |  FROM assigned q JOIN assigned c
+        |    ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin)
 }
