@@ -57,6 +57,14 @@ object EventStream {
       graft.queries.Events.routes(spark).select(col("stream"), col("event_regex")),
       col("event_type"))
 
+  /** #19c' route fanout with the device-regex layer (filter.go:86:
+    * regex vs source OR "event:"-stripped dest; empty/".*" ⇒
+    * match-all) — the same broadcast shape works unchanged on a
+    * streaming DataFrame, so batch and stream share one operator. */
+  def routeWithDevice(validated: DataFrame, routes: DataFrame): DataFrame =
+    graft.operators.Routing.fanoutWithDevice(validated, routes,
+      col("event_type"), col("source"), col("dest"))
+
   /** #19d ship (kinesis_sender.go:92-100): foreachBatch sink writing one
     * parquet dir per stream, each file capped at 500 records — the
     * PutRecords batch limit. Partition key column = stream.

@@ -140,6 +140,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Seq(ClosedSession(7, 1000, 1010, 2)))
   }
 
+  test("#19c' streaming route with device regex: source OR stripped dest admits") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val routes = Seq(
+      ("r_src", ".*", "^mac:1$"),     // admits only user 1's source
+      ("r_dest", ".*", "^click/.*")   // admits only click dests (stripped)
+    ).toDF("stream", "event_regex", "device_regex")
+    val routed = EventStream.routeWithDevice(
+      EventStream.validate(EventStream.parse(in.toDF())), routes)
+    val q = routed.writeStream.format("memory").queryName("dev_routed")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        wrpJson(1, 1, "click", "2024-01-01 00:00:01"), // both routes
+        wrpJson(2, 2, "click", "2024-01-01 00:00:02"), // dest-side only
+        wrpJson(3, 2, "error", "2024-01-01 00:00:03")) // neither
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dev_routed").select("stream", "event_id")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("r_src", 1L), ("r_dest", 1L), ("r_dest", 2L)))
+  }
+
   test("#12-streaming failover sink redirects failed micro-batches to the alt dir") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
