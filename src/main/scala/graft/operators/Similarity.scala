@@ -38,6 +38,49 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.column(a, b)
 
+  /** IVF ANN — the production-scale path: coarse centroids from the
+    * MERGEABLE avg aggregate (partial means combine map-side; nothing
+    * is ever collected into a per-group list, unlike the
+    * `emb_ann_ivf` query twin whose sequential folds exist solely for
+    * cross-engine bit-exactness at verification scale), broadcast
+    * assignment, each query probing only its own cell.
+    *
+    * `v` carries (vec_id, e: array<double>, norm, cluster_by) where
+    * cluster_by is any coarse grouping column for centroid seeding;
+    * queries = rows with isQuery true. Returns per-query top-k
+    * (query_id, neighbor_id, rnk, cos, cluster). */
+  def ivfAnn(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = v
+      .select(col("cluster_by"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("cluster_by", "pos").agg(avg("x").as("cx"))
+      .groupBy(col("cluster_by").as("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+    val assigned = v.withColumn("is_q", isQuery)
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
+        first(col("e")).as("e"), first(col("norm")).as("norm"),
+        first(col("is_q")).as("is_q"))
+    val q = broadcast(assigned.filter(col("is_q"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("cluster")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("e"), col("norm"),
+        col("cluster"))
+      .join(q, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
+  }
+
   /** Near-dup pairs with cosine ≥ tau from a vector table carrying
     * (vec_id, e: array<double>, norm) plus any `carry` columns, which
     * come back suffixed `_a`/`_b` on each side of every pair. */

@@ -142,8 +142,13 @@ object Embeddings {
     * list in both engines (collect_list+sort+aggregate here,
     * list_sum over list(x ORDER BY vec_id) there). Bit-identical
     * centroids ⇒ identical assignments ⇒ identical probe results, which
-    * upgrades this query from rows-only to oracle-exact. The fold is
-    * interpreted, but over exactly labels×dims rows (KBs). */
+    * upgrades this query from rows-only to oracle-exact.
+    *
+    * SCALE CAVEAT: the per-(label,dim) collect_list gathers one value
+    * per vector — fine at verification scale, unbounded at 100 TB. The
+    * production path is graft.operators.Similarity.ivfAnn, which uses
+    * the MERGEABLE avg centroid instead (a spec pins the two paths to
+    * identical results on the verification corpus). */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     val seqMean = aggregate(
