@@ -13,7 +13,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q2_filter_project", "q3_join_agg", "q9_multi_join",
-        "evt_route", "evt_sessionize", "doc_minhash_lsh", "emb_cosine_topk")
+        "evt_route", "evt_route_meta", "evt_sessionize", "doc_minhash_lsh",
+        "emb_cosine_topk", "emb_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

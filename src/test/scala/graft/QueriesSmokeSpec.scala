@@ -22,8 +22,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val n = fn(spark, "/root/testdata/sf0.001").count()
-      assert(n >= 0)
+      try {
+        val n = fn(spark, "/root/testdata/sf0.001").count()
+        assert(n >= 0)
+      } finally CacheScope.releaseAll()
     }
   }
 }

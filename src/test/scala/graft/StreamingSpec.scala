@@ -255,6 +255,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.JsonWrp.corruptRecords(raw).count() == 2)
   }
 
+  test("JsonWrp.classify tags every row with the 400-reason ladder in reference order") {
+    val rows = Seq(
+      wrpJson(1, 1, "click", "2024-01-01 00:00:01"),             // valid
+      "",                                                        // empty payload
+      "{not json",                                               // decode error
+      wrpJson(2, 2, "view", "2024-01-01 00:00:02", msgType = 3), // bad msg_type
+      """{"other":"shape"}""")                                   // no msg_type ⇒ bad msg_type
+      .toDF("value")
+    val got = graft.sources.JsonWrp.classify(rows)
+      .select("reject_reason").as[String].collect().sorted.toSeq
+    assert(got == Seq("empty_payload", "invalid_format", "invalid_msg_type",
+      "invalid_msg_type", "valid"))
+  }
+
   test("#15c streaming session_window closes sessions past the watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
