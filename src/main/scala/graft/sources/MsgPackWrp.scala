@@ -193,12 +193,32 @@ object MsgPackWrp {
 
   /** Decode a binary-column DataFrame of msgpack WRP bodies into a typed
     * Dataset[Wrp]; malformed rows are dropped (the reference answers 400
-    * and drops them — request_handler.go decode error path). */
+    * and drops them — request_handler.go decode error path). For
+    * counted drops use [[classify]] — silent flatMap-dropping loses the
+    * dead-letter signal a production ingest needs. */
   def decodeDataset(raw: DataFrame, bytesCol: String = "body"): Dataset[Wrp] = {
     import raw.sparkSession.implicits._
     raw.select(bytesCol).as[Array[Byte]].mapPartitions { it =>
       it.flatMap { bytes =>
         try Some(decode(bytes)) catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Every body tagged with the reference's 400-reason ladder
+    * (request_handler.go:95-131; mirrors JsonWrp.classify): decoded
+    * message (null on failure) + reject_reason, so rejects are COUNTED
+    * per reason instead of silently dropped. One decode per row,
+    * per-partition, no driver involvement. */
+  def classify(raw: DataFrame, bytesCol: String = "body"): Dataset[(Wrp, String)] = {
+    import raw.sparkSession.implicits._
+    raw.select(bytesCol).as[Array[Byte]].mapPartitions { it =>
+      it.map { bytes =>
+        if (bytes == null || bytes.isEmpty) (null: Wrp, "empty_payload")
+        else try {
+          val w = decode(bytes)
+          if (w.msg_type != 4) (w, "invalid_msg_type") else (w, "valid")
+        } catch { case _: Exception => (null: Wrp, "invalid_format") }
       }
     }
   }

@@ -81,4 +81,17 @@ class MsgPackSpec extends AnyFunSuite {
     assert(decoded.length == 100)
     assert(decoded.map(_.dest).toSet == (0 until 100).map(i => s"event:device-status/$i").toSet)
   }
+
+  test("classify counts rejects by 400 reason instead of silently dropping") {
+    import spark.implicits._
+    val bodies =
+      (0 until 10).map(i => MsgPackWrp.encode(sample(i))) ++          // valid
+      Seq(MsgPackWrp.encode(sample(99).copy(msg_type = 3))) ++        // bad msg_type
+      Seq(Array[Byte](0xc7.toByte, 1, 2)) ++                          // undecodable (ext8)
+      Seq(Array[Byte]())                                              // empty
+    val counts = MsgPackWrp.classify(bodies.toDF("body").repartition(4))
+      .map(_._2).groupByKey(identity).count().collect().toMap
+    assert(counts == Map("valid" -> 10L, "invalid_msg_type" -> 1L,
+      "invalid_format" -> 1L, "empty_payload" -> 1L))
+  }
 }
