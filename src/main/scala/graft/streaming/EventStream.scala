@@ -98,6 +98,20 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** #14-streaming Throttle detection (tags.go: EventThrottled /
+    * EventNotThrottled) as a stream: per-user tumbling-hour counts
+    * under a watermark, hours at/over the threshold flagged — the same
+    * windowed-aggregate shape as the batch `evt_throttle`, so batch and
+    * stream agree row for row once windows close. */
+  def throttle(parsed: DataFrame, perHour: Long): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_hour"))
+      .filter(col("n_in_hour") >= perHour)
+      .select(col("window.start").as("hour_start"), col("user_id"),
+        col("n_in_hour"))
+
   /** #21 Streaming sessionization with custom state
     * (online/offline session semantics, internal/metrics/tags.go):
     * gap-closed sessions via flatMapGroupsWithState, partitioned by

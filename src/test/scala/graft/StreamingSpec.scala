@@ -296,6 +296,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((6L, 1704067500L, 1L)))
   }
 
+  test("#14-streaming batch/stream parity: throttle flags over the events table agree") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val streamed = EventStream.throttle(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+      perHour = 2)
+      .select(col("hour_start").cast("long"), col("user_id"), col("n_in_hour"))
+    val q = streamed.writeStream.format("memory").queryName("throttle_parity")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val viaStream = spark.table("throttle_parity")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val viaBatch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_hour"))
+      .filter(col("n_in_hour") >= 2)
+      .select(col("window.start").cast("long"), col("user_id"), col("n_in_hour"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty, "corpus should contain throttled hours")
+  }
+
   test("batch/stream parity: windowed counts over the events table agree") {
     // the same aggregation, once through readStream over the real
     // parquet and once as a batch plan — results must be identical
