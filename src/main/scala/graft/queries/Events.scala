@@ -445,9 +445,10 @@ object Events {
   }
 
   /** Parse-error metric vocabulary (internal/metrics/tags.go:36-55):
-    * CpeTimestampParseError / XmidtTimestampParseError /
-    * PayloadParseError / XmidtPayloadTimestampParseError /
-    * EventInvalidSessionId / NoSessionStartError, as per-type counters.
+    * CpeTimestampParseError / CpeMissingTimestampError /
+    * DestTypeMissing / XmidtTimestampParseError / PayloadParseError /
+    * XmidtPayloadTimestampParseError / EventInvalidSessionId /
+    * NoSessionStartError, as per-type counters.
     * Each input (two timestamp strings, a payload JSON carrying its own
     * timestamp, a session JSON with id + optional start) is synthesized
     * with deterministic corruption; the counters are then derived from
@@ -459,8 +460,11 @@ object Events {
     val fmt = "yyyy-MM-dd HH:mm:ss"
     def tsStr(offset: Int): Column =
       date_format(timestamp_seconds(sec - offset), fmt)
-    val cpeStr = when(pmod(col("event_id"), lit(37)) === 0, "not-a-cpe-ts")
+    val cpeStr = when(pmod(col("event_id"), lit(31)) === 0, lit(null))
+      .when(pmod(col("event_id"), lit(37)) === 0, lit("not-a-cpe-ts"))
       .otherwise(tsStr(5))
+    val destType = when(pmod(col("event_id"), lit(71)) === 0, lit(null))
+      .otherwise(lit("online"))
     val xmidtStr = when(pmod(col("event_id"), lit(41)) === 0, "not-a-xmidt-ts")
       .otherwise(tsStr(2))
     val payloadJson = when(pmod(col("event_id"), lit(43)) === 0, lit("{broken"))
@@ -477,7 +481,10 @@ object Events {
     val pts = get_json_object(payloadJson, "$.ts")
     Tables.events(s, d)
       .select(col("event_type"),
-        try_to_timestamp(cpeStr, lit(fmt)).isNull.as("cpe_err"),
+        cpeStr.isNull.as("cpe_missing"),
+        (cpeStr.isNotNull && try_to_timestamp(cpeStr, lit(fmt)).isNull)
+          .as("cpe_err"),
+        destType.isNull.as("dest_type_missing"),
         try_to_timestamp(xmidtStr, lit(fmt)).isNull.as("xmidt_err"),
         pts.isNull.as("payload_err"),
         (pts.isNotNull && try_to_timestamp(pts, lit(fmt)).isNull).as("pts_err"),
@@ -487,6 +494,9 @@ object Events {
       .groupBy("event_type")
       .agg(
         sum(when(col("cpe_err"), 1L).otherwise(0L)).as("n_cpe_ts_err"),
+        sum(when(col("cpe_missing"), 1L).otherwise(0L)).as("n_cpe_ts_missing"),
+        sum(when(col("dest_type_missing"), 1L).otherwise(0L))
+          .as("n_dest_type_missing"),
         sum(when(col("xmidt_err"), 1L).otherwise(0L)).as("n_xmidt_ts_err"),
         sum(when(col("payload_err"), 1L).otherwise(0L)).as("n_payload_parse_err"),
         sum(when(col("pts_err"), 1L).otherwise(0L)).as("n_payload_ts_err"),
@@ -860,8 +870,12 @@ object Events {
         |FROM events GROUP BY 1""".stripMargin,
     "evt_parse_errors" ->
       """SELECT event_type,
-        |  CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_cpe_ts_err,
+        |  CAST(SUM(CASE WHEN event_id % 31 <> 0 AND event_id % 37 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cpe_ts_err,
+        |  CAST(SUM(CASE WHEN event_id % 31 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cpe_ts_missing,
+        |  CAST(SUM(CASE WHEN event_id % 71 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dest_type_missing,
         |  CAST(SUM(CASE WHEN event_id % 41 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_xmidt_ts_err,
         |  CAST(SUM(CASE WHEN event_id % 43 = 0 THEN 1 ELSE 0 END) AS BIGINT)
