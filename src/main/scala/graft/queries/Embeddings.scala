@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  private def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
+  // native array cast (codegen'd element-wise widening), not a
+  // transform() HOF — lambda bodies are interpreted per element and
+  // CollapseProject re-inlines outer expressions into them (the same
+  // trap ShingleNGrams exists to avoid)
+  private def toDouble(e: Column): Column = e.cast("array<double>")
 
   /** Sequential double dot product (array order — matches DuckDB's
     * list_dot_product evaluation order). Codegen'd native expression: the
