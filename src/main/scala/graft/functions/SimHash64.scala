@@ -82,11 +82,16 @@ object GraftFunctions {
       SimHash64(org.apache.spark.sql.graft.Shims.expression(tokens)))
 
   /** Register graft functions on a session (SQL-callable). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1)))
+  }
 }
 
 /** SparkSessionExtensions hook — the library-consumer path:
@@ -98,6 +103,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -84,11 +84,12 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // no broadcast hint: candidate cardinality is data-dependent
-    // (quadratic in bucket skew) — AQE picks from runtime sizes
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
+    // (quadratic in bucket skew) — AQE picks from runtime sizes.
+    // Signature agreement is the codegen'd ArrayEqCount kernel; the
+    // aggregate(zip_with(...)) formulation is interpreted and allocates
+    // per candidate pair.
+    val est = graft.functions.ArrayEqCount
+      .column(col("sig_a"), col("sig_b")).cast("double") / k
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
