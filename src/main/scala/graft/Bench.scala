@@ -16,10 +16,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // deterministic execution order → comparable per-round JSON.
     // The host is noisy (±50% run-to-run documented in SURVEY §5): each
-    // query runs SPARK_GRAFT_RUNS times (default 2) and reports the
-    // per-query MEDIAN, so a single scheduler hiccup doesn't read as a
-    // regression.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // query runs SPARK_GRAFT_RUNS times (default 2 — which averages a
+    // hiccup rather than rejecting it; set 3+ for a true outlier-
+    // rejecting median) and reports the per-query median. Clamped ≥ 1.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def median(xs: Seq[Double]): Double = {
       val s0 = xs.sorted

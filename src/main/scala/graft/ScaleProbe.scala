@@ -25,8 +25,8 @@ object ScaleProbe {
           val v = Tables.embeddings(spark, dir)
             .select(org.apache.spark.sql.functions.col("vec_id"),
               org.apache.spark.sql.functions.col("label").as("cluster_by"),
-              org.apache.spark.sql.functions.expr(
-                "transform(embedding, x -> cast(x as double))").as("e"))
+              org.apache.spark.sql.functions.col("embedding")
+                .cast("array<double>").as("e"))
             .withColumn("norm", org.apache.spark.sql.functions.sqrt(
               graft.functions.DotProduct.column(
                 org.apache.spark.sql.functions.col("e"),
@@ -46,8 +46,8 @@ object ScaleProbe {
         case Array("neardup", bands, bits, tau) =>
           val v = Tables.embeddings(spark, dir)
             .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.expr(
-                "transform(embedding, x -> cast(x as double))").as("e"))
+              org.apache.spark.sql.functions.col("embedding")
+                .cast("array<double>").as("e"))
             .withColumn("norm", org.apache.spark.sql.functions.sqrt(
               graft.functions.DotProduct.column(
                 org.apache.spark.sql.functions.col("e"),

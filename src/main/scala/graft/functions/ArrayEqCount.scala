@@ -15,8 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * is interpreted (HOFs have no doGenCode) and allocates an
   * intermediate array per evaluated pair; candidate verification
   * evaluates one pair per LSH candidate, which is the near-dup hot
-  * path at scale. NULL on length mismatch or null elements, mirroring
-  * the HOF's semantics.
+  * path at scale.
+  *
+  * NULL semantics are DELIBERATELY stricter than that HOF: length
+  * mismatch or any null element ⇒ NULL (the DotProduct convention —
+  * a ragged or null-bearing signature pair is a bug upstream, not a
+  * partial match), whereas zip_with null-pads the shorter side and the
+  * eq-lambda counts null positions as 0. Identical results on the
+  * equal-length null-free arrays signatures actually are.
   */
 case class ArrayEqCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -61,13 +61,20 @@ object RegexMatchKernel {
     val key = p.toString
     var pat = cache.get(key)
     if (pat == null) {
-      // At the cap, compile-and-use WITHOUT caching: clearing the shared
-      // map here would let an adversarial high-cardinality pattern column
-      // make every executor thread clear + recompile in a loop — strictly
-      // worse than no cache. The bounded set of cached patterns keeps
-      // serving the hot (config-table) entries.
       pat = Pattern.compile(key)
-      if (cache.size() < MaxCacheSize) cache.putIfAbsent(key, pat)
+      // At the cap, evict ONE arbitrary entry before admitting the new
+      // pattern. Clearing the whole map would let an adversarial
+      // high-cardinality pattern column make every thread clear +
+      // recompile in a loop; refusing admission forever would pin a
+      // stale working set after a route-table swap and recompile the
+      // NEW hot patterns on every row. One-out-one-in keeps the map
+      // bounded, adapts to workload shifts, and re-admits genuinely hot
+      // patterns on their next miss.
+      if (cache.size() >= MaxCacheSize) {
+        val it = cache.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
+      cache.putIfAbsent(key, pat)
     }
     pat.matcher(s.toString).find()
   }

@@ -46,11 +46,17 @@ object Similarity {
     * assignment, each query probing only its own cell.
     *
     * `v` carries (vec_id, e: array<double>, norm, cluster_by) where
-    * cluster_by is any coarse grouping column for centroid seeding;
-    * queries = rows with isQuery true. Returns per-query top-k
+    * cluster_by is a NUMERIC coarse grouping column for centroid
+    * seeding (the deterministic sim-tie break negates it, which has no
+    * generic ordering inverse — fail fast on anything else); queries =
+    * rows with isQuery true. Returns per-query top-k
     * (query_id, neighbor_id, rnk, cos, cluster). */
   def ivfAnn(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(v.schema("cluster_by").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfAnn: cluster_by must be numeric (tie-break negates it), got " +
+        v.schema("cluster_by").dataType.catalogString)
     val cent = v
       .select(col("cluster_by"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("cluster_by", "pos").agg(avg("x").as("cx"))

@@ -38,12 +38,18 @@ object TextDedup {
         explode(col("shingles")).as("shingle")))
     val jac = col("inter").cast("double") /
       (col("n_a") + col("n_b") - col("inter"))
+    // prune with a tiny slack: tau * n_sh in doubles can round ABOVE the
+    // exact rational bound (0.55 * 100 = 55.000000000000007) and would
+    // silently drop a pair whose jaccard lands exactly on tau; the slack
+    // only ever ADMITS extra candidates, which the exact filter below
+    // then discards — zero effect on the result holds unconditionally
+    val slack = 1e-9
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh").cast("double") * tau <= col("b.n_sh") &&
-          col("b.n_sh").cast("double") * tau <= col("a.n_sh"))
+          col("a.n_sh").cast("double") * tau <= col("b.n_sh") + slack &&
+          col("b.n_sh").cast("double") * tau <= col("a.n_sh") + slack)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))

@@ -22,6 +22,12 @@ object MsgPackWrp {
 
   // ---- decoder -----------------------------------------------------
 
+  /** Invalid UTF-8 inside a str field — the reference distinguishes
+    * this 400 (wrp.UTF8, request_handler.go:121-129) from a plain
+    * decode failure, so it gets its own exception type. */
+  final class InvalidUtf8Exception(msg: String)
+      extends IllegalArgumentException(msg)
+
   private final class Reader(b: Array[Byte]) {
     var pos = 0
     def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
@@ -31,7 +37,21 @@ object MsgPackWrp {
       val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r
     }
     def u64(): Long = (u32() << 32) | u32()
-    def str(n: Int): String = new String(bytes(n), UTF_8)
+    // STRICT decode: new String(_, UTF_8) silently replaces invalid
+    // sequences with U+FFFD, which would let bytes the reference 400s
+    // (wrp.UTF8) sail through as "valid" — decode with REPORT instead
+    def str(n: Int): String = {
+      val raw = bytes(n)
+      val dec = UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new InvalidUtf8Exception(
+            s"invalid UTF-8 in msgpack str at ${pos - n}: ${e.getMessage}")
+      }
+    }
   }
 
   /** Parse one msgpack value. Maps come back as Map[String, Any] (WRP
@@ -218,7 +238,10 @@ object MsgPackWrp {
         else try {
           val w = decode(bytes)
           if (w.msg_type != 4) (w, "invalid_msg_type") else (w, "valid")
-        } catch { case _: Exception => (null: Wrp, "invalid_format") }
+        } catch {
+          case _: InvalidUtf8Exception => (null: Wrp, "invalid_utf8")
+          case _: Exception => (null: Wrp, "invalid_format")
+        }
       }
     }
   }

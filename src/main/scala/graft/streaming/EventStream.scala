@@ -184,6 +184,11 @@ object EventStream {
           stamped.write.option("maxRecordsPerFile", 500)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "stream").mode("overwrite").parquet(dir)
+        def scrub(dir: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+          p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+            .delete(p, true)
+        }
         def attemptPrimary(attempt: Int): Unit =
           try {
             if (failPrimary(batch, attempt))
@@ -194,16 +199,21 @@ object EventStream {
                 if attempt < maxRetries =>
               attemptPrimary(attempt + 1)
           }
-        try attemptPrimary(0)
-        catch {
-          case _: java.io.IOException | _: org.apache.spark.SparkException =>
-            val partial = new org.apache.hadoop.fs.Path(
-              s"$primaryDir/batch_id=$batchId")
-            val fs = partial.getFileSystem(
-              batch.sparkSession.sessionState.newHadoopConf())
-            fs.delete(partial, true)
-            write(altDir)
-        }
+        val primaryOk =
+          try { attemptPrimary(0); true }
+          catch {
+            case _: java.io.IOException | _: org.apache.spark.SparkException =>
+              scrub(primaryDir)
+              write(altDir)
+              false
+          }
+        // symmetric scrub: if a PRIOR epoch diverted this batch to alt
+        // and crashed before its checkpoint committed, the replay that
+        // now succeeds on primary must remove the stale alt partition,
+        // or primaryDir ∪ altDir double-counts the batch. Outside the
+        // catch so a scrub failure fails the epoch (and replays) rather
+        // than diverting an already-delivered batch to alt.
+        if (primaryOk) scrub(altDir)
         ()
       }
       .start()

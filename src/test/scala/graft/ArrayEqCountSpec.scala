@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The codegen'd signature-agreement kernel must agree exactly with the
-  * interpreted HOF formulation it replaces (incl. NULL semantics). */
+  * interpreted HOF formulation on the inputs signatures actually are
+  * (equal-length, null-free); on ragged/null inputs it is deliberately
+  * STRICTER (NULL, where the HOF null-pads and counts 0) — pinned
+  * below. */
 class ArrayEqCountSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTest.extSpark
@@ -28,15 +31,20 @@ class ArrayEqCountSpec extends AnyFunSuite {
     assert(df.filter(not(col("native") <=> col("viaHof"))).count() == 0)
   }
 
-  test("NULL on length mismatch and on null elements, like the HOF") {
+  test("NULL on length mismatch and on null elements (stricter than the HOF)") {
     val df = Seq(
       (Seq(1, 2, 3), Seq(1, 2)),
       (Seq(1, 2), Seq(1, 2))
     ).toDF("a", "b")
       .withColumn("native", ArrayEqCount.column(col("a"), col("b")))
+      .withColumn("viaHof", hof)
     val got = df.select("native").collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(got.toSeq == Seq(None, Some(2)))
+    // the HOF null-pads ragged arrays to a non-null count — the native
+    // kernel intentionally diverges there
+    val hofRagged = df.select("viaHof").collect()(0)
+    assert(!hofRagged.isNullAt(0) && hofRagged.getInt(0) == 2)
 
     val withNullElem = spark.sql(
       "SELECT array_eq_count(array(1, CAST(NULL AS INT)), array(1, 2)) AS c")

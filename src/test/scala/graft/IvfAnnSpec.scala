@@ -18,7 +18,7 @@ class IvfAnnSpec extends AnyFunSuite {
   test("Similarity.ivfAnn matches the oracle-exact query twin at sf0.001") {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("label").as("cluster_by"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
+        col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
     val op = graft.operators.Similarity.ivfAnn(v, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "rnk").collect()

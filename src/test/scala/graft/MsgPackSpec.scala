@@ -84,14 +84,21 @@ class MsgPackSpec extends AnyFunSuite {
 
   test("classify counts rejects by 400 reason instead of silently dropping") {
     import spark.implicits._
+    // fixmap{ "source": fixstr(1) = 0xFF } — structurally valid msgpack,
+    // invalid UTF-8 inside the string (the wrp.UTF8 400 class)
+    val badUtf8: Array[Byte] =
+      Array(0x81.toByte) ++
+        (Array((0xa0 | 6).toByte) ++ "source".getBytes("UTF-8")) ++
+        Array((0xa0 | 1).toByte, 0xff.toByte)
     val bodies =
       (0 until 10).map(i => MsgPackWrp.encode(sample(i))) ++          // valid
       Seq(MsgPackWrp.encode(sample(99).copy(msg_type = 3))) ++        // bad msg_type
       Seq(Array[Byte](0xc7.toByte, 1, 2)) ++                          // undecodable (ext8)
+      Seq(badUtf8) ++
       Seq(Array[Byte]())                                              // empty
     val counts = MsgPackWrp.classify(bodies.toDF("body").repartition(4))
       .map(_._2).groupByKey(identity).count().collect().toMap
     assert(counts == Map("valid" -> 10L, "invalid_msg_type" -> 1L,
-      "invalid_format" -> 1L, "empty_payload" -> 1L))
+      "invalid_format" -> 1L, "invalid_utf8" -> 1L, "empty_payload" -> 1L))
   }
 }
