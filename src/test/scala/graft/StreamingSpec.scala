@@ -214,6 +214,40 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet == Set(2L), "exhausted retries must fail over")
   }
 
+  test("#12c-streaming replay after an uncommitted alt divert does not double-count") {
+    // epoch 1: transport down, batch 0 lands in alt; the checkpoint is
+    // then lost (crash before commit). On replay the transport is back:
+    // the batch must land in primary AND the stale alt partition must be
+    // scrubbed — primary ∪ alt sees the batch exactly once.
+    implicit val sql = spark.sqlContext
+    val primary = java.nio.file.Files.createTempDirectory("graft_rp2").toString
+    val alt = java.nio.file.Files.createTempDirectory("graft_ra2").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_rc2a").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_rc2b").toString
+    def run(ckpt: String, fail: Boolean): Unit = {
+      val in = MemoryStream[String]
+      val routed = EventStream.route(
+        EventStream.validate(EventStream.parse(in.toDF())), spark)
+      val q = EventStream.failoverSink(routed, primary, alt, ckpt,
+        failPrimary = (_, _) => fail)
+      try {
+        in.addData(wrpJson(5, 5, "click", "2024-01-01 00:00:05"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(ckpt1, fail = true)   // diverted to alt
+    // click fans out to s_clicks AND s_firehose — 2 rows, one event
+    assert(spark.read.parquet(alt).select("event_id").as[Long]
+      .collect().toSet == Set(5L))
+    // fresh checkpoint = the epoch never committed; same batch replays
+    run(ckpt2, fail = false)  // delivered to primary; alt must be scrubbed
+    assert(spark.read.parquet(primary).select("event_id").as[Long]
+      .collect().toSet == Set(5L))
+    val altRows = try spark.read.parquet(alt).count()
+      catch { case _: Exception => 0L } // empty dir reads as no parquet
+    assert(altRows == 0L, s"stale alt partition survived replay: $altRows rows")
+  }
+
   test("#19e stream-stream interval join enriches events with registrations") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.types.StructType

@@ -49,6 +49,21 @@ class TextDedupSpec extends AnyFunSuite {
       s"pairs lost when widening bands: ${fewBands -- manyBands}")
   }
 
+  test("tau-boundary pair survives the size prune (float-rounding regression)") {
+    // A: 102 distinct words -> 100 shingles; B = A's first 57 words ->
+    // 55 shingles, all contained in A's. jaccard = 55/100 = 0.55
+    // exactly. Without the admit-only slack, the prune computes
+    // 0.55 * 100 = 55.000000000000007 > 55 and silently drops the pair.
+    import spark.implicits._
+    val wordsA = (0 until 102).map(i => s"w$i")
+    val a = wordsA.mkString(" ")
+    val b = wordsA.take(57).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = pairs(TextDedup.ngramJaccardPairs(df, 3, 0.55))
+    CacheScope.releaseAll()
+    assert(got == Set((1L, 2L)), s"boundary pair dropped: $got")
+  }
+
   test("bad configs fail fast") {
     intercept[IllegalArgumentException] {
       TextDedup.minhashLshPairs(docs, 3, 16, 5, 0.5) // 5 does not divide 16
