@@ -39,13 +39,15 @@ object MsgPackWrp {
     def u64(): Long = (u32() << 32) | u32()
     // STRICT decode: new String(_, UTF_8) silently replaces invalid
     // sequences with U+FFFD, which would let bytes the reference 400s
-    // (wrp.UTF8) sail through as "valid" — decode with REPORT instead
+    // (wrp.UTF8) sail through as "valid" — decode with REPORT instead.
+    // One decoder per Reader (single-threaded), reset per field.
+    private val utf8Dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     def str(n: Int): String = {
       val raw = bytes(n)
-      val dec = UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-      try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      utf8Dec.reset()
+      try utf8Dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
       catch {
         case e: java.nio.charset.CharacterCodingException =>
           throw new InvalidUtf8Exception(
