@@ -15,11 +15,12 @@ object Bench {
     // not absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     // deterministic execution order → comparable per-round JSON.
-    // The host is noisy (±50% run-to-run documented in SURVEY §5): each
-    // query runs SPARK_GRAFT_RUNS times (default 2 — which averages a
-    // hiccup rather than rejecting it; set 3+ for a true outlier-
-    // rejecting median) and reports the per-query median. Clamped ≥ 1.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
+    // The host is noisy (±50% run-to-run documented in SURVEY §5, with
+    // occasional 10x+ co-tenant spikes on single queries): each query
+    // runs SPARK_GRAFT_RUNS times (default 3 — the median of 3 rejects
+    // one full spike, where a mean or n=2 average absorbs it) and
+    // reports the per-query median. Clamped ≥ 1.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def median(xs: Seq[Double]): Double = {
       val s0 = xs.sorted

@@ -24,6 +24,14 @@ object CacheScope {
     p
   }
 
+  /** Track an ALREADY-persisted DataFrame (e.g. one materialized inside
+    * an iterative loop) for the next releaseAll without re-persisting —
+    * a second persist() would only log an already-cached warning. */
+  def track(df: DataFrame): DataFrame = {
+    tracked.add(df)
+    df
+  }
+
   /** Unpersist every tracked DataFrame (non-blocking) and clear the
     * registry. Safe to call between queries — lazily-defined plans that
     * have not yet run simply recompute. */

@@ -82,6 +82,23 @@ object Docs {
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
   }
 
+  /** #37c Near-dup CLUSTERS — the step after pairwise detection: the
+    * Jaccard pair graph's connected components (alternating large-star/
+    * small-star, operators/ConnectedComponents.scala) assign every
+    * clustered doc a canonical cluster_id = the component's minimum
+    * doc_id. Pairwise victim-dropping (#37b) over-deletes transitive
+    * chains; cluster assignment is what "keep exactly one per dup
+    * group" actually needs. Oracle: DuckDB recursive CTE reachability
+    * over the identical pair list. */
+  def docDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = docNgramJaccard(s, d)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    graft.operators.ConnectedComponents.assign(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
     * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
     * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
@@ -196,6 +213,7 @@ object Docs {
     "doc_dedup_exact" -> (docDedupExact _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
     "doc_dedup_near" -> (docDedupNear _),
+    "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_minhash_lsh" -> (docMinhashLsh _),
     "doc_simhash" -> (docSimhash _),
     "doc_langid" -> (docLangid _),
@@ -259,6 +277,34 @@ object Docs {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM victims)
         |GROUP BY 1""".stripMargin,
+    "doc_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingle
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac
+        |          UNION SELECT doc_b, doc_a FROM jac),
+        |walk(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.r),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp""".stripMargin,
     "doc_langid" ->
       """SELECT lang,
         |  CASE
