@@ -14,6 +14,10 @@ Test / fork := true
 // clears the default session — parallel suites would race on it
 Test / parallelExecution := false
 run / fork := true
+// Bench/Verify print machine-read JSON lines: without this, sbt logs
+// the forked process's stdout through its logger, prefixing every line
+// with "[info] " and breaking the driver's JSON parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

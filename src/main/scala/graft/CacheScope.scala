@@ -34,11 +34,19 @@ object CacheScope {
 
   /** Unpersist every tracked DataFrame (non-blocking) and clear the
     * registry. Safe to call between queries — lazily-defined plans that
-    * have not yet run simply recompute. */
+    * have not yet run simply recompute. localCheckpoint results store
+    * their data on the materialized RDD (not in the CacheManager, where
+    * unpersist looks), so those are released through the LogicalRDD leaf
+    * instead of waiting for ContextCleaner GC. */
   def releaseAll(): Unit = {
     var df = tracked.poll()
     while (df != null) {
       df.unpersist(blocking = false)
+      df.queryExecution.analyzed match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       df = tracked.poll()
     }
   }

@@ -91,6 +91,11 @@ object GraftFunctions {
       FunctionIdentifier("array_eq_count"),
       new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
       (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -107,6 +112,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("array_eq_count"),
       new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
       (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   *   bodies never enter the operator. Near-dup graphs are sparse
   *   (edges ≪ docs), so the per-round shuffle is tiny relative to the
   *   corpus scans that produced the pairs.
-  * - Each round's result is persisted and the previous round released —
-  *   the loop holds at most two edge sets, and lineage is cut by the
-  *   persist so round k does not re-execute rounds 1..k-1.
-  * - Convergence is an `except(...).isEmpty` check per round — one
-  *   extra shuffle of the (small) edge set, bounded by the O(log² n)
-  *   round count.
+  * - Each round is cut with an EAGER `localCheckpoint`, not a persist:
+  *   a persist caches data but the logical plan still grows by ~6
+  *   operators per round, and Catalyst re-analyzes the whole
+  *   accumulated plan every iteration — driver-side analysis, not
+  *   execution, dominated the loop (the GraphFrames CC implementation
+  *   checkpoints for the same reason). The checkpoint pins plans at
+  *   constant size, so round k costs the same as round 1.
+  * - Convergence: the edge sets are canonical (distinct, oriented
+  *   big→small), so |next| ≠ |cur| proves change with no extra job
+  *   (counts are free on the checkpointed result), and a single
+  *   one-direction `except` only runs on the count-equal round:
+  *   equal cardinality + next ⊆ cur ⇒ set equality.
   */
 object ConnectedComponents {
 
@@ -38,11 +44,13 @@ object ConnectedComponents {
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: duplicate edges cannot change smallStar's min
+    // aggregates, and smallStar ends in a distinct that re-canonicalizes
+    // — dropping it removes one full shuffle per round
     nbrs.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient every edge toward its smaller endpoint, let
@@ -61,6 +69,17 @@ object ConnectedComponents {
     reattached.union(self).distinct()
   }
 
+  /** localCheckpoint data lives on the materialized RDD, not in the
+    * CacheManager, so Dataset.unpersist is a no-op for it — release the
+    * blocks deterministically through the LogicalRDD leaf instead of
+    * waiting for ContextCleaner GC. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Component assignment for every node appearing in `edges` (two Long
     * columns `u`, `v`, undirected; self-loops ignored). Returns
     * (id, component) where component = the minimum node id in the
@@ -69,29 +88,37 @@ object ConnectedComponents {
   def assign(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct()
+    // eager localCheckpoint: materializes AND replaces the logical plan
+    // with a constant-size leaf, so per-round Catalyst analysis cost
+    // does not grow with the iteration count
     var cur = edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .persist()
-    var converged = cur.isEmpty
+      .localCheckpoint()
+    var curCount = cur.count()
+    var converged = curCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).persist()
-      // star-shaped fixpoint: the round changed nothing
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
-      cur.unpersist()
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // both sides are canonical distinct sets: a size change proves
+      // the round changed something (no job — count is free on the
+      // checkpointed result); on equal sizes, next ⊆ cur ⇔ equality
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      releaseCheckpoint(cur)
       cur = next
+      curCount = nextCount
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
-    // At the fixpoint every edge is (member, component-min). The final
-    // edge set is already materialized in cache by the convergence
-    // check; hand its lifecycle to CacheScope (unpersisting here would
-    // re-execute the whole iteration chain when the result is read).
+    // At the fixpoint every edge is (member, component-min), already
+    // materialized by the checkpoint; track it so Verify/Bench loops
+    // release the blocks deterministically (CacheScope understands
+    // LogicalRDD-backed checkpoints).
     graft.CacheScope.track(cur)
     val roots = cur.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
     nodes.join(roots, Seq("id"), "left")

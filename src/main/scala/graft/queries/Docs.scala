@@ -197,6 +197,78 @@ object Docs {
         substring(redacted, -30, 30).as("tail"))
   }
 
+  /** #50 Repetition / boilerplate filtering (Gopher §A1.1): fraction of
+    * duplicate words, and the mass of the most frequent unigram/bigram.
+    * One native one-pass expression per gram size (functions/
+    * RepetitionStats.scala) — O(words) per document, fully map-side,
+    * zero shuffle at any corpus size (the HOF spelling is O(words²)
+    * after CollapseProject inlines `split` into the lambdas). */
+  def docRepetition(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.RepetitionStats
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("u", RepetitionStats.column(words, 1))
+      .withColumn("b", RepetitionStats.column(words, 2))
+      .select(col("doc_id"),
+        col("u.n_grams").as("n_words"),
+        col("u.n_distinct").as("n_distinct"),
+        col("u.top_count").as("top_unigram_cnt"),
+        col("b.top_count").as("top_bigram_cnt"),
+        (lit(1.0) - col("u.n_distinct").cast("double") / col("u.n_grams"))
+          .as("dup_word_frac"),
+        (col("u.top_count").cast("double") / col("u.n_grams"))
+          .as("top_unigram_frac"),
+        (col("b.top_count").cast("double")
+          / greatest(col("b.n_grams"), lit(1))).as("top_bigram_frac"))
+      .withColumn("boilerplate",
+        col("top_unigram_frac") > 0.12 || col("top_bigram_frac") > 0.05)
+  }
+
+  /** #51 TF-IDF top terms per document — the standard keyword-salience
+    * score, with a rational idf ((N+1)/(df+1), no transcendental — same
+    * monotone ranking, bit-identical across engines where ln() is not).
+    * Token counts shuffle by (doc, term) then (term); at 100 TB both
+    * aggregates are partial (map-side combine) and the df side is
+    * vocabulary-sized, far smaller than the corpus. */
+  def docTfidf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val score = col("tf").cast("double") *
+      ((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(score.desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        score.as("score"), col("rnk"))
+  }
+
+  /** #52 Deterministic stratified sampling — per-language keep rates via
+    * a multiplicative integer hash of doc_id (Knuth 2654435761 mod 2^32
+    * mod 100), so ANY engine replays the exact subset: sampling at
+    * 100 TB must be reproducible across reruns and engines, which rules
+    * out rand(). Pure map-side arithmetic; the only shuffle is the
+    * reporting aggregate. */
+  def docSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(100L)
+    val rate = when(col("lang") === "en", 30L)
+      .when(col("lang") === "es", 40L)
+      .when(col("lang") === "de", 50L)
+      .when(col("lang") === "fr", 60L)
+      .otherwise(80L)
+    Tables.documents(s, d)
+      .withColumn("kept", bucket < rate)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
   /** #46 Content fingerprinting: md5 + a 64-bit prefix as the dedup key;
     * per-source uniqueness accounting. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
@@ -220,7 +292,10 @@ object Docs {
     "doc_quality" -> (docQuality _),
     "doc_tokens" -> (docTokens _),
     "doc_fingerprint" -> (docFingerprint _),
-    "doc_redact" -> (docRedact _))
+    "doc_redact" -> (docRedact _),
+    "doc_repetition" -> (docRepetition _),
+    "doc_tfidf" -> (docTfidf _),
+    "doc_sample" -> (docSample _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -305,6 +380,60 @@ object Docs {
         |SELECT id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    "doc_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) AS top_unigram_cnt
+        |  FROM base),
+        |bi AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(ws), 1)),
+        |      i -> ws[i] || ' ' || ws[i+1]) AS bg
+        |  FROM base),
+        |bi2 AS (
+        |  SELECT doc_id, len(bg) AS n_bigrams,
+        |    COALESCE(list_max(list_transform(list_distinct(bg),
+        |      w -> len(list_filter(bg, x -> x = w)))), 0) AS top_bigram_cnt
+        |  FROM bi)
+        |SELECT uni.doc_id, n_words, n_distinct, top_unigram_cnt, top_bigram_cnt,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |  CAST(top_unigram_cnt AS DOUBLE) / n_words AS top_unigram_frac,
+        |  CAST(top_bigram_cnt AS DOUBLE) / greatest(n_bigrams, 1) AS top_bigram_frac,
+        |  (CAST(top_unigram_cnt AS DOUBLE) / n_words > 0.12 OR
+        |   CAST(top_bigram_cnt AS DOUBLE) / greatest(n_bigrams, 1) > 0.05)
+        |    AS boilerplate
+        |FROM uni JOIN bi2 ON uni.doc_id = bi2.doc_id""".stripMargin,
+    "doc_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, score, rnk FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) *
+        |      ((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+        |      CAST(tf AS DOUBLE) *
+        |        ((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) DESC,
+        |      term) AS rnk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn) t
+        |WHERE rnk <= 3""".stripMargin,
+    "doc_sample" ->
+      """SELECT lang, source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (
+        |  SELECT lang, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 % 100 <
+        |      CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 40
+        |                WHEN 'de' THEN 50 WHEN 'fr' THEN 60 ELSE 80 END AS kept
+        |  FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
     "doc_langid" ->
       """SELECT lang,
         |  CASE
