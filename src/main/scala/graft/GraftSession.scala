@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's one-call session setup — what a consumer switching
+  * from the reference service configures to run these operators at
+  * cluster scale.
+  *
+  * Everything here is a tuning default, not a correctness requirement:
+  * every operator runs under a stock session too (the test harness
+  * does). The settings encode the 100 TB playbook the operators assume:
+  *
+  * - AQE on (runtime re-plan: skew-join splitting, partition
+  *   coalescing, dynamic join strategy) — the knob that makes
+  *   "shuffle partitions" a ceiling, not a guess.
+  * - Runtime bloom-filter join pruning: a selective dim-side filter
+  *   becomes a row-level filter on the fact scan BEFORE the shuffle —
+  *   at 100 TB this is the difference between shuffling the full fact
+  *   table and shuffling the ~1% that can join (BloomFilterJoinSpec
+  *   audits the plan shape).
+  * - Dynamic partition overwrite: idempotent batch replays (the
+  *   streaming failover sink depends on per-partition overwrite).
+  * - Nanosecond parquet timestamps surfaced as LONG (the events table
+  *   is TIMESTAMP(NANOS); see Tables.events).
+  */
+object GraftSession {
+
+  /** Apply graft's scale defaults + extensions to a builder. */
+  def builder(base: SparkSession.Builder): SparkSession.Builder = base
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .withExtensions(new graft.functions.GraftExtensions)
+
+  /** Local development/test session at the given parallelism. */
+  def local(cores: Int): SparkSession = {
+    val s = builder(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    GraftFunctionsRegistrar.ensure(s)
+    s
+  }
+}
+
+/** getOrCreate on a pre-existing session silently ignores
+  * withExtensions (Spark keeps the first session's state); re-register
+  * the SQL functions directly so library functions work either way. */
+private object GraftFunctionsRegistrar {
+  def ensure(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
+}

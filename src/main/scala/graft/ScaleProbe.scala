@@ -54,6 +54,19 @@ object ScaleProbe {
                 org.apache.spark.sql.functions.col("e"))))
           graft.operators.Similarity.lshNearDupPairs(v, 64,
             bands.toInt, bits.toInt, tau.toDouble).count()
+        case Array("cc", nodes, edges) =>
+          // synthetic random graph (seeded murmur3 endpoints): times the
+          // connected-components loop at arbitrary edge scale; a chain
+          // fragment keeps the worst-case round count honest
+          val n = nodes.toLong
+          val e = edges.toLong
+          val rand = spark.range(e).selectExpr(
+            s"pmod(hash(id, 1), $n) AS u", s"pmod(hash(id, 2), $n) AS v")
+          val chain = spark.range(math.min(n / 10, 100000))
+            .selectExpr("id AS u", "id + 1 AS v")
+          graft.operators.ConnectedComponents.assign(rand.union(chain))
+            .select(org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.col("component"))).collect()(0).getLong(0)
         case _ => SparkEntry.queries(q)(spark, dir).count()
       }
       println(f"[probe] $q%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")

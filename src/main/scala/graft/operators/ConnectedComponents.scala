@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *   bodies never enter the operator. Near-dup graphs are sparse
   *   (edges ≪ docs), so the per-round shuffle is tiny relative to the
   *   corpus scans that produced the pairs.
-  * - Each round is cut with an EAGER `localCheckpoint`, not a persist:
-  *   a persist caches data but the logical plan still grows by ~6
+  * - Each round is cut with a LAZY `localCheckpoint` materialized by
+  *   its `count()` — one job per round — instead of a persist: a
+  *   persist caches data but the logical plan still grows by ~6
   *   operators per round, and Catalyst re-analyzes the whole
   *   accumulated plan every iteration — driver-side analysis, not
   *   execution, dominated the loop (the GraphFrames CC implementation
@@ -29,8 +30,8 @@ import org.apache.spark.sql.functions._
   *   constant size, so round k costs the same as round 1.
   * - Convergence: the edge sets are canonical (distinct, oriented
   *   big→small), so |next| ≠ |cur| proves change with no extra job
-  *   (counts are free on the checkpointed result), and a single
-  *   one-direction `except` only runs on the count-equal round:
+  *   (the count doubles as the checkpoint materialization), and a
+  *   single one-direction `except` only runs on the count-equal round:
   *   equal cardinality + next ⊆ cur ⇒ set equality.
   */
 object ConnectedComponents {
@@ -86,26 +87,34 @@ object ConnectedComponents {
     * connected component. Nodes with no surviving edge (only
     * self-loops) map to themselves. */
   def assign(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val nodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id"))).distinct()
-    // eager localCheckpoint: materializes AND replaces the logical plan
-    // with a constant-size leaf, so per-round Catalyst analysis cost
-    // does not grow with the iteration count
-    var cur = edges
+    // LAZY localCheckpoint + count(): ONE job both materializes the
+    // checkpoint and returns its size. The checkpoint replaces the
+    // logical plan with a constant-size leaf, so per-round Catalyst
+    // analysis cost does not grow with the iteration count.
+    // `base` is the only pass over the input: edge miners feeding this
+    // operator (Jaccard/LSH pair joins) are expensive, and both the
+    // iteration seed and the final node set derive from the checkpoint,
+    // not from a second scan of `edges`.
+    val base = edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    graft.CacheScope.track(base)
+    base.count()
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
+    var cur = base.filter(col("u") =!= col("v"))
+      .localCheckpoint(eager = false)
     var curCount = cur.count()
     var converged = curCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextCount = next.count()
       // both sides are canonical distinct sets: a size change proves
-      // the round changed something (no job — count is free on the
-      // checkpointed result); on equal sizes, next ⊆ cur ⇔ equality
+      // the round changed something with no extra job; on equal sizes,
+      // next ⊆ cur ⇔ equality
       converged = nextCount == curCount && next.except(cur).isEmpty
       releaseCheckpoint(cur)
       cur = next

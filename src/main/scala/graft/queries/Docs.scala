@@ -99,6 +99,40 @@ object Docs {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
 
+  /** #37d Canonical-doc selection — the end product of #37c: keep
+    * exactly the cluster minimum of every dup group (transitive-safe,
+    * unlike greedy pair-dropping) plus every unclustered doc. The
+    * victim set is clustered docs that are NOT their cluster's minimum
+    * — an anti join, text never shuffles. */
+  def docDedupCanon(s: SparkSession, d: String): DataFrame = {
+    val victims = docDedupClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Tables.documents(s, d)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** #37e Duplicate-span detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": memorization comes
+    * from repeated SUBSTRINGS, which whole-doc near-dedup misses): long
+    * word n-grams (n=8) occurring in ≥ 2 distinct docs, with occurrence
+    * and doc counts. At 100 TB this is the same posting-list shape as
+    * the Jaccard miner: shingle → (hash-grouped) counts; only 8-gram
+    * strings and counts shuffle, never documents; the HAVING prunes
+    * map-side via partial aggregation. */
+  def docDupSpans(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.ShingleNGrams.column(
+        split(col("text"), " "), 8)).as("span"))
+    // ShingleNGrams is distinct-per-doc, so count(*) IS the doc count
+    spans
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
     * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
     * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
@@ -295,7 +329,9 @@ object Docs {
     "doc_redact" -> (docRedact _),
     "doc_repetition" -> (docRepetition _),
     "doc_tfidf" -> (docTfidf _),
-    "doc_sample" -> (docSample _))
+    "doc_sample" -> (docSample _),
+    "doc_dedup_canon" -> (docDedupCanon _),
+    "doc_dup_spans" -> (docDupSpans _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -380,6 +416,46 @@ object Docs {
         |SELECT id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    "doc_dedup_canon" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingle
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac
+        |          UNION SELECT doc_b, doc_a FROM jac),
+        |walk(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.r),
+        |victims AS (
+        |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)
+        |  WHERE id <> cluster_id)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)
+        |GROUP BY 1""".stripMargin,
+    "doc_dup_spans" ->
+      """WITH spans AS (
+        |  SELECT DISTINCT doc_id, span FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-6, 1)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))
+        |      AS span
+        |    FROM documents) t)
+        |SELECT span, COUNT(*) AS n_docs FROM spans
+        |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "doc_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

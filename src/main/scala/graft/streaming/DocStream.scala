@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (band bucket, doc) occupancy row flowing into the stateful op. */
+case class BandDoc(band_idx: Int, band_hash: Int, doc_id: Long, sig: Seq[Int])
+
+/** Per-band dedup verdict: `dup_of` is the smallest earlier doc in this
+  * bucket whose signature agreement clears the threshold (None = this
+  * doc is first of its kind here). Doc-level dedup = OR over bands. */
+case class BandVerdict(doc_id: Long, band_idx: Int, dup_of: Option[Long],
+    est_jaccard: Double)
+
+/** Signatures already seen in one LSH band bucket. */
+case class BucketState(docs: List[(Long, Seq[Int])])
+
+/** Streaming near-duplicate suppression for a document stream — the
+  * incremental twin of `TextDedup.minhashLshPairs` (SURVEY §2c #38): a
+  * training-data ingest pipeline must drop near-dups ON ARRIVAL, not in
+  * a nightly batch over the full corpus.
+  *
+  * Shape: signature + banding are stateless per-row expressions (no
+  * shuffle); the only stateful op keys on the LSH band bucket, so state
+  * and comparisons are per-bucket, never corpus-wide — the same
+  * "candidates share a band" contract as the batch operator, at any
+  * scale. A doc is a near-dup iff ANY of its bands finds an earlier
+  * signature with agreement ≥ τ (the unbiased MinHash Jaccard
+  * estimator), which is exactly the batch pair predicate, so stream and
+  * batch verdicts agree row for row (StreamingDedupSpec pins this).
+  *
+  * State: every signature lands in its bucket's state (dropped docs
+  * included — batch semantics compare against ALL earlier docs).
+  * `maxPerBucket` bounds per-bucket memory FIFO-style for adversarial
+  * buckets; production deployments additionally bound state age with an
+  * event-time timeout (the reference's retry-dedup state is similarly
+  * bounded, internal/event/request_handler.go).
+  */
+object DocStream {
+
+  /** Map-side MinHash signature: k seeded murmur3 minima over the doc's
+    * distinct word n-gram shingles. Identical values to the batch
+    * formulation (min over the exploded posting list) because both
+    * reduce min(hash(seed_j, shingle)) over the same shingle set —
+    * here as array ops on one row, no shuffle, streaming-safe. */
+  def withSignature(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val shingles = graft.functions.ShingleNGrams.column(
+      split(col("text"), " "), n)
+    docs
+      .withColumn("shingles", shingles)
+      .withColumn("sig", array((0 until k).map(j =>
+        array_min(transform(col("shingles"),
+          s => hash(lit(j), s)))): _*))
+      .drop("shingles")
+  }
+
+  /** Explode each doc into its `bands` LSH bucket rows — same band-hash
+    * family as the batch operator (hash over the band's sig slice). */
+  def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val bandStructs: Seq[Column] = (0 until bands).map { b =>
+      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
+        .map(j => element_at(col("sig"), j + 1))
+      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band_idx").as("band_idx"),
+        col("bs.band_hash").as("band_hash"), col("doc_id"), col("sig"))
+  }
+
+  /** Per-band verdicts via one flatMapGroupsWithState keyed on the band
+    * bucket. Docs within a micro-batch are processed in doc_id order, so
+    * replays and batch boundaries cannot flip who counts as "earlier". */
+  def nearDupVerdicts(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, tau: Double = 0.5,
+      maxPerBucket: Int = 10000): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val rows = bandRows(withSignature(docs, n, k), k, bands).as[BandDoc]
+    rows
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[BandDoc], state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[BandVerdict]
+          batch.toSeq.sortBy(_.doc_id).foreach { r =>
+            val hit = seen
+              .filter { case (id, s) => id < r.doc_id &&
+                agreement(s, r.sig) >= tau }
+              .sortBy(_._1).headOption
+            out += BandVerdict(r.doc_id, r.band_idx, hit.map(_._1),
+              hit.map(h => agreement(h._2, r.sig)).getOrElse(0.0))
+            // store regardless of verdict; FIFO-cap adversarial buckets
+            seen = ((r.doc_id, r.sig) :: seen).take(maxPerBucket)
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
+  /** Signature agreement = matching minhash positions / k. */
+  def agreement(a: Seq[Int], b: Seq[Int]): Double = {
+    var eq = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / math.max(a.length, 1)
+  }
+}

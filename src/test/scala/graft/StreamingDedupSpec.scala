@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.DocStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup suppression vs the batch LSH miner: the streaming
+  * verdicts over a micro-batched replay of the corpus must flag exactly
+  * the docs that appear as the LATER side of a batch near-dup pair. */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("stream/batch parity on the real corpus, split across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val in = MemoryStream[(Long, String)]
+    val verdicts = DocStream.nearDupVerdicts(
+      in.toDF().toDF("doc_id", "text"), n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_verdicts").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = spark.table("dedup_verdicts")
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val batchVictims = graft.operators.TextDedup.minhashLshPairs(
+      Tables.documents(spark, d), n = 3, k = 16, bands = 4, tau = 0.5)
+      .select("doc_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    CacheScope.releaseAll()
+
+    assert(flagged == batchVictims,
+      s"stream-only: ${flagged -- batchVictims}, batch-only: ${batchVictims -- flagged}")
+    assert(batchVictims.nonEmpty, "corpus has no near-dups; test is vacuous")
+  }
+
+  test("cross-batch duplicates are caught and first-seen wins") {
+    implicit val sql = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val in = MemoryStream[(Long, String)]
+    val verdicts = DocStream.nearDupVerdicts(
+      in.toDF().toDF("doc_id", "text"), n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_x").start()
+    try {
+      in.addData(Seq((1L, base), (2L, "totally different words here now")))
+      q.processAllAvailable()
+      // near-identical redelivery arrives two micro-batches later
+      in.addData(Seq((3L, base + "tail")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val v = spark.table("dedup_x")
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v.contains((3L, 1L)), s"expected (3 dup-of 1), got $v")
+    assert(!v.exists(_._1 == 1L), "first occurrence must not be flagged")
+    assert(!v.exists(_._1 == 2L), "unrelated doc must not be flagged")
+  }
+
+  test("signature parity: streaming map-side sigs equal the batch groupBy sigs") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val streamSide = DocStream.withSignature(docs, n = 3, k = 16)
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // batch formulation: explode distinct shingles, min per seed
+    val sh = graft.operators.TextDedup.shingleArrays(docs, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sigCols = (0 until 16).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
+    val batchSide = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sig", array((0 until 16).map(j => col(s"h$j")): _*))
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(streamSide == batchSide)
+  }
+}
