@@ -33,6 +33,19 @@ object ScaleProbe {
                 org.apache.spark.sql.functions.col("e"))))
           graft.operators.Similarity.ivfAnn(v,
             org.apache.spark.sql.functions.col("vec_id") < 5, k.toInt).count()
+        case Array("ivf", k, np) =>
+          val v = Tables.embeddings(spark, dir)
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("label").as("cluster_by"),
+              org.apache.spark.sql.functions.col("embedding")
+                .cast("array<double>").as("e"))
+            .withColumn("norm", org.apache.spark.sql.functions.sqrt(
+              graft.functions.DotProduct.column(
+                org.apache.spark.sql.functions.col("e"),
+                org.apache.spark.sql.functions.col("e"))))
+          graft.operators.Similarity.ivfAnn(v,
+            org.apache.spark.sql.functions.col("vec_id") < 5, k.toInt,
+            nprobe = np.toInt).count()
         case Array("minhash", k, bands, tau) =>
           graft.operators.TextDedup.minhashLshPairs(
             Tables.documents(spark, dir), 3, k.toInt, bands.toInt,

@@ -50,9 +50,16 @@ object Similarity {
     * seeding (the deterministic sim-tie break negates it, which has no
     * generic ordering inverse — fail fast on anything else); queries =
     * rows with isQuery true. Returns per-query top-k
-    * (query_id, neighbor_id, rnk, cos, cluster). */
-  def ivfAnn(v: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    * (query_id, neighbor_id, rnk, cos, cluster).
+    *
+    * `nprobe` is the standard IVF recall knob: each query searches its
+    * `nprobe` nearest cells (data vectors stay single-assigned, so the
+    * probe fanout multiplies only the broadcast query side, never the
+    * corpus). nprobe = #cells degenerates to exact brute force —
+    * IvfAnnSpec pins that equivalence. */
+  def ivfAnn(v: DataFrame, isQuery: Column, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"ivfAnn: nprobe must be >= 1, got $nprobe")
     require(v.schema("cluster_by").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"ivfAnn: cluster_by must be numeric (tie-break negates it), got " +
@@ -64,14 +71,21 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("ce"))
       .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
-    val assigned = v.withColumn("is_q", isQuery)
+    val scored = v.withColumn("is_q", isQuery)
       .crossJoin(broadcast(cent))
       .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+    val assigned = scored
       .groupBy("vec_id")
       .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
         first(col("e")).as("e"), first(col("norm")).as("norm"),
         first(col("is_q")).as("is_q"))
-    val q = broadcast(assigned.filter(col("is_q"))
+    // query side probes its nprobe nearest cells (same tie-break as the
+    // data-side argmax, so nprobe=1 is exactly the old single-cell path)
+    val qw = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cluster").asc)
+    val q = broadcast(scored.filter(col("is_q"))
+      .withColumn("crnk", row_number().over(qw))
+      .filter(col("crnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("cluster")))
     val w = Window.partitionBy("query_id")

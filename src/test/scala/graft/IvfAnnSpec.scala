@@ -28,4 +28,49 @@ class IvfAnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(op == q, s"operator-only: ${op -- q}; query-only: ${q -- op}")
   }
+
+  test("nprobe = #cells degenerates to exact brute-force top-k") {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").as("cluster_by"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
+    val nCells = v.select("cluster_by").distinct().count().toInt
+    val ann = graft.operators.Similarity
+      .ivfAnn(v, col("vec_id") < 5, 5, nprobe = nCells)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: every query against every other vector
+    import org.apache.spark.sql.expressions.Window
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exact = v.select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.DotProduct.column(col("e"), col("qe"))
+        / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ann == exact, s"ann-only: ${ann -- exact}; exact-only: ${exact -- ann}")
+  }
+
+  test("nprobe > 1 cannot worsen any query's best neighbor") {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").as("cluster_by"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
+    def best(np: Int): Map[Long, Double] = graft.operators.Similarity
+      .ivfAnn(v, col("vec_id") < 5, 3, nprobe = np)
+      .filter(col("rnk") === 1)
+      .select("query_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b1 = best(1)
+    val b2 = best(2)
+    b1.foreach { case (qid, c1) =>
+      assert(b2(qid) >= c1 - 1e-12, s"query $qid: ${b2(qid)} < $c1")
+    }
+  }
 }

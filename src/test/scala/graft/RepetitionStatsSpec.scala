@@ -50,6 +50,29 @@ class RepetitionStatsSpec extends AnyFunSuite {
     assert(viaSql == 3)
   }
 
+  test("random documents match a naive Scala recount (n=1,2,3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "dd", "e")
+    val docs = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    def naive(text: String, n: Int): (Int, Int, Int) = {
+      val ws = text.split(" ", -1).toSeq
+      val grams = ws.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      (grams.size, counts.size, if (counts.isEmpty) 0 else counts.max)
+    }
+    for (n <- 1 to 3) {
+      val got = docs.toDF("t")
+        .select(RepetitionStats.column(split(col("t"), " "), n).as("s"))
+        .selectExpr("s.n_grams", "s.n_distinct", "s.top_count")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      val want = docs.map(naive(_, n))
+      assert(got.toSeq == want,
+        s"n=$n mismatch at ${got.toSeq.zip(want).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
   test("whole-stage codegen keeps the expression (no fallback compile errors)") {
     import spark.implicits._
     // a wide row batch through the codegen'd path; values spot-checked

@@ -411,4 +411,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq.sorted
     assert(ids == Seq(1L, 2L))
   }
+
+  test("#22c chained stateful ops: dedup THEN windowed counts in ONE query") {
+    // the at-least-once ingest reality: counts must be over deduped
+    // events, and Spark ≥3.4 runs both stateful operators in one
+    // append-mode query — no intermediate sink needed
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val deduped = EventStream.dedup(
+      EventStream.validate(EventStream.parse(in.toDF())))
+    val counts = deduped
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        wrpJson(1, 1, "click", "2024-01-01 00:00:01"),
+        wrpJson(1, 1, "click", "2024-01-01 00:00:01"), // same-batch dup
+        wrpJson(2, 2, "click", "2024-01-01 00:00:02"),
+        wrpJson(3, 3, "view", "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      // redelivery in a later batch must not bump the closed count
+      in.addData(wrpJson(1, 1, "click", "2024-01-01 00:00:03"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window
+      in.addData(wrpJson(9, 9, "click", "2024-01-01 01:00:00"))
+      q.processAllAvailable()
+      in.addData(wrpJson(10, 10, "click", "2024-01-01 02:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val first = spark.table("chained")
+      .filter(col("win_start") === "2024-01-01 00:00:00")
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(first.get("click").contains(2L),
+      s"expected 2 deduped clicks in the first closed window, got $first")
+    assert(first.get("view").contains(1L))
+  }
 }
