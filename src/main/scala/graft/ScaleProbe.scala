@@ -80,6 +80,46 @@ object ScaleProbe {
           graft.operators.ConnectedComponents.assign(rand.union(chain))
             .select(org.apache.spark.sql.functions.countDistinct(
               org.apache.spark.sql.functions.col("component"))).collect()(0).getLong(0)
+        case Array("stream", total) =>
+          // end-to-end streaming throughput: rate-micro-batch → WRP JSON
+          // → parse → validate → broadcast route fanout → noop sink.
+          // Prints input events/sec over >= `total` rows — the number to
+          // hold against the reference service's single-node ingest.
+          val target = total.toLong
+          val src = spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 100000L)
+            .option("numPartitions", 32).load()
+          val json = src.selectExpr(
+            """concat('{"msg_type":4,"source":"mac:', value % 5000,
+              |'","dest":"event:', element_at(
+              |  array('click','view','purchase','error','heartbeat'),
+              |  cast(value % 5 as int) + 1),
+              |'/', value, '","event_id":', value,
+              |',"user_id":', value % 5000,
+              |',"ts":"2024-01-01 00:00:01","value":1.5}')
+              |AS value""".stripMargin.replaceAll("\n", ""))
+          val routed = graft.streaming.EventStream.route(
+            graft.streaming.EventStream.validate(
+              graft.streaming.EventStream.parse(json)), spark)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("probe_stream_ckpt").toString
+          val qq = routed.writeStream.format("noop")
+            .option("checkpointLocation", ckpt).start()
+          val t1 = System.nanoTime()
+          var processed = 0L
+          // recentProgress is capped (default 100 entries) and would
+          // undercount long runs: every rate-micro-batch trigger is
+          // exactly rowsPerBatch, so completed batches × batch size is
+          // the exact processed count
+          while (processed < target) {
+            Thread.sleep(100)
+            processed = Option(qq.lastProgress)
+              .map(p => (p.batchId + 1) * 100000L).getOrElse(0L)
+          }
+          qq.stop()
+          val secs = (System.nanoTime() - t1) / 1e9
+          println(f"[probe] stream throughput: ${processed / secs}%.0f events/s ($processed rows in $secs%.1f s)")
+          processed
         case _ => SparkEntry.queries(q)(spark, dir).count()
       }
       println(f"[probe] $q%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")

@@ -73,13 +73,25 @@ object DocStream {
 
   /** Per-band verdicts via one flatMapGroupsWithState keyed on the band
     * bucket. Docs within a micro-batch are processed in doc_id order, so
-    * replays and batch boundaries cannot flip who counts as "earlier". */
+    * replays and batch boundaries cannot flip who counts as "earlier".
+    *
+    * Docs shorter than the shingle size have NO signature (array_min
+    * over an empty gram set is NULL, which would kill the Seq[Int]
+    * encoder mid-query): they bypass the stateful op entirely with a
+    * not-a-dup verdict (band_idx -1) — a doc with no shingles cannot
+    * near-duplicate anything under this similarity. */
   def nearDupVerdicts(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, tau: Double = 0.5,
       maxPerBucket: Int = 10000): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
-    val rows = bandRows(withSignature(docs, n, k), k, bands).as[BandDoc]
-    rows
+    val sigged = withSignature(docs, n, k)
+    val hasSig = size(split(col("text"), " ")) >= n
+    val short = sigged.filter(!hasSig)
+      .select(col("doc_id"), lit(-1).as("band_idx"),
+        lit(null).cast("long").as("dup_of"), lit(0.0).as("est_jaccard"))
+      .as[BandVerdict]
+    val rows = bandRows(sigged.filter(hasSig), k, bands).as[BandDoc]
+    val judged = rows
       .groupByKey(r => (r.band_idx, r.band_hash))
       .flatMapGroupsWithState[BucketState, BandVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -99,6 +111,7 @@ object DocStream {
           state.update(BucketState(seen))
           out.result().iterator
       }
+    judged.union(short)
   }
 
   /** Signature agreement = matching minhash positions / k. */

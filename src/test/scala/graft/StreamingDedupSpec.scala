@@ -74,6 +74,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!v.exists(_._1 == 2L), "unrelated doc must not be flagged")
   }
 
+  test("docs shorter than the shingle size pass through as not-dup (no crash)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val verdicts = DocStream.nearDupVerdicts(
+      in.toDF().toDF("doc_id", "text"), n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_short").start()
+    try {
+      in.addData(Seq(
+        (1L, "two words"),            // < n tokens: no shingles
+        (2L, ""),                     // empty text
+        (3L, "one two three four five six seven eight nine ten")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_short")
+      .select("doc_id", "band_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.filter(_._1 == 1L).map(_._2).toSeq == Seq(-1))
+    assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(-1))
+    // the long doc went through the stateful path: one verdict per band
+    assert(rows.filter(_._1 == 3L).map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(spark.table("dedup_short").filter(col("dup_of").isNotNull).count() == 0)
+  }
+
   test("signature parity: streaming map-side sigs equal the batch groupBy sigs") {
     val docs = Tables.documents(spark, d).select("doc_id", "text")
     val streamSide = DocStream.withSignature(docs, n = 3, k = 16)
