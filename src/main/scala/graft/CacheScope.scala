@@ -33,11 +33,15 @@ object CacheScope {
   }
 
   /** Unpersist every tracked DataFrame (non-blocking) and clear the
-    * registry. Safe to call between queries — lazily-defined plans that
-    * have not yet run simply recompute. localCheckpoint results store
-    * their data on the materialized RDD (not in the CacheManager, where
-    * unpersist looks), so those are released through the LogicalRDD leaf
-    * instead of waiting for ContextCleaner GC. */
+    * registry. Persisted plans that have not yet run simply recompute.
+    * localCheckpoint results store their data on the materialized RDD
+    * (not in the CacheManager, where unpersist looks), so those are
+    * released through the LogicalRDD leaf instead of waiting for
+    * ContextCleaner GC — with the one sharp edge that a checkpoint's
+    * lineage is truncated: a checkpoint-backed result CANNOT be read
+    * after its release (Spark throws rather than recomputing). Call
+    * releaseAll only after the consuming action, which is the
+    * Verify/Bench/test contract everywhere in this repo. */
   def releaseAll(): Unit = {
     var df = tracked.poll()
     while (df != null) {

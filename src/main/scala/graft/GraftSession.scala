@@ -42,15 +42,23 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    GraftFunctionsRegistrar.ensure(s)
+    ensure(s)
     s
   }
-}
 
-/** getOrCreate on a pre-existing session silently ignores
-  * withExtensions (Spark keeps the first session's state); re-register
-  * the SQL functions directly so library functions work either way. */
-private object GraftFunctionsRegistrar {
-  def ensure(s: SparkSession): Unit =
+  /** getOrCreate on a pre-existing session silently ignores
+    * withExtensions (Spark keeps the first session's state): restore
+    * the WHOLE library surface on the session at hand — SQL functions
+    * via the registry, and the as-of planner strategy + dot-product
+    * rewrite through the experimental escape hatches (idempotent, so
+    * calling on a fresh extensions-built session is harmless). */
+  def ensure(s: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(s)
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+  }
 }

@@ -113,6 +113,9 @@ object ScaleProbe {
           // the exact processed count
           while (processed < target) {
             Thread.sleep(100)
+            if (!qq.isActive)
+              throw qq.exception.getOrElse(new IllegalStateException(
+                "streaming probe query terminated before reaching target"))
             processed = Option(qq.lastProgress)
               .map(p => (p.batchId + 1) * 100000L).getOrElse(0L)
           }

@@ -81,6 +81,19 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Shims.column(
       SimHash64(org.apache.spark.sql.graft.Shims.expression(tokens)))
 
+  /** SQL builder for repetition_stats with explicit arity/literal
+    * checks — without them a column-valued gram size surfaces as a raw
+    * NPE from eval() instead of an analysis-time message. */
+  private[functions] def repetitionStatsFromSql(
+      exprs: Seq[Expression]): RepetitionStats = {
+    require(exprs.length == 2,
+      "repetition_stats requires exactly 2 arguments: " +
+        "(array<string> tokens, int gram_size)")
+    require(exprs(1).foldable,
+      "repetition_stats: gram_size must be a literal integer")
+    RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** Register graft functions on a session (SQL-callable). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -94,8 +107,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (exprs: Seq[Expression]) => RepetitionStats(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()))
+      (exprs: Seq[Expression]) => repetitionStatsFromSql(exprs))
   }
 }
 
@@ -115,8 +127,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (exprs: Seq[Expression]) => RepetitionStats(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) =>
+        GraftFunctions.repetitionStatsFromSql(exprs)))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -121,9 +121,13 @@ object ConnectedComponents {
       curCount = nextCount
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      // free the final round's materialized blocks before failing —
+      // nothing tracks them after the throw
+      releaseCheckpoint(cur)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
+    }
     // At the fixpoint every edge is (member, component-min), already
     // materialized by the checkpoint; track it so Verify/Bench loops
     // release the blocks deterministically (CacheScope understands

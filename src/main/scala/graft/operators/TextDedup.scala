@@ -26,6 +26,22 @@ object TextDedup {
       graft.functions.ShingleNGrams.column(split(col("text"), " "), n)
         .as("shingles"))
 
+  /** LSH band structs over a k-wide `sig` array column: one
+    * struct(band_idx, band_hash) per band, band_hash = murmur3 over the
+    * band's signature slice. Shared by the batch miner AND the
+    * streaming dedup (streaming/DocStream.scala) — their stream/batch
+    * verdict parity depends on this exact hash family, so there is
+    * deliberately one definition. */
+  def bandStructs(k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    (0 until bands).map { b =>
+      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
+        .map(j => element_at(col("sig"), j + 1))
+      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
+    }
+  }
+
   /** Exact Jaccard near-dup pairs at threshold tau via the
     * shared-shingle posting-list self-join. Size-incompatible pairs are
     * pruned AT THE JOIN: jaccard >= tau forces |A| >= tau*|B| and
@@ -67,7 +83,6 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, tau: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
     val sigCols = (0 until k).map(j => min(hash(lit(j), col("shingle"))).as(s"h$j"))
     val sigs = graft.CacheScope.persistTracked(
       shingleArrays(docs, n)
@@ -75,13 +90,8 @@ object TextDedup {
         .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
         .select(col("doc_id"), col("sig")))
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
-        .map(j => element_at(col("sig"), j + 1))
-      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
-    }
     val bandRows = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), explode(array(bandStructs(k, bands): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band_idx").as("band_idx"),
         col("bs.band_hash").as("band_hash"))
     val cand = bandRows.as("a")

@@ -290,13 +290,18 @@ object Docs {
   }
 
   /** #52 Deterministic stratified sampling — per-language keep rates via
-    * a multiplicative integer hash of doc_id (Knuth 2654435761 mod 2^32
+    * a multiplicative integer hash of doc_id (Knuth 2654435761, mod 2^32
     * mod 100), so ANY engine replays the exact subset: sampling at
     * 100 TB must be reproducible across reruns and engines, which rules
-    * out rand(). Pure map-side arithmetic; the only shuffle is the
-    * reporting aggregate. */
+    * out rand(). doc_id is first reduced mod a prime < 2^31 so the
+    * product stays under 2^63 for ANY doc_id — the unreduced form
+    * overflows Long at doc_id ≈ 3.5e9, i.e. exactly 100 TB-corpus
+    * territory (ANSI mode throws; non-ANSI silently wraps and breaks
+    * engine agreement). Pure map-side arithmetic; the only shuffle is
+    * the reporting aggregate. */
   def docSample(s: SparkSession, d: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(100L)
+    val bucket = ((col("doc_id") % lit(1597334677L)) * lit(2654435761L)) %
+      lit(4294967296L) % lit(100L)
     val rate = when(col("lang") === "en", 30L)
       .when(col("lang") === "es", 40L)
       .when(col("lang") === "de", 50L)
@@ -308,6 +313,38 @@ object Docs {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  /** #55 End-to-end curation pipeline — the composition a training-data
+    * consumer actually runs, as ONE declarative plan Catalyst optimizes
+    * whole: quality gate (length + stopword ratio) → predicted-language
+    * gate → exact dedup keep-first (md5 fingerprint, text never
+    * shuffles) → near-dup victim removal (Jaccard τ=0.5 anti join) →
+    * deterministic 50% sample → per-source token accounting. Every
+    * stage is an operator verified on its own elsewhere; this query
+    * pins the COMPOSITION against a single DuckDB CTE chain. */
+  def docPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(t, " "))
+    val en = regexp_count(t, lit("\\b(the|a|of|and|is)\\b"))
+    val es = regexp_count(t, lit("\\b(el|la|los|las|es|y)\\b"))
+    val de = regexp_count(t, lit("\\b(der|die|das|und|ist)\\b"))
+    val fr = regexp_count(t, lit("\\b(le|les|des|et|est)\\b"))
+    val gated = Tables.documents(s, d)
+      .filter(nWords >= 15 && (en.cast("double") / nWords) >= 0.02)
+      .filter(en >= es && en >= de && en >= fr && en > 0)
+    val w = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
+    val exact = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val victims = docNgramJaccard(s, d).select(col("doc_b")).distinct()
+    val sampled = exact
+      .join(victims, col("doc_id") === col("doc_b"), "left_anti")
+      .filter(((col("doc_id") % lit(1597334677L)) * lit(2654435761L))
+        % lit(4294967296L) % lit(100L) < 50L)
+    sampled.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(t, " "))).as("sum_tokens"),
+        sum("n_chars").as("sum_chars"))
   }
 
   /** #46 Content fingerprinting: md5 + a 64-bit prefix as the dedup key;
@@ -338,7 +375,8 @@ object Docs {
     "doc_tfidf" -> (docTfidf _),
     "doc_sample" -> (docSample _),
     "doc_dedup_canon" -> (docDedupCanon _),
-    "doc_dup_spans" -> (docDupSpans _))
+    "doc_dup_spans" -> (docDupSpans _),
+    "doc_pipeline_e2e" -> (docPipelineE2e _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -423,6 +461,48 @@ object Docs {
         |SELECT id AS doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    "doc_pipeline_e2e" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text, source, n_chars FROM (
+        |    SELECT doc_id, text, source, n_chars,
+        |      len(string_split(text, ' ')) AS n_words,
+        |      len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS en,
+        |      len(regexp_extract_all(text, '\b(el|la|los|las|es|y)\b')) AS es,
+        |      len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+        |      len(regexp_extract_all(text, '\b(le|les|des|et|est)\b')) AS fr
+        |    FROM documents) q
+        |  WHERE n_words >= 15 AND CAST(en AS DOUBLE) / n_words >= 0.02
+        |    AND en >= es AND en >= de AND en >= fr AND en > 0),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, text, source, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gated) e WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingle
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |victims AS (
+        |  SELECT DISTINCT doc_b FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        |sampled AS (
+        |  SELECT * FROM exact
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM victims)
+        |    AND ((doc_id % 1597334677) * 2654435761) % 4294967296 % 100 < 50)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM sampled GROUP BY 1""".stripMargin,
     "doc_dedup_canon" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -512,7 +592,7 @@ object Docs {
         |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM (
         |  SELECT lang, source, n_chars,
-        |    (doc_id * 2654435761) % 4294967296 % 100 <
+        |    ((doc_id % 1597334677) * 2654435761) % 4294967296 % 100 <
         |      CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 40
         |                WHEN 'de' THEN 50 WHEN 'fr' THEN 60 ELSE 80 END AS kept
         |  FROM documents) t

@@ -55,25 +55,24 @@ object DocStream {
       .drop("shingles")
   }
 
-  /** Explode each doc into its `bands` LSH bucket rows — same band-hash
-    * family as the batch operator (hash over the band's sig slice). */
-  def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
-    val bandStructs: Seq[Column] = (0 until bands).map { b =>
-      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
-        .map(j => element_at(col("sig"), j + 1))
-      struct(lit(b).as("band_idx"), hash(cols: _*).as("band_hash"))
-    }
+  /** Explode each doc into its `bands` LSH bucket rows — the band
+    * structs come from TextDedup.bandStructs, the ONE definition of the
+    * band-hash family, so stream and batch verdicts cannot drift. */
+  def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame =
     sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"), explode(array(
+        graft.operators.TextDedup.bandStructs(k, bands): _*)).as("bs"))
       .select(col("bs.band_idx").as("band_idx"),
         col("bs.band_hash").as("band_hash"), col("doc_id"), col("sig"))
-  }
 
   /** Per-band verdicts via one flatMapGroupsWithState keyed on the band
-    * bucket. Docs within a micro-batch are processed in doc_id order, so
-    * replays and batch boundaries cannot flip who counts as "earlier".
+    * bucket. "Earlier" means FIRST-SEEN in arrival order — the only
+    * dedup semantic an append-mode stream can honor (a later-arriving
+    * smaller id cannot retract an already-emitted verdict); within one
+    * micro-batch, where arrival order is unobservable, docs are
+    * processed in doc_id order so checkpoint replays are deterministic.
+    * When ids arrive in order (the batch-parity case) this is exactly
+    * the batch miner's smaller-id-wins rule.
     *
     * Docs shorter than the shingle size have NO signature (array_min
     * over an empty gram set is NULL, which would kill the Seq[Int]
@@ -85,7 +84,9 @@ object DocStream {
       maxPerBucket: Int = 10000): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
     val sigged = withSignature(docs, n, k)
-    val hasSig = size(split(col("text"), " ")) >= n
+    // coalesce: a NULL text must take the short path, not vanish from
+    // BOTH filter branches (null fails `cond` and `!cond` alike)
+    val hasSig = coalesce(size(split(col("text"), " ")) >= n, lit(false))
     val short = sigged.filter(!hasSig)
       .select(col("doc_id"), lit(-1).as("band_idx"),
         lit(null).cast("long").as("dup_of"), lit(0.0).as("est_jaccard"))
@@ -99,9 +100,15 @@ object DocStream {
           var seen = state.getOption.map(_.docs).getOrElse(Nil)
           val out = List.newBuilder[BandVerdict]
           batch.toSeq.sortBy(_.doc_id).foreach { r =>
+            // "earlier" = FIRST-SEEN (arrival order): everything in
+            // `seen` was processed before this doc, including docs from
+            // prior micro-batches with LARGER ids — an id-order filter
+            // here would silently miss real dups on out-of-order
+            // arrival (append mode cannot retract the earlier verdict).
+            // Within a batch the doc_id sort makes replays
+            // deterministic, where arrival order is not observable.
             val hit = seen
-              .filter { case (id, s) => id < r.doc_id &&
-                agreement(s, r.sig) >= tau }
+              .filter { case (_, s) => agreement(s, r.sig) >= tau }
               .sortBy(_._1).headOption
             out += BandVerdict(r.doc_id, r.band_idx, hit.map(_._1),
               hit.map(h => agreement(h._2, r.sig)).getOrElse(0.0))

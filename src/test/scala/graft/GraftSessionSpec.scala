@@ -24,4 +24,28 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(s.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
   }
+
+  test("as-of planner strategy survives a pre-existing session (ensure path)") {
+    SparkTest.spark // extensions-less session exists first
+    val s = GraftSession.local(4)
+    import s.implicits._
+    // a plan that only AsOfJoinStrategy can execute
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b")).toDF("k", "rt", "v")
+    val joined = graft.plans.AsOfJoin.join(left, right,
+      leftKey = "k", leftTime = "t", rightKey = "k", rightTime = "rt")
+    val got = joined.select("t", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "a"), (20L, "b")))
+  }
+
+  test("repetition_stats SQL misuse fails with a clear message") {
+    val s = GraftSession.local(4)
+    val e1 = intercept[Exception](
+      s.sql("SELECT repetition_stats(array('a'))").collect())
+    assert(e1.getMessage.contains("exactly 2 arguments"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql(
+      "SELECT repetition_stats(array('a'), id) FROM range(3)").collect())
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+  }
 }

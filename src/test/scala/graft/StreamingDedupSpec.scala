@@ -74,6 +74,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!v.exists(_._1 == 2L), "unrelated doc must not be flagged")
   }
 
+  test("out-of-order ids across batches: first-SEEN wins, dup still caught") {
+    implicit val sql = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val in = MemoryStream[(Long, String)]
+    val verdicts = DocStream.nearDupVerdicts(
+      in.toDF().toDF("doc_id", "text"), n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ooo").start()
+    try {
+      in.addData(Seq((9L, base))) // larger id arrives FIRST
+      q.processAllAvailable()
+      in.addData(Seq((5L, base + "tail"))) // smaller id arrives later
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.table("dedup_ooo")
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // arrival semantics: 9 was emitted first and cannot be retracted;
+    // the later near-identical 5 must be flagged against it
+    assert(v.contains((5L, 9L)), s"expected (5 dup-of 9), got $v")
+    assert(!v.exists(_._1 == 9L), "first-seen doc must not be flagged")
+  }
+
   test("docs shorter than the shingle size pass through as not-dup (no crash)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String)]
