@@ -81,7 +81,8 @@ object DocStream {
     * near-duplicate anything under this similarity. */
   def nearDupVerdicts(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, tau: Double = 0.5,
-      maxPerBucket: Int = 10000): Dataset[BandVerdict] = {
+      maxPerBucket: Int = 10000,
+      stateTtlMs: Long = 0L): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
     val sigged = withSignature(docs, n, k)
     // coalesce: a NULL text must take the short path, not vanish from
@@ -91,12 +92,21 @@ object DocStream {
       .select(col("doc_id"), lit(-1).as("band_idx"),
         lit(null).cast("long").as("dup_of"), lit(0.0).as("est_jaccard"))
       .as[BandVerdict]
+    // stateTtlMs > 0 bounds total state AGE, the production memory
+    // backstop alongside the per-bucket size cap: an idle bucket's
+    // signatures expire, trading long-range dedup for bounded state
+    val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val rows = bandRows(sigged.filter(hasSig), k, bands).as[BandDoc]
     val judged = rows
       .groupByKey(r => (r.band_idx, r.band_hash))
       .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, batch: Iterator[BandDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var seen = state.getOption.map(_.docs).getOrElse(Nil)
           val out = List.newBuilder[BandVerdict]
           batch.toSeq.sortBy(_.doc_id).foreach { r =>
@@ -116,10 +126,23 @@ object DocStream {
             seen = ((r.doc_id, r.sig) :: seen).take(maxPerBucket)
           }
           state.update(BucketState(seen))
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
           out.result().iterator
+          }
       }
     judged.union(short)
   }
+
+  /** Doc-level keep/drop decisions from per-band verdicts: a doc is a
+    * dup iff ANY band flagged it; dup_of = the smallest flagged
+    * predecessor. Runs per micro-batch (e.g. inside foreachBatch on the
+    * verdict stream) — a doc's band verdicts always land in the same
+    * batch, so the batch-local aggregate is exact. */
+  def decisions(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"),
+        max(col("est_jaccard")).as("est_jaccard"))
+      .withColumn("keep", col("dup_of").isNull)
 
   /** Signature agreement = matching minhash positions / k. */
   def agreement(a: Seq[Int], b: Seq[Int]): Double = {

@@ -122,6 +122,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.table("dedup_short").filter(col("dup_of").isNotNull).count() == 0)
   }
 
+  test("decisions: doc-level keep/drop from band verdicts; TTL path runs clean") {
+    implicit val sql = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val in = MemoryStream[(Long, String)]
+    // TTL armed (1 hour — far beyond the test) to exercise the
+    // ProcessingTimeTimeout code path end to end
+    val verdicts = DocStream.nearDupVerdicts(
+      in.toDF().toDF("doc_id", "text"), n = 3, k = 16, bands = 4, tau = 0.5,
+      stateTtlMs = 3600000L)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl").start()
+    try {
+      in.addData(Seq((1L, base), (2L, "unrelated text entirely here"),
+        (3L, base + "tail")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = DocStream.decisions(spark.table("dedup_ttl"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(3))).toSet
+    assert(dec.contains((1L, None, true)))
+    assert(dec.contains((2L, None, true)))
+    assert(dec.contains((3L, Some(1L), false)), s"got $dec")
+  }
+
   test("signature parity: streaming map-side sigs equal the batch groupBy sigs") {
     val docs = Tables.documents(spark, d).select("doc_id", "text")
     val streamSide = DocStream.withSignature(docs, n = 3, k = 16)
