@@ -18,6 +18,11 @@ run / fork := true
 // the forked process's stdout through its logger, prefixing every line
 // with "[info] " and breaking the driver's JSON parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the driver scrapes the LAST stdout line for that JSON: sbt's
+// "[success] Total time: N s" footer otherwise prints after the forked
+// process exits and breaks the parse (VERDICT r7 "parsed: null").
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

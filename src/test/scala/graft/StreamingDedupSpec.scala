@@ -136,7 +136,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     try {
       in.addData(Seq((1L, base), (2L, "unrelated text entirely here"),
         (3L, base + "tail")))
-      q.processAllAvailable()
+      // processAllAvailable() NEVER returns under ProcessingTimeTimeout
+      // (the engine keeps running no-data micro-batches to fire future
+      // timeouts, so noNewData is never signaled — this hung r7's suite).
+      // Bounded-poll the sink for the 12 expected band verdicts instead.
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (spark.table("dedup_ttl").count() < 12 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spark.table("dedup_ttl").count() == 12,
+        "timed out waiting for 12 band verdicts (3 docs x 4 bands)")
     } finally q.stop()
     val dec = DocStream.decisions(spark.table("dedup_ttl"))
       .collect().map(r => (r.getLong(0),
@@ -145,6 +153,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(dec.contains((1L, None, true)))
     assert(dec.contains((2L, None, true)))
     assert(dec.contains((3L, Some(1L), false)), s"got $dec")
+  }
+
+  test("event-time TTL: dup within TTL caught, state expires after watermark passes") {
+    implicit val sql = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // TTL = 100s of EVENT time, zero out-of-orderness: expiry is driven
+    // by the data clock, so processAllAvailable() terminates (at most
+    // one no-data batch per watermark advance) and a checkpoint replay
+    // would reproduce the same verdicts — unlike ProcessingTimeTimeout.
+    val verdicts = DocStream.nearDupVerdictsEventTime(
+      in.toDF().toDF("doc_id", "text", "ts"), tsCol = "ts",
+      delay = "0 seconds", stateTtlMs = 100000L,
+      n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_et").start()
+    try {
+      in.addData(Seq((1L, base, ts(100)))); q.processAllAvailable()
+      // 150s is within doc1's (100+100)s timeout: must be flagged
+      in.addData(Seq((2L, base + "tail", ts(150)))); q.processAllAvailable()
+      // unrelated doc at 600s pushes the watermark far past the
+      // bucket's 250s timeout → base bucket state expires
+      in.addData(Seq((3L, "totally different words here now", ts(600))))
+      q.processAllAvailable()
+      // near-dup of doc1 arrives AFTER expiry: must NOT be flagged
+      in.addData(Seq((4L, base + "extra", ts(700)))); q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = spark.table("dedup_et")
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((2L, 1L)),
+      s"expected exactly (2 dup-of 1): within-TTL dup caught, " +
+        s"post-expiry dup 4 forgotten; got $flagged")
   }
 
   test("signature parity: streaming map-side sigs equal the batch groupBy sigs") {
