@@ -26,7 +26,13 @@ object CacheScope {
 
   /** Track an ALREADY-persisted DataFrame (e.g. one materialized inside
     * an iterative loop) for the next releaseAll without re-persisting —
-    * a second persist() would only log an already-cached warning. */
+    * a second persist() would only log an already-cached warning.
+    *
+    * WARNING for localCheckpoint-backed frames: their lineage is
+    * truncated, so after [[releaseAll]] the frame CANNOT be read again
+    * (Spark throws instead of recomputing, unlike a plain persist).
+    * Track one only when every read happens before the release — the
+    * consume-then-release contract Verify/Bench/tests follow. */
   def track(df: DataFrame): DataFrame = {
     tracked.add(df)
     df

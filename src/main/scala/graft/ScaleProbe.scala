@@ -86,8 +86,9 @@ object ScaleProbe {
           // Prints input events/sec over >= `total` rows — the number to
           // hold against the reference service's single-node ingest.
           val target = total.toLong
+          val rowsPerBatch = 100000L
           val src = spark.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", 100000L)
+            .option("rowsPerBatch", rowsPerBatch)
             .option("numPartitions", 32).load()
           val json = src.selectExpr(
             """concat('{"msg_type":4,"source":"mac:', value % 5000,
@@ -101,27 +102,40 @@ object ScaleProbe {
           val routed = graft.streaming.EventStream.route(
             graft.streaming.EventStream.validate(
               graft.streaming.EventStream.parse(json)), spark)
-          val ckpt = java.nio.file.Files
-            .createTempDirectory("probe_stream_ckpt").toString
-          val qq = routed.writeStream.format("noop")
-            .option("checkpointLocation", ckpt).start()
-          val t1 = System.nanoTime()
-          var processed = 0L
-          // recentProgress is capped (default 100 entries) and would
-          // undercount long runs: every rate-micro-batch trigger is
-          // exactly rowsPerBatch, so completed batches × batch size is
-          // the exact processed count
-          while (processed < target) {
-            Thread.sleep(100)
-            if (!qq.isActive)
-              throw qq.exception.getOrElse(new IllegalStateException(
-                "streaming probe query terminated before reaching target"))
-            processed = Option(qq.lastProgress)
-              .map(p => (p.batchId + 1) * 100000L).getOrElse(0L)
-          }
-          qq.stop()
-          val secs = (System.nanoTime() - t1) / 1e9
-          println(f"[probe] stream throughput: ${processed / secs}%.0f events/s ($processed rows in $secs%.1f s)")
+          val ckptPath = java.nio.file.Files
+            .createTempDirectory("probe_stream_ckpt")
+          val processed =
+            try {
+              val qq = routed.writeStream.format("noop")
+                .option("checkpointLocation", ckptPath.toString).start()
+              val t1 = System.nanoTime()
+              var done = 0L
+              // recentProgress is capped (default 100 entries) and would
+              // undercount long runs: every rate-micro-batch trigger is
+              // exactly rowsPerBatch, so completed batches × batch size
+              // is the exact processed count (fresh checkpoint dir ⇒
+              // batchId starts at 0)
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "streaming probe query terminated before reaching target"))
+                done = Option(qq.lastProgress)
+                  .map(p => (p.batchId + 1) * rowsPerBatch).getOrElse(0L)
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
+              done
+            } finally {
+              // the checkpoint is probe-scoped scratch: remove it so
+              // repeated probes neither accumulate /tmp state nor risk
+              // resuming from a stale batchId
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(ckptPath).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            }
           processed
         case _ => SparkEntry.queries(q)(spark, dir).count()
       }

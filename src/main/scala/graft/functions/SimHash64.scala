@@ -91,7 +91,14 @@ object GraftFunctions {
         "(array<string> tokens, int gram_size)")
     require(exprs(1).foldable,
       "repetition_stats: gram_size must be a literal integer")
-    RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+    // foldability alone admits NULL and non-numeric literals, which
+    // would NPE / ClassCastException past the guard this builder exists
+    // to provide — check the evaluated value's type too
+    val v = exprs(1).eval()
+    require(v != null && v.isInstanceOf[Number],
+      s"repetition_stats: gram_size must be a non-null integer literal, " +
+        s"got ${if (v == null) "NULL" else v.getClass.getSimpleName}")
+    RepetitionStats(exprs(0), v.asInstanceOf[Number].intValue())
   }
 
   /** Register graft functions on a session (SQL-callable). */

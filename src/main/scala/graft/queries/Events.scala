@@ -568,6 +568,168 @@ object Events {
       .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
 
+  /** #23 ModifiedWRPCounter reason ladder (request_handler.go:148-163,
+    * metrics.go:33-35 emptyContentTypeReason/emptyUUIDReason/
+    * bothEmptyReason): fixWrp defaults the content type and the
+    * transaction uuid, and the metric counts WHY each message was
+    * modified, per reason label. Deterministic emptiness predicates
+    * (%5 content type — wrp_fix's rule — and %3 uuid). Pure map-side
+    * classify + a 4-row groupBy: codegen, one tiny shuffle. */
+  def wrpModified(s: SparkSession, d: String): DataFrame = {
+    val ctEmpty = pmod(col("event_id"), lit(5)) === 0
+    val uuidEmpty = pmod(col("event_id"), lit(3)) === 0
+    Tables.events(s, d)
+      .select(
+        when(ctEmpty && uuidEmpty, "empty_uuid_and_content_type")
+          .when(ctEmpty, "empty_content_type")
+          .when(uuidEmpty, "empty_uuid")
+          .otherwise("not_modified").as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** #24 Queue-depth gauge (metrics.go:18,21 IncomingQueueDepth /
+    * OutgoingQueueDepth; queue.go:135-216 QueuedItems): depth over time
+    * as the running sum of enqueues − dispatches. The queue model is
+    * the reference's: arrivals in event_id order, a batch of 100
+    * dispatches as soon as it fills (queue.go processItems), and the
+    * BatchTimeLimit ticker flushes whatever remains at the hour bound —
+    * so depth after the r-th arrival of an hour is ((r−1) mod 100)+1,
+    * the closed form of the running sum. Per stream-hour: max/avg
+    * depth (the gauge's envelope), arrivals, batches. ONE shuffle on
+    * (stream, hour); window partitions are hour-bounded so no stream's
+    * full history funnels through one reducer. */
+  def evtQueueDepth(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"), col("h"))
+      .orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("r", row_number().over(w))
+      .withColumn("depth",
+        (col("r") - floor((col("r") - 1) / 100) * 100).cast(LongType))
+      .groupBy(col("event_type").as("stream"),
+        unix_timestamp(col("h")).as("hour_epoch"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        ceil(count(lit(1)) / lit(100.0)).cast(LongType).as("n_batches"),
+        max("depth").as("max_depth"),
+        sum("depth").as("sum_depth"))
+      .withColumn("avg_depth", col("sum_depth").cast("double") / col("n_arrivals"))
+  }
+
+  /** #25 Slow-consumer accounting (metrics.go:16-17
+    * SlowConsumerDroppedMsgCounter / SlowConsumerCounter): per stream,
+    * messages dropped because the consumer lagged (arrival rank beyond
+    * the per-hour capacity — evt_dropped's predicate), plus the
+    * cut-off counter: a cut-off fires in an hour whose two PRECEDING
+    * calendar hours also dropped (drops persisting 3 consecutive
+    * hours ⇒ the consumer is cut off, the reference's slow-consumer
+    * semantic). lag(2) over the stream's drop-hours in epoch-hour
+    * space detects consecutiveness without a gaps-and-islands pass.
+    * Reuses evt_dropped's (stream, hour) shuffle shape; the per-stream
+    * hour sequence is tiny (thousands of rows per stream-year). */
+  def evtSlowConsumer(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"), col("h"))
+      .orderBy("event_id")
+    val hourly = Tables.events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("arrival", row_number().over(w))
+      .groupBy(col("event_type"), unix_timestamp(col("h")).as("he"))
+      .agg(sum(when(col("arrival") > 5, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("dropped") > 0)
+    val wh = Window.partitionBy(col("event_type")).orderBy(col("he"))
+    hourly
+      .withColumn("cutoff",
+        when(lag(col("he"), 2).over(wh) === col("he") - lit(7200L), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type").as("stream"))
+      .agg(sum("dropped").as("n_dropped"),
+        count(lit(1)).as("n_drop_hours"),
+        sum("cutoff").as("n_cutoffs"))
+  }
+
+  /** #26 Per-batch Kinesis delivery accounting (metrics/tags.go:56
+    * kinesis_batch_failed_records; tags.go:24-25 KinesisBatchSent /
+    * KinesisRecordSent; kinesis PutRecords returns per-record
+    * failures within an accepted batch): over evt_batch's
+    * deterministic batches, a record fails on the deterministic
+    * transport stand-in (%23); per stream: batches/records sent,
+    * failed records, partial batches (≥1 failure), worst batch.
+    * Same single (stream, day) shuffle as evt_batch, then two-level
+    * partial-agg rollup. */
+  def evtKinesisBatches(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.assign(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("event_id"), 100)
+      .groupBy(col("event_type"), col("day"), col("batch_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(pmod(col("event_id"), lit(23)) === 0, 1L).otherwise(0L))
+          .as("n_failed"))
+      .groupBy(col("event_type").as("stream"))
+      .agg(count(lit(1)).as("batches_sent"),
+        sum("n_records").as("records_sent"),
+        sum("n_failed").as("failed_records"),
+        sum(when(col("n_failed") > 0, 1L).otherwise(0L)).as("partial_batches"),
+        max("n_failed").as("max_failed_in_batch"))
+
+  /** #27 The metrics endpoint: one (metric, value) row per tags.go
+    * event counter the reference's analytics reads, so every metric
+    * name has a query twin (tags.go:8-29 + event/metrics.go ladder):
+    * event_received/event_sent, not_an_event (dest outside the
+    * "event:" scheme — deterministic %13 stand-in),
+    * event_throttled/event_not_throttled (rank ≥ 2 within the
+    * user-hour — evt_throttle's threshold at event grain),
+    * kinesis_retry_scheduled (evt_failover's retry ladder),
+    * kinesis_batch_sent/kinesis_record_sent (evt_batch's day-bucketed
+    * batch model), old/future_event_received (evt_old_future's
+    * bounds), modified_wrp_count (wrp_modified's predicates), and
+    * slow_consumer_dropped_message_count (evt_dropped's capacity).
+    * Three window passes + one flat agg, each a single shuffle; the
+    * melt is map(literal…) + explode — no extra shuffle. */
+  def evtCounters(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def melt(df: DataFrame): DataFrame =
+      df.select(explode(map(df.columns.flatMap(c =>
+        Seq(lit(c), col(c))): _*)).as(Seq("metric", "value")))
+    val notAnEvent = pmod(col("event_id"), lit(13)) === 0
+    val retries = when(pmod(col("event_id"), lit(10)) === 0, 3L)
+      .when(pmod(col("event_id"), lit(7)) === 0, 2L)
+      .when(pmod(col("event_id"), lit(3)) === 0, 1L)
+      .otherwise(0L)
+    val old = col("ts") < lit("2024-01-05").cast("timestamp")
+    val future = col("ts") > lit("2024-01-25").cast("timestamp")
+    val modified = pmod(col("event_id"), lit(5)) === 0 ||
+      pmod(col("event_id"), lit(3)) === 0
+    val flat = ev.agg(
+      count(lit(1)).as("event_received"),
+      sum(when(notAnEvent, 1L).otherwise(0L)).as("not_an_event"),
+      sum(when(!notAnEvent, 1L).otherwise(0L)).as("event_sent"),
+      sum(retries).as("kinesis_retry_scheduled"),
+      sum(when(old, 1L).otherwise(0L)).as("old_event_received"),
+      sum(when(future, 1L).otherwise(0L)).as("future_event_received"),
+      sum(when(modified, 1L).otherwise(0L)).as("modified_wrp_count"))
+    val wUser = Window
+      .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy("event_id")
+    val throttle = ev.withColumn("rk", row_number().over(wUser))
+      .agg(sum(when(col("rk") >= 2, 1L).otherwise(0L)).as("event_throttled"),
+        sum(when(col("rk") < 2, 1L).otherwise(0L)).as("event_not_throttled"))
+    val wStream = Window
+      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy("event_id")
+    val drops = ev.withColumn("rk", row_number().over(wStream))
+      .agg(sum(when(col("rk") > 5, 1L).otherwise(0L))
+        .as("slow_consumer_dropped_message_count"))
+    val batches = graft.operators.Batching.assign(
+        ev.withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("event_id"), 100)
+      .groupBy("event_type", "day", "batch_id")
+      .agg(count(lit(1)).as("nr"))
+      .agg(count(lit(1)).as("kinesis_batch_sent"),
+        sum("nr").as("kinesis_record_sent"))
+    melt(flat).union(melt(throttle)).union(melt(drops)).union(melt(batches))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wrp_parse" -> (wrpParse _),
     "wrp_validate" -> (wrpValidate _),
@@ -599,7 +761,12 @@ object Events {
     "evt_quantiles" -> (evtQuantiles _),
     "evt_parse_errors" -> (evtParseErrors _),
     "evt_mac_errors" -> (evtMacErrors _),
-    "evt_props" -> (evtProps _))
+    "evt_props" -> (evtProps _),
+    "wrp_modified" -> (wrpModified _),
+    "evt_queue_depth" -> (evtQueueDepth _),
+    "evt_slow_consumer" -> (evtSlowConsumer _),
+    "evt_kinesis_batches" -> (evtKinesisBatches _),
+    "evt_counters" -> (evtCounters _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
     * epoch seconds via floor(epoch()) ≡ Spark unix_timestamp, ordering by
@@ -898,5 +1065,119 @@ object Events {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "wrp_modified" ->
+      """SELECT CASE
+        |  WHEN event_id % 5 = 0 AND event_id % 3 = 0 THEN 'empty_uuid_and_content_type'
+        |  WHEN event_id % 5 = 0 THEN 'empty_content_type'
+        |  WHEN event_id % 3 = 0 THEN 'empty_uuid'
+        |  ELSE 'not_modified' END AS reason,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "evt_queue_depth" ->
+      """SELECT stream, hour_epoch, COUNT(*) AS n_arrivals,
+        |  CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_batches,
+        |  MAX(depth) AS max_depth,
+        |  CAST(SUM(depth) AS BIGINT) AS sum_depth,
+        |  CAST(CAST(SUM(depth) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_depth
+        |FROM (
+        |  SELECT event_type AS stream,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |    CAST(r - floor((r - 1) / 100) * 100 AS BIGINT) AS depth
+        |  FROM (
+        |    SELECT event_type, ts, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY event_id) AS r
+        |    FROM events) t) u
+        |GROUP BY 1, 2""".stripMargin,
+    "evt_slow_consumer" ->
+      """SELECT stream,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        |  COUNT(*) AS n_drop_hours,
+        |  CAST(SUM(cutoff) AS BIGINT) AS n_cutoffs
+        |FROM (
+        |  SELECT event_type AS stream, he, dropped,
+        |    CASE WHEN LAG(he, 2) OVER (PARTITION BY event_type ORDER BY he)
+        |              = he - 7200 THEN 1 ELSE 0 END AS cutoff
+        |  FROM (
+        |    SELECT event_type,
+        |      CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS he,
+        |      CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |    FROM (
+        |      SELECT event_type, ts, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type, date_trunc('hour', ts)
+        |        ORDER BY event_id) AS arrival
+        |      FROM events) t
+        |    GROUP BY 1, 2) h
+        |  WHERE dropped > 0) c
+        |GROUP BY 1""".stripMargin,
+    "evt_kinesis_batches" ->
+      """SELECT stream, COUNT(*) AS batches_sent,
+        |  CAST(SUM(n_records) AS BIGINT) AS records_sent,
+        |  CAST(SUM(n_failed) AS BIGINT) AS failed_records,
+        |  CAST(SUM(CASE WHEN n_failed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS partial_batches,
+        |  MAX(n_failed) AS max_failed_in_batch
+        |FROM (
+        |  SELECT stream, day, batch_id, COUNT(*) AS n_records,
+        |    CAST(SUM(CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_failed
+        |  FROM (
+        |    SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+        |      CAST(floor((ROW_NUMBER() OVER (
+        |        PARTITION BY event_type, date_trunc('day', ts)
+        |        ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+        |    FROM events) t
+        |  GROUP BY 1, 2, 3) b
+        |GROUP BY 1""".stripMargin,
+    "evt_counters" ->
+      """WITH ranked_u AS (
+        |  SELECT event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY event_id) AS rk
+        |  FROM events),
+        |ranked_s AS (
+        |  SELECT event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY event_id) AS rk
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, day, batch_id, COUNT(*) AS nr
+        |  FROM (
+        |    SELECT event_type, date_trunc('day', ts) AS day, event_id,
+        |      CAST(floor((ROW_NUMBER() OVER (
+        |        PARTITION BY event_type, date_trunc('day', ts)
+        |        ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
+        |    FROM events) t
+        |  GROUP BY 1, 2, 3)
+        |SELECT 'event_received' AS metric, COUNT(*) AS value FROM events
+        |UNION ALL SELECT 'not_an_event',
+        |  CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |UNION ALL SELECT 'event_sent',
+        |  CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |UNION ALL SELECT 'kinesis_retry_scheduled',
+        |  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 3
+        |                WHEN event_id % 7 = 0 THEN 2
+        |                WHEN event_id % 3 = 0 THEN 1
+        |                ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'old_event_received',
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-05' THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM events
+        |UNION ALL SELECT 'future_event_received',
+        |  CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM events
+        |UNION ALL SELECT 'modified_wrp_count',
+        |  CAST(SUM(CASE WHEN event_id % 5 = 0 OR event_id % 3 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'event_throttled',
+        |  CAST(SUM(CASE WHEN rk >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_u
+        |UNION ALL SELECT 'event_not_throttled',
+        |  CAST(SUM(CASE WHEN rk < 2 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_u
+        |UNION ALL SELECT 'slow_consumer_dropped_message_count',
+        |  CAST(SUM(CASE WHEN rk > 5 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_s
+        |UNION ALL SELECT 'kinesis_batch_sent', COUNT(*) FROM b
+        |UNION ALL SELECT 'kinesis_record_sent',
+        |  CAST(SUM(nr) AS BIGINT) FROM b""".stripMargin)
 }
