@@ -42,6 +42,32 @@ object TextDedup {
     }
   }
 
+  /** Cross-corpus n-gram overlap — benchmark decontamination (the
+    * GPT-3 appendix-C / Lee et al. 2022 §6.2 procedure): flag every
+    * training doc sharing at least `minShared` distinct word n-grams
+    * with any benchmark/eval doc, reporting the (train, bench,
+    * n_shared) collision evidence. Same posting-list shape as
+    * [[ngramJaccardPairs]], but cross-corpus and thresholded on the
+    * ABSOLUTE collision count (decontamination cares about any leaked
+    * span, not symmetric similarity).
+    *
+    * Scale: both sides shingle map-side (codegen) and drop text before
+    * the shuffle; the join key is the shingle string so each bucket is
+    * one gram's cross posting list. The bench side of a real pipeline
+    * is tiny (eval suites, MBs) — AQE broadcasts it at runtime; the
+    * 100 TB train side never self-joins. */
+  def crossCorpusOverlap(train: DataFrame, bench: DataFrame,
+      n: Int = 5, minShared: Long = 5L): DataFrame = {
+    def grams(df: DataFrame, out: String) =
+      shingleArrays(df, n)
+        .select(col("doc_id").as(out), explode(col("shingles")).as("shingle"))
+    grams(train, "train_id")
+      .join(grams(bench, "bench_id"), "shingle")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact Jaccard near-dup pairs at threshold tau via the
     * shared-shingle posting-list self-join. Size-incompatible pairs are
     * pruned AT THE JOIN: jaccard >= tau forces |A| >= tau*|B| and

@@ -57,6 +57,22 @@ object Docs {
     graft.operators.TextDedup.ngramJaccardPairs(
       Tables.documents(s, d), n = 3, tau = 0.5)
 
+  /** #56 Benchmark decontamination (GPT-3 appendix-C / Lee et al. 2022
+    * §6.2 n-gram collision procedure): training docs sharing ≥5
+    * distinct 5-gram shingles with ANY benchmark doc, with the
+    * (train, bench, n_shared) collision evidence. The benchmark
+    * stand-in is the deterministic doc_id%10 slice of the corpus (a
+    * real pipeline reads the eval suites there); train = the rest.
+    * Cross-corpus posting-list equi join — text never shuffles, the
+    * bench side is broadcast-sized at any real scale. */
+  def docDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.operators.TextDedup.crossCorpusOverlap(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      n = 5, minShared = 5L)
+  }
+
   /** #38 MinHash + LSH near-dup (rows-only: DuckDB cannot reproduce
     * Spark's Murmur3 hash family). k=16 permutations via seeded murmur3
     * (hash(seed, shingle) — codegen'd), 4 bands × 4 rows; band-bucket
@@ -376,7 +392,8 @@ object Docs {
     "doc_sample" -> (docSample _),
     "doc_dedup_canon" -> (docDedupCanon _),
     "doc_dup_spans" -> (docDupSpans _),
-    "doc_pipeline_e2e" -> (docPipelineE2e _))
+    "doc_pipeline_e2e" -> (docPipelineE2e _),
+    "doc_decontaminate" -> (docDecontaminate _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -667,5 +684,20 @@ object Docs {
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(DISTINCT substring(md5(text), 1, 16)) AS n_unique64
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' '))-3, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2] || ' '
+        |           || string_split(text,' ')[i+3] || ' '
+        |           || string_split(text,' ')[i+4])) AS shingle
+        |    FROM documents) t)
+        |SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+        |  COUNT(*) AS n_shared
+        |FROM sh t JOIN sh b USING (shingle)
+        |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** crossCorpusOverlap (benchmark decontamination): planted leaks are
+  * found with exact collision counts, clean docs are not flagged, and
+  * the threshold is monotone. */
+class DecontaminateSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.spark
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // 30 distinct words -> 26 distinct 5-grams
+  private val benchText = (0 until 30).map(i => s"b$i").mkString(" ")
+
+  test("a train doc containing a verbatim benchmark span is flagged with the exact collision count") {
+    // train doc 1 embeds bench words 0..14 (15 words -> 11 leaked
+    // 5-grams, none spanning the prefix/suffix seams because the
+    // surrounding vocab is disjoint); train doc 2 is clean.
+    val leaked = ((0 until 5).map(i => s"t$i") ++
+      (0 until 15).map(i => s"b$i") ++
+      (0 until 5).map(i => s"u$i")).mkString(" ")
+    val clean = (0 until 40).map(i => s"c$i").mkString(" ")
+    val got = TextDedup.crossCorpusOverlap(
+      df(Seq(1L -> leaked, 2L -> clean)), df(Seq(100L -> benchText)),
+      n = 5, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 11L)), s"got $got")
+  }
+
+  test("shared grams below minShared are not reported; lower thresholds are supersets") {
+    // 8 shared words -> 4 shared 5-grams: invisible at minShared=5,
+    // reported at minShared=4
+    val partial = ((0 until 8).map(i => s"b$i") ++
+      (0 until 22).map(i => s"v$i")).mkString(" ")
+    val train = df(Seq(1L -> partial))
+    val bench = df(Seq(100L -> benchText))
+    assert(TextDedup.crossCorpusOverlap(train, bench, 5, 5L).count() == 0L)
+    val at4 = TextDedup.crossCorpusOverlap(train, bench, 5, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(at4 == Set((1L, 100L, 4L)), s"got $at4")
+  }
+
+  test("repeated occurrences of one gram count once (distinct-shingle semantics)") {
+    // the train doc repeats the same 5-word window many times; the
+    // collision evidence counts DISTINCT leaked grams, not occurrences
+    val window = (0 until 5).map(i => s"b$i").mkString(" ")
+    val repeated = Seq.fill(10)(window).mkString(" ")
+    val got = TextDedup.crossCorpusOverlap(
+      df(Seq(1L -> repeated)), df(Seq(100L -> benchText)), 5, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // repeating "b0..b4" ten times yields windows like "b3 b4 b0 b1 b2"
+    // too — exactly the 5 rotations of the window, each a bench 5-gram
+    // only if present in benchText; benchText is b0..b29 consecutive, so
+    // only "b0 b1 b2 b3 b4" matches
+    assert(got == Set((1L, 100L, 1L)), s"got $got")
+  }
+}
