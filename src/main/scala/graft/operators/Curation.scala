@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup/quality gating: sequence packing (concat-and-chunk into
+  * fixed-token training sequences) and mixture-matching subsampling
+  * (largest subset achieving a target domain mixture exactly).
+  *
+  * Both are pure window/aggregate plans — no UDFs, no state — so
+  * Catalyst prunes and pushes through them like any other query.
+  */
+object Curation {
+
+  /** Concat-and-chunk sequence packing (the GPT-style pregrouping:
+    * documents are concatenated in deterministic order and split into
+    * fixed `ctx`-token training sequences; a document may straddle a
+    * sequence boundary). Packing is PER `source` — each source packs
+    * its own stream independently, so the running sum is a per-group
+    * window, never a global sort; at 100 TB you shard further (e.g.
+    * source × date) and the shape is unchanged.
+    *
+    * Output: one row per (source, seq_id) with n_docs (documents
+    * overlapping the sequence), n_docs_started (documents whose first
+    * token lands in it), n_tokens (= ctx except each source's last
+    * sequence). Token positions are exact integer arithmetic over a
+    * running token sum; the doc→sequence fanout is explode(sequence),
+    * ~|doc|/ctx rows per doc.
+    */
+  def packSequences(docs: DataFrame, ctx: Int = 512): DataFrame = {
+    require(ctx >= 1, "ctx must be >= 1")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    // token counts map-side; only (source, doc_id, n_tok) reaches the
+    // window shuffle — document text never crosses the wire
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $ctx"), expr(s"(end_tok - 1) div $ctx"))))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("start_tok") >= col("seq_id") * ctx, 1L)
+          .otherwise(0L)).as("n_docs_started"),
+        sum(least(col("end_tok"), (col("seq_id") + 1) * ctx) -
+          greatest(col("start_tok"), col("seq_id") * ctx)).as("n_tokens"))
+  }
+
+  /** Mixture-matching subsample: keep the LARGEST subset of the corpus
+    * whose `lang` distribution matches integer target weights exactly
+    * (up to floor rounding) — the deterministic form of domain
+    * reweighting (DoReMi-style target mixtures applied by subsampling).
+    *
+    * T = min over langs of (n_lang * scale) div w_lang is the largest
+    * feasible total; each lang keeps its (T * w_lang) div scale
+    * lowest-hash docs (multiplicative Knuth hash, doc_id tiebreak — the
+    * same engine-replayable family as stratified sampling), so the
+    * binding lang keeps ~all its docs and every other lang is downsampled
+    * to proportion.
+    *
+    * Returns per-doc rows (doc_id, lang, n_chars, wt, kept). Exact-k
+    * selection ranks within each lang (one skewed shuffle); at 100 TB
+    * swap the rank for a per-lang hash THRESHOLD (rate = k_l/n_l, as in
+    * stratified sampling) and accept ±binomial noise on the mixture —
+    * the rest of the plan is unchanged.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Long],
+      scale: Long = 100L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wt = weights.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
+      when(col("lang") === lang, w).otherwise(acc)
+    }
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("wt", wt).filter(col("wt") > 0)
+      .withColumn("bucket",
+        ((col("doc_id") % 1597334677L) * 2654435761L) % 4294967296L)
+    val tMax = base.groupBy("lang", "wt")
+      .agg(count(lit(1)).as("n_total"))
+      .agg(min(expr(s"(n_total * $scale) div wt")).as("t_max"))
+    val rk = row_number().over(
+      Window.partitionBy("lang").orderBy("bucket", "doc_id"))
+    base
+      .withColumn("rk", rk)
+      .join(broadcast(tMax))
+      .withColumn("kept", col("rk") <= expr(s"(t_max * wt) div $scale"))
+      .select("doc_id", "lang", "n_chars", "wt", "kept")
+  }
+}

@@ -331,6 +331,29 @@ object Docs {
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** #57 Sequence packing (concat-and-chunk): documents concatenated in
+    * doc_id order PER SOURCE and split into 512-token training
+    * sequences; per-sequence doc/token accounting. The running token
+    * sum is a per-source window (no global sort) and only
+    * (source, doc_id, n_tok) reaches the shuffle. Oracle = the same
+    * interval arithmetic as a DuckDB running-sum CTE. */
+  def docPack(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.packSequences(Tables.documents(s, d), ctx = 512)
+
+  /** #58 Mixture-matching subsample (deterministic domain reweighting):
+    * the largest corpus subset whose lang mixture hits the literal
+    * target weights exactly (floor rounding); per-lang kept/total/chars
+    * accounting. The binding lang (es at these weights) keeps ~all its
+    * docs; selection is lowest-multiplicative-hash per lang, so DuckDB
+    * replays it bit-for-bit. */
+  def docMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.mixtureSample(Tables.documents(s, d),
+      Map("en" -> 30L, "es" -> 25L, "zh" -> 20L, "de" -> 15L, "fr" -> 10L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), max("wt").as("target_pct"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+
   /** #55 End-to-end curation pipeline — the composition a training-data
     * consumer actually runs, as ONE declarative plan Catalyst optimizes
     * whole: quality gate (length + stopword ratio) → predicted-language
@@ -393,7 +416,9 @@ object Docs {
     "doc_dedup_canon" -> (docDedupCanon _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_pipeline_e2e" -> (docPipelineE2e _),
-    "doc_decontaminate" -> (docDecontaminate _))
+    "doc_decontaminate" -> (docDecontaminate _),
+    "doc_pack" -> (docPack _),
+    "doc_mixture" -> (docMixture _))
 
   /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
     * family). Shingles are built with list_transform over range — same
@@ -699,5 +724,42 @@ object Docs {
         |  COUNT(*) AS n_shared
         |FROM sh t JOIN sh b USING (shingle)
         |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
+    "doc_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text,' ')) AS n_tok,
+        |    CAST(SUM(len(string_split(text,' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, n_tok, end_tok,
+        |        end_tok - n_tok AS start_tok FROM t),
+        |e AS (SELECT source, start_tok, end_tok,
+        |        unnest(range(start_tok // 512, (end_tok - 1) // 512 + 1))
+        |          AS seq_id
+        |      FROM s)
+        |SELECT source, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN start_tok >= seq_id * 512 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_started,
+        |  CAST(SUM(least(end_tok, (seq_id + 1) * 512)
+        |         - greatest(start_tok, seq_id * 512)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "doc_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 25 WHEN 'zh' THEN 20
+        |              WHEN 'de' THEN 15 WHEN 'fr' THEN 10 ELSE 0 END AS wt,
+        |    ((doc_id % 1597334677) * 2654435761) % 4294967296 AS bucket
+        |  FROM documents
+        |  WHERE lang IN ('en','es','zh','de','fr')),
+        |t AS (SELECT MIN((n_total * 100) // wt) AS t_max FROM (
+        |  SELECT lang, wt, COUNT(*) AS n_total FROM b GROUP BY 1, 2) c),
+        |r AS (SELECT b.*, ROW_NUMBER() OVER (
+        |        PARTITION BY lang ORDER BY bucket, doc_id) AS rk FROM b)
+        |SELECT lang, COUNT(*) AS n_total, CAST(MAX(wt) AS BIGINT) AS target_pct,
+        |  CAST(SUM(CASE WHEN rk <= ((SELECT t_max FROM t) * wt) // 100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= ((SELECT t_max FROM t) * wt) // 100
+        |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY 1""".stripMargin)
 }

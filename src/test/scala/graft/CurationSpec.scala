@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing + mixture-matching subsample: hand-computable
+  * fixtures pin the interval arithmetic; invariants hold on the real
+  * corpus. */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def mkDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("packSequences: hand-computed straddling doc lands in both sequences") {
+    // source s: docs of 6, 3, 5 tokens at ctx=8.
+    // starts/ends: [0,6) [6,9) [9,14) → doc2 straddles the seq0/seq1
+    // boundary; seq0 = 8 tokens (docs 1,2), seq1 = 6 tokens (docs 2,3)
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = mkDocs(Seq(
+      (1L, "s", words(6, "a")), (2L, "s", words(3, "b")),
+      (3L, "s", words(5, "c"))))
+    val got = Curation.packSequences(docs, ctx = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("s", 0L, 2L, 2L, 8L), ("s", 1L, 2L, 1L, 6L)),
+      s"got $got")
+  }
+
+  test("packSequences invariants on the corpus: token conservation, full interior sequences, per-source isolation") {
+    val docs = Tables.documents(spark, d)
+    val packed = Curation.packSequences(docs, ctx = 512)
+    val perSource = packed.groupBy("source")
+      .agg(sum("n_tokens").as("packed_tok"), max("seq_id").as("last_seq"),
+        sum("n_docs_started").as("started"))
+    val expected = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("raw_tok"),
+        count(lit(1)).as("n_docs"))
+    val joined = perSource.join(expected, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("packed_tok") == r.getAs[Long]("raw_tok"),
+        s"token loss in ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("started") == r.getAs[Long]("n_docs"),
+        s"doc lost/duplicated in ${r.getAs[String]("source")}")
+    }
+    // every sequence except each source's last carries exactly ctx tokens
+    val nonLast = packed.as("p").join(perSource.as("t"), "source")
+      .filter(col("p.seq_id") < col("t.last_seq"))
+      .filter(col("p.n_tokens") =!= 512)
+    assert(nonLast.count() == 0, "interior sequence not full")
+  }
+
+  test("mixtureSample: achieved mixture is exactly floor(T*w/scale) per lang and the binding lang keeps all docs") {
+    val weights = Map("en" -> 30L, "es" -> 25L, "zh" -> 20L,
+      "de" -> 15L, "fr" -> 10L)
+    val docs = Tables.documents(spark, d)
+    val out = Curation.mixtureSample(docs, weights)
+    val per = out.groupBy("lang").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    val counts = per.map { case (l, (n, _)) => l -> n }
+    val tMax = weights.keys.map(l => counts(l) * 100L / weights(l)).min
+    weights.foreach { case (l, w) =>
+      val expectedK = math.min(tMax * w / 100L, counts(l))
+      assert(per(l)._2 == expectedK, s"$l kept ${per(l)._2} != $expectedK")
+    }
+    // the binding lang is the min in the tMax formula; floor can shave
+    // at most (wt-1)/scale docs from it
+    val binding = weights.keys.minBy(l => counts(l) * 100L / weights(l))
+    assert(per(binding)._2 >= per(binding)._1 - 1,
+      s"binding lang $binding lost more than rounding")
+  }
+
+  test("mixtureSample: kept subset is stable under reordering (hash-determined, not input-order)") {
+    val docs = Tables.documents(spark, d)
+    val w = Map("en" -> 50L, "es" -> 50L)
+    val a = Curation.mixtureSample(docs, w)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.mixtureSample(docs.orderBy(desc("n_chars")), w)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("bad configs fail fast") {
+    val docs = Tables.documents(spark, d)
+    intercept[IllegalArgumentException] { Curation.packSequences(docs, 0) }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(docs, Map("en" -> 0L))
+    }
+  }
+}
