@@ -44,7 +44,15 @@ object Bench {
     val total = results.map(_._2).sum
     // a broken query must not read as a fast one: failures are listed
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    // The driver captures only the last ~2 KB of stdout; the per-query map
+    // alone is ~2.4 KB. Persist the full record to a committed file and keep
+    // the final stdout line under 200 bytes so it always parses.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val totalR = math.round(total * 1000.0) / 1000.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failedJson,"runs":$runs,"full":"BENCH_full.json"}""")
     spark.stop()
   }
 }
