@@ -104,9 +104,10 @@ object ScaleProbe {
               graft.streaming.EventStream.parse(json)), spark)
           val ckptPath = java.nio.file.Files
             .createTempDirectory("probe_stream_ckpt")
+          var qq: org.apache.spark.sql.streaming.StreamingQuery = null
           val processed =
             try {
-              val qq = routed.writeStream.format("noop")
+              qq = routed.writeStream.format("noop")
                 .option("checkpointLocation", ckptPath.toString).start()
               val t1 = System.nanoTime()
               var done = 0L
@@ -128,13 +129,23 @@ object ScaleProbe {
               println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
               done
             } finally {
+              // if an exception escaped the poll loop the query may still
+              // be running — stop it BEFORE deleting its checkpoint, or
+              // the active query races the delete
+              if (qq != null && qq.isActive) {
+                try qq.stop()
+                catch { case _: Throwable => () }
+              }
               // the checkpoint is probe-scoped scratch: remove it so
               // repeated probes neither accumulate /tmp state nor risk
               // resuming from a stale batchId
               import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(ckptPath).iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+              val walk = java.nio.file.Files.walk(ckptPath)
+              try
+                walk.iterator().asScala.toSeq
+                  .sortBy(-_.getNameCount)
+                  .foreach(p => java.nio.file.Files.deleteIfExists(p))
+              finally walk.close()
             }
           processed
         case _ => SparkEntry.queries(q)(spark, dir).count()

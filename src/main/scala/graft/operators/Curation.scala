@@ -31,7 +31,10 @@ object Curation {
     */
   def packSequences(docs: DataFrame, ctx: Int = 512): DataFrame = {
     require(ctx >= 1, "ctx must be >= 1")
+    // ROWS frame, not the orderBy default of RANGE-to-current-row: under
+    // RANGE, tied doc_ids would sum together and corrupt token positions.
     val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // token counts map-side; only (source, doc_id, n_tok) reaches the
     // window shuffle — document text never crosses the wire
     docs
@@ -72,23 +75,33 @@ object Curation {
       scale: Long = 100L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val wt = weights.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
-      when(col("lang") === lang, w).otherwise(acc)
-    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("lang", "wt")
     val base = docs
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("wt", wt).filter(col("wt") > 0)
+      .join(broadcast(wdf), Seq("lang"))
       .withColumn("bucket",
         ((col("doc_id") % 1597334677L) * 2654435761L) % 4294967296L)
-    val tMax = base.groupBy("lang", "wt")
-      .agg(count(lit(1)).as("n_total"))
+    // Feasibility is over the WEIGHT list, not the observed langs: a
+    // weighted lang absent from the corpus caps the mixture at zero
+    // (n_total = 0) instead of silently vanishing from the constraint.
+    // broadcast the counts (≤ one row per lang): a left outer join can
+    // only build its RIGHT side, so hinting the weight side would be
+    // silently ignored
+    val tMax = wdf
+      .join(broadcast(base.groupBy("lang").agg(count(lit(1)).as("n_total"))),
+        Seq("lang"), "left")
+      .withColumn("n_total", coalesce(col("n_total"), lit(0L)))
       .agg(min(expr(s"(n_total * $scale) div wt")).as("t_max"))
     val rk = row_number().over(
       Window.partitionBy("lang").orderBy("bucket", "doc_id"))
     base
       .withColumn("rk", rk)
       .join(broadcast(tMax))
-      .withColumn("kept", col("rk") <= expr(s"(t_max * wt) div $scale"))
+      // kept is a verdict, never NULL — degenerate inputs read as drop
+      .withColumn("kept",
+        coalesce(col("rk") <= expr(s"(t_max * wt) div $scale"), lit(false)))
       .select("doc_id", "lang", "n_chars", "wt", "kept")
   }
 }

@@ -752,8 +752,11 @@ object Docs {
         |    ((doc_id % 1597334677) * 2654435761) % 4294967296 AS bucket
         |  FROM documents
         |  WHERE lang IN ('en','es','zh','de','fr')),
-        |t AS (SELECT MIN((n_total * 100) // wt) AS t_max FROM (
-        |  SELECT lang, wt, COUNT(*) AS n_total FROM b GROUP BY 1, 2) c),
+        |t AS (SELECT MIN((COALESCE(n_total, 0) * 100) // wt) AS t_max
+        |  FROM (VALUES ('en',30),('es',25),('zh',20),('de',15),('fr',10))
+        |    w(lang, wt)
+        |  LEFT JOIN (SELECT lang, COUNT(*) AS n_total FROM b GROUP BY 1) c
+        |    USING (lang)),
         |r AS (SELECT b.*, ROW_NUMBER() OVER (
         |        PARTITION BY lang ORDER BY bucket, doc_id) AS rk FROM b)
         |SELECT lang, COUNT(*) AS n_total, CAST(MAX(wt) AS BIGINT) AS target_pct,

@@ -18,8 +18,10 @@ case class BandVerdict(doc_id: Long, band_idx: Int, dup_of: Option[Long],
 case class BandDocTs(band_idx: Int, band_hash: Int, doc_id: Long,
     sig: Seq[Int], ts: java.sql.Timestamp)
 
-/** Signatures already seen in one LSH band bucket. */
-case class BucketState(docs: List[(Long, Seq[Int])])
+/** Signatures already seen in one LSH band bucket, plus the newest
+  * event time the bucket has observed (millis; used only by the
+  * event-time-TTL variant — the processing-time variant leaves it 0). */
+case class BucketState(docs: List[(Long, Seq[Int])], maxTs: Long = 0L)
 
 /** Streaming near-duplicate suppression for a document stream — the
   * incremental twin of `TextDedup.minhashLshPairs` (SURVEY §2c #38): a
@@ -186,7 +188,12 @@ object DocStream {
           } else {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
             val out = List.newBuilder[BandVerdict]
-            var maxTs = 0L
+            // RUNNING max across micro-batches, not per-batch: an
+            // out-of-order batch (within the watermark delay) whose max
+            // ts is older than a prior batch's must not re-arm the
+            // timeout EARLIER — that would evict state prematurely and
+            // miss duplicates still inside the TTL.
+            var maxTs = state.getOption.map(_.maxTs).getOrElse(0L)
             batch.toSeq.sortBy(_.doc_id).foreach { r =>
               val hit = seen
                 .filter { case (_, s) => agreement(s, r.sig) >= tau }
@@ -196,11 +203,11 @@ object DocStream {
               seen = ((r.doc_id, r.sig) :: seen).take(maxPerBucket)
               maxTs = math.max(maxTs, r.ts.getTime)
             }
-            state.update(BucketState(seen))
-            // Arm expiry at (newest event in this bucket) + TTL. The
-            // timestamp must exceed the current watermark or Spark
-            // throws; rows below the watermark were already dropped
-            // upstream, but guard anyway for the ttl=0 edge.
+            state.update(BucketState(seen, maxTs))
+            // Arm expiry at (newest event this bucket has EVER seen) +
+            // TTL. The timestamp must exceed the current watermark or
+            // Spark throws; rows below the watermark were already
+            // dropped upstream, but guard anyway for the ttl=0 edge.
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1) + stateTtlMs)
             out.result().iterator

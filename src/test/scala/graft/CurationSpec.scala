@@ -56,6 +56,35 @@ class CurationSpec extends AnyFunSuite {
     assert(nonLast.count() == 0, "interior sequence not full")
   }
 
+  test("packSequences: duplicate doc_ids keep ROWS semantics — ties never sum together") {
+    // Two docs share doc_id 1 (6 and 3 tokens) at ctx=8. Under the ROWS
+    // frame each tie gets its own running sum → seq0 carries exactly 8
+    // tokens, seq1 the remaining 1. Under the default RANGE frame both
+    // ties would share end_tok=9 → (7, 2): corrupted token accounting.
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = mkDocs(Seq(
+      (1L, "s", words(6, "a")), (1L, "s", words(3, "b"))))
+    val got = Curation.packSequences(docs, ctx = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    assert(got == Map(0L -> 8L, 1L -> 1L), s"got $got")
+  }
+
+  test("mixtureSample: a weighted lang absent from the corpus caps the mixture at zero, and kept is never NULL") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    // fr is weighted but absent: the only mixture hitting 50/50 exactly
+    // is the empty one — every doc must read kept=false, not drop fr
+    // from the constraint (which would keep all of en)
+    val out = Curation.mixtureSample(docs, Map("en" -> 50L, "fr" -> 50L))
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("kept")), "kept must not be NULL")
+      assert(!r.getAs[Boolean]("kept"), "infeasible mixture must keep nothing")
+    }
+  }
+
   test("mixtureSample: achieved mixture is exactly floor(T*w/scale) per lang and the binding lang keeps all docs") {
     val weights = Map("en" -> 30L, "es" -> 25L, "zh" -> 20L,
       "de" -> 15L, "fr" -> 10L)

@@ -191,6 +191,44 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"post-expiry dup 4 forgotten; got $flagged")
   }
 
+  test("event-time TTL: an out-of-order batch must not re-arm the timeout earlier (running max, not batch max)") {
+    implicit val sql = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // delay 500s admits heavily out-of-order events; TTL 100s of event
+    // time. The bucket sees ts=400 then an OLDER ts=300 in the next
+    // micro-batch: expiry must stay armed at 400+100, not drop to
+    // 300+100 — per-batch max would evict at watermark 450 and forget
+    // doc 1 while it is still inside its TTL.
+    val verdicts = DocStream.nearDupVerdictsEventTime(
+      in.toDF().toDF("doc_id", "text", "ts"), tsCol = "ts",
+      delay = "500 seconds", stateTtlMs = 100000L,
+      n = 3, k = 16, bands = 4, tau = 0.5)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ooo_et").start()
+    try {
+      in.addData(Seq((1L, base, ts(400)))); q.processAllAvailable()
+      // older IDENTICAL doc: hits every band bucket doc 1 occupies, so
+      // a per-batch-max arm re-arms ALL of them at 300+100
+      in.addData(Seq((2L, base, ts(300)))); q.processAllAvailable()
+      // unrelated doc drives the watermark to 950-500 = 450s: past a
+      // per-batch-max arm (300+100) but short of the running max (400+100)
+      in.addData(Seq((3L, "totally different words here now indeed", ts(950))))
+      q.processAllAvailable()
+      // above the 450s watermark and within doc 1's true TTL window:
+      // state must still be there and flag the dup
+      in.addData(Seq((4L, base + "tail", ts(460)))); q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = spark.table("dedup_ooo_et")
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((2L, 1L), (4L, 1L)),
+      s"expected (2,1) and (4,1) — premature eviction loses (4,1); got $flagged")
+  }
+
   test("signature parity: streaming map-side sigs equal the batch groupBy sigs") {
     val docs = Tables.documents(spark, d).select("doc_id", "text")
     val streamSide = DocStream.withSignature(docs, n = 3, k = 16)
