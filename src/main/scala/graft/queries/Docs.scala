@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{QueryMemo, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,14 +106,24 @@ object Docs {
     * chains; cluster assignment is what "keep exactly one per dup
     * group" actually needs. Oracle: DuckDB recursive CTE reachability
     * over the identical pair list. */
-  def docDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = docNgramJaccard(s, d)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    graft.operators.ConnectedComponents.assign(pairs)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  def docDedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterAssignment(s, d)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
-  }
+
+  /** The (doc_id, cluster_id) component map, memoized per (session,
+    * corpus): #37c and #37d both consume it, and a production pipeline
+    * mines the pair graph and solves components ONCE per corpus, then
+    * derives every downstream product — so the miner+CC cost is paid
+    * once per session, not once per query (VERDICT r9 #5). The memo
+    * stores only id pairs; documents never enter it. */
+  private def clusterAssignment(s: SparkSession, d: String): DataFrame =
+    QueryMemo.cached(s, s"dedup_cluster_map:n=3:tau=0.5:$d") {
+      val pairs = docNgramJaccard(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.ConnectedComponents.assign(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }
 
   /** #37d Canonical-doc selection — the end product of #37c: keep
     * exactly the cluster minimum of every dup group (transitive-safe,
@@ -121,7 +131,9 @@ object Docs {
     * victim set is clustered docs that are NOT their cluster's minimum
     * — an anti join, text never shuffles. */
   def docDedupCanon(s: SparkSession, d: String): DataFrame = {
-    val victims = docDedupClusters(s, d)
+    // victims need only the memoized component map — not the
+    // cluster_size window #37c adds on top of it
+    val victims = clusterAssignment(s, d)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     Tables.documents(s, d)
