@@ -87,7 +87,7 @@ object Events {
     Tables.events(s, d)
       .select(
         coalesce(
-          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+          when(Synthetics.emptyContentType, lit(null))
             .otherwise(lit("application/json")),
           lit("application/msgpack")).as("content_type"),
         substring(sha2(concat_ws(":", col("event_id").cast("string"),
@@ -210,16 +210,12 @@ object Events {
     * output carries total/max retries and the failed-over count — the
     * reference's deliveryRetries dimension. */
   def evtFailover(s: SparkSession, d: String): DataFrame = {
-    val failedOver = pmod(col("event_id"), lit(10)) === 0
-    val retries = when(failedOver, 3)
-      .when(pmod(col("event_id"), lit(7)) === 0, 2)
-      .when(pmod(col("event_id"), lit(3)) === 0, 1)
-      .otherwise(0)
+    val failedOver = Synthetics.failedOver
     Tables.events(s, d)
       .withColumn("delivered_to",
         when(!failedOver, col("event_type"))
           .otherwise(concat(col("event_type"), lit("_alt"))))
-      .withColumn("retries", retries.cast(LongType))
+      .withColumn("retries", Synthetics.retryCount)
       .groupBy("delivered_to")
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"),
         sum("retries").as("total_retries"), max("retries").as("max_retries"),
@@ -576,8 +572,8 @@ object Events {
     * (%5 content type — wrp_fix's rule — and %3 uuid). Pure map-side
     * classify + a 4-row groupBy: codegen, one tiny shuffle. */
   def wrpModified(s: SparkSession, d: String): DataFrame = {
-    val ctEmpty = pmod(col("event_id"), lit(5)) === 0
-    val uuidEmpty = pmod(col("event_id"), lit(3)) === 0
+    val ctEmpty = Synthetics.emptyContentType
+    val uuidEmpty = Synthetics.emptyUuid
     Tables.events(s, d)
       .select(
         when(ctEmpty && uuidEmpty, "empty_uuid_and_content_type")
@@ -663,7 +659,7 @@ object Events {
         col("event_type"), col("day"), col("event_id"), 100)
       .groupBy(col("event_type"), col("day"), col("batch_id"))
       .agg(count(lit(1)).as("n_records"),
-        sum(when(pmod(col("event_id"), lit(23)) === 0, 1L).otherwise(0L))
+        sum(when(Synthetics.kinesisRecordFailed, 1L).otherwise(0L))
           .as("n_failed"))
       .groupBy(col("event_type").as("stream"))
       .agg(count(lit(1)).as("batches_sent"),
@@ -684,50 +680,51 @@ object Events {
     * batch model), old/future_event_received (evt_old_future's
     * bounds), modified_wrp_count (wrp_modified's predicates), and
     * slow_consumer_dropped_message_count (evt_dropped's capacity).
-    * Three window passes + one flat agg, each a single shuffle; the
-    * melt is map(literal…) + explode — no extra shuffle. */
+    * ONE scan of the fact table (VERDICT r9 #6): the three rank passes
+    * chain over the same projected scan — three shuffles, same as the
+    * old one-pass-per-family shape, but the table is read once, not
+    * four times — and every counter folds into a single global
+    * aggregate. A batch exists iff some row has (rank−1) mod 100 = 0,
+    * so batch counting needs no distinct; the melt is map(literal…) +
+    * explode — no extra shuffle. */
   def evtCounters(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
     def melt(df: DataFrame): DataFrame =
       df.select(explode(map(df.columns.flatMap(c =>
         Seq(lit(c), col(c))): _*)).as(Seq("metric", "value")))
-    val notAnEvent = pmod(col("event_id"), lit(13)) === 0
-    val retries = when(pmod(col("event_id"), lit(10)) === 0, 3L)
-      .when(pmod(col("event_id"), lit(7)) === 0, 2L)
-      .when(pmod(col("event_id"), lit(3)) === 0, 1L)
-      .otherwise(0L)
+    val notAnEvent = Synthetics.notAnEvent
     val old = col("ts") < lit("2024-01-05").cast("timestamp")
     val future = col("ts") > lit("2024-01-25").cast("timestamp")
-    val modified = pmod(col("event_id"), lit(5)) === 0 ||
-      pmod(col("event_id"), lit(3)) === 0
-    val flat = ev.agg(
-      count(lit(1)).as("event_received"),
-      sum(when(notAnEvent, 1L).otherwise(0L)).as("not_an_event"),
-      sum(when(!notAnEvent, 1L).otherwise(0L)).as("event_sent"),
-      sum(retries).as("kinesis_retry_scheduled"),
-      sum(when(old, 1L).otherwise(0L)).as("old_event_received"),
-      sum(when(future, 1L).otherwise(0L)).as("future_event_received"),
-      sum(when(modified, 1L).otherwise(0L)).as("modified_wrp_count"))
+    val modified = Synthetics.emptyContentType || Synthetics.emptyUuid
     val wUser = Window
       .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
       .orderBy("event_id")
-    val throttle = ev.withColumn("rk", row_number().over(wUser))
-      .agg(sum(when(col("rk") >= 2, 1L).otherwise(0L)).as("event_throttled"),
-        sum(when(col("rk") < 2, 1L).otherwise(0L)).as("event_not_throttled"))
     val wStream = Window
       .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
       .orderBy("event_id")
-    val drops = ev.withColumn("rk", row_number().over(wStream))
-      .agg(sum(when(col("rk") > 5, 1L).otherwise(0L))
-        .as("slow_consumer_dropped_message_count"))
-    val batches = graft.operators.Batching.assign(
-        ev.withColumn("day", date_trunc("day", col("ts"))),
-        col("event_type"), col("day"), col("event_id"), 100)
-      .groupBy("event_type", "day", "batch_id")
-      .agg(count(lit(1)).as("nr"))
-      .agg(count(lit(1)).as("kinesis_batch_sent"),
-        sum("nr").as("kinesis_record_sent"))
-    melt(flat).union(melt(throttle)).union(melt(drops)).union(melt(batches))
+    val wBatch = Window
+      .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+      .orderBy("event_id")
+    val ranked = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("rk_user", row_number().over(wUser))
+      .withColumn("rk_stream", row_number().over(wStream))
+      .withColumn("rk_batch", row_number().over(wBatch))
+    val wide = ranked.agg(
+      count(lit(1)).as("event_received"),
+      sum(when(notAnEvent, 1L).otherwise(0L)).as("not_an_event"),
+      sum(when(!notAnEvent, 1L).otherwise(0L)).as("event_sent"),
+      sum(Synthetics.retryCount).as("kinesis_retry_scheduled"),
+      sum(when(old, 1L).otherwise(0L)).as("old_event_received"),
+      sum(when(future, 1L).otherwise(0L)).as("future_event_received"),
+      sum(when(modified, 1L).otherwise(0L)).as("modified_wrp_count"),
+      sum(when(col("rk_user") >= 2, 1L).otherwise(0L)).as("event_throttled"),
+      sum(when(col("rk_user") < 2, 1L).otherwise(0L)).as("event_not_throttled"),
+      sum(when(col("rk_stream") > 5, 1L).otherwise(0L))
+        .as("slow_consumer_dropped_message_count"),
+      sum(when(pmod(col("rk_batch") - 1, lit(100)) === 0, 1L).otherwise(0L))
+        .as("kinesis_batch_sent"),
+      count(lit(1)).as("kinesis_record_sent"))
+    melt(wide)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic stand-ins for runtime signals the synthetic parquet
+  * has no column for (empty WRP fields, transport errors, not-an-event
+  * dests). Several queries AND their DuckDB oracle twins share these
+  * reason-ladder predicates; each lives here exactly once so a query
+  * and its oracle cannot drift apart. The oracle SQL mirrors them as
+  * literal `event_id % k` expressions — changing a modulus here means
+  * changing the matching oracle string in the same commit.
+  */
+object Synthetics {
+
+  /** fixWrp: message arrived with an empty content type
+    * (reference internal/event/request_handler.go:141-150). */
+  val emptyContentType: Column = pmod(col("event_id"), lit(5)) === 0
+
+  /** fixWrp: message arrived without a transaction uuid
+    * (reference internal/event/request_handler.go:152-163). */
+  val emptyUuid: Column = pmod(col("event_id"), lit(3)) === 0
+
+  /** dest outside the "event:" scheme
+    * (reference internal/metrics/tags.go NotAnEvent). */
+  val notAnEvent: Column = pmod(col("event_id"), lit(13)) === 0
+
+  /** per-record failure inside an accepted Kinesis PutRecords batch
+    * (reference internal/metrics/tags.go:56). */
+  val kinesisRecordFailed: Column = pmod(col("event_id"), lit(23)) === 0
+
+  /** transport retry ladder: %10 exhausts all 3 retries and fails over
+    * to the alt stream; %7 / %3 succeed after 2 / 1 transient retries
+    * (reference filter/filter.go:30 deliveryRetries). */
+  val failedOver: Column = pmod(col("event_id"), lit(10)) === 0
+
+  def retryCount: Column =
+    when(failedOver, 3L)
+      .when(pmod(col("event_id"), lit(7)) === 0, 2L)
+      .when(pmod(col("event_id"), lit(3)) === 0, 1L)
+      .otherwise(0L)
+}
