@@ -668,6 +668,48 @@ object Events {
         sum(when(col("n_failed") > 0, 1L).otherwise(0L)).as("partial_batches"),
         max("n_failed").as("max_failed_in_batch"))
 
+  /** #27b tags.go straggler metrics (internal/metrics/tags.go:26
+    * InterfaceUsedRead, :49 NoDisconnectPayload, :53 EventMergeError,
+    * :71 EmptyHistory) — the last analytics-side metric names without a
+    * query twin. interface_used_read re-reads #13c's connection-
+    * interface props field: a read counts iff the interface actually
+    * parses. A disconnect (#13b's offline sub-type) must carry a reason
+    * payload; a deterministic subset (%17) arrives without one, and the
+    * counter is derived from ACTUAL JSON parsing of the synthesized
+    * payload while the oracle replays the corruption arithmetic.
+    * error_merging_event is a pure transport stand-in (%19).
+    * empty_history is fully REAL: a merge-time read finds empty stored
+    * history iff the event is its user's first in (ts, event_id) order
+    * — row_number over the user partition, one extra window shuffle.
+    * Per-type counters, ONE scan of the fact table. */
+  def evtMergeErrors(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val iface = when(pmod(k, lit(5)) === 0, "wifi")
+      .when(pmod(k, lit(5)) === 1, "ethernet")
+      .when(pmod(k, lit(5)) === 2, "moca")
+      .when(pmod(k, lit(5)) === 3, "5g-modem")
+      .otherwise(lit(null))
+    val offline = pmod(col("event_id"), lit(6)) === 1
+    val payload = when(Synthetics.missingDisconnectPayload, lit("{}"))
+      .otherwise(lit("""{"reason":"normal-disconnect"}"""))
+    val wHist = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        iface.as("iface"), offline.as("offline"),
+        get_json_object(payload, "$.reason").as("reason"))
+      .withColumn("hist_rank", row_number().over(wHist))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("iface").isNotNull, 1L).otherwise(0L))
+          .as("interface_used_read"),
+        sum(when(col("offline") && col("reason").isNull, 1L).otherwise(0L))
+          .as("missing_disconnect_payload"),
+        sum(when(Synthetics.mergeError, 1L).otherwise(0L))
+          .as("error_merging_event"),
+        sum(when(col("hist_rank") === 1, 1L).otherwise(0L))
+          .as("empty_history"))
+  }
+
   /** #27 The metrics endpoint: one (metric, value) row per tags.go
     * event counter the reference's analytics reads, so every metric
     * name has a query twin (tags.go:8-29 + event/metrics.go ladder):
@@ -763,7 +805,8 @@ object Events {
     "evt_queue_depth" -> (evtQueueDepth _),
     "evt_slow_consumer" -> (evtSlowConsumer _),
     "evt_kinesis_batches" -> (evtKinesisBatches _),
-    "evt_counters" -> (evtCounters _))
+    "evt_counters" -> (evtCounters _),
+    "evt_merge_errors" -> (evtMergeErrors _))
 
   /** DuckDB-dialect twins. Shared-subset discipline: RE2∩Java regex only,
     * epoch seconds via floor(epoch()) ≡ Spark unix_timestamp, ordering by
@@ -1176,5 +1219,21 @@ object Events {
         |  CAST(SUM(CASE WHEN rk > 5 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_s
         |UNION ALL SELECT 'kinesis_batch_sent', COUNT(*) FROM b
         |UNION ALL SELECT 'kinesis_record_sent',
-        |  CAST(SUM(nr) AS BIGINT) FROM b""".stripMargin)
+        |  CAST(SUM(nr) AS BIGINT) FROM b""".stripMargin,
+    "evt_merge_errors" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |      AS INTEGER) % 5 IN (0, 1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS interface_used_read,
+        |  CAST(SUM(CASE WHEN event_id % 6 = 1 AND event_id % 17 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS missing_disconnect_payload,
+        |  CAST(SUM(CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS error_merging_event,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS empty_history
+        |FROM (SELECT event_type, event_id, props,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rk
+        |      FROM events) t
+        |GROUP BY 1""".stripMargin)
 }

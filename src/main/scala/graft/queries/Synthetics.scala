@@ -34,6 +34,14 @@ object Synthetics {
     * (reference filter/filter.go:30 deliveryRetries). */
   val failedOver: Column = pmod(col("event_id"), lit(10)) === 0
 
+  /** disconnect event arrived without its reason payload
+    * (reference internal/metrics/tags.go:49 NoDisconnectPayload). */
+  val missingDisconnectPayload: Column = pmod(col("event_id"), lit(17)) === 0
+
+  /** merging the incoming event into stored history failed
+    * (reference internal/metrics/tags.go:53 EventMergeError). */
+  val mergeError: Column = pmod(col("event_id"), lit(19)) === 0
+
   def retryCount: Column =
     when(failedOver, 3L)
       .when(pmod(col("event_id"), lit(7)) === 0, 2L)
