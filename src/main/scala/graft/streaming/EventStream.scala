@@ -112,6 +112,62 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("user_id"),
         col("n_in_hour"))
 
+  /** #24-streaming Queue-depth gauge — the live form of the reference's
+    * IncomingQueueDepth/OutgoingQueueDepth gauges (metrics.go:18,21;
+    * queue.go:135-216), matching batch `evt_queue_depth` row for row
+    * once windows close. The batch query's per-arrival depth is
+    * ((r−1) mod 100)+1 — a function of the arrival rank alone — so the
+    * hour's whole gauge envelope has a closed form in the arrival count
+    * n: max = min(n, 100), sum = (n div 100)·5050 + m(m+1)/2 with
+    * m = n mod 100. One watermarked windowed count, then map-side
+    * arithmetic: no per-event state, bounded by live windows only. */
+  def queueDepthGauge(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_arrivals"))
+      .select(col("event_type").as("stream"),
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("n_arrivals"),
+        expr("CAST(ceil(n_arrivals / 100.0) AS BIGINT)").as("n_batches"),
+        least(col("n_arrivals"), lit(100L)).as("max_depth"),
+        expr("(n_arrivals div 100) * 5050 + " +
+          "(n_arrivals % 100) * (n_arrivals % 100 + 1) div 2").as("sum_depth"))
+      .withColumn("avg_depth",
+        col("sum_depth").cast("double") / col("n_arrivals"))
+
+  /** #25-streaming Slow-consumer drop gauge (metrics.go:16-17): hours
+    * where arrivals exceeded the consumer capacity, with the overflow
+    * count — batch `evt_slow_consumer`'s hourly CTE as a live stream.
+    * rank > capacity over n arrivals drops exactly max(n−capacity, 0)
+    * messages, so the watermarked windowed count is the whole gauge. */
+  def slowConsumerDrops(parsed: DataFrame, capacity: Long = 5L): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window"), col("event_type").as("stream"),
+        greatest(col("n") - lit(capacity), lit(0L)).as("dropped"))
+      .filter(col("dropped") > 0)
+
+  /** #25-streaming' Cut-off detection over the drop gauge: the consumer
+    * is cut off at hour h when h and its two preceding calendar hours
+    * all dropped (the batch query's lag(2) consecutiveness predicate).
+    * Expressed as a SECOND windowed aggregation chained on the first
+    * via window_time (Spark's multi-stateful-operator support): each
+    * closed drop-hour lands in three sliding 3-hour windows, and the
+    * window holding hours [h−2, h] fires iff all three are drop-hours —
+    * cutoff hour = window start + 2 h. State stays bounded by the same
+    * watermark; no custom state op. */
+  def slowConsumerCutoffs(drops: DataFrame): DataFrame =
+    drops
+      .groupBy(window(window_time(col("window")), "3 hours", "1 hour"),
+        col("stream"))
+      .agg(count(lit(1)).as("n_drop_hours"))
+      .filter(col("n_drop_hours") === 3)
+      .select(col("stream"),
+        (unix_timestamp(col("window.start")) + 7200L).as("cutoff_hour_epoch"))
+
   /** #21 Streaming sessionization with custom state
     * (online/offline session semantics, internal/metrics/tags.go):
     * gap-closed sessions via flatMapGroupsWithState, partitioned by

@@ -390,6 +390,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream.nonEmpty)
   }
 
+  test("#24-streaming batch/stream parity: queue-depth gauge over the events table agrees") {
+    // the live gauge and the batch evt_queue_depth query must agree on
+    // every closed stream-hour (closed-form arithmetic vs row_number)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val streamed = EventStream.queueDepthGauge(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .select("stream", "hour_epoch", "n_arrivals", "n_batches",
+        "max_depth", "sum_depth")
+    val q = streamed.writeStream.format("memory").queryName("qdepth_parity")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val viaStream = spark.table("qdepth_parity")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+    val viaBatch = graft.queries.Events
+      .evtQueueDepth(spark, "/root/testdata/sf0.001")
+      .select("stream", "hour_epoch", "n_arrivals", "n_batches",
+        "max_depth", "sum_depth")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
+  test("#25-streaming batch/stream parity: slow-consumer drops + chained-window cutoffs agree") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    // corpus hours never exceed 5 arrivals at sf0.001, so the parity
+    // runs at capacity 1; a synthetic 3-consecutive-hour burst on its
+    // own stream exercises the cutoff (the corpus has no natural run)
+    val corpus = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val burst = for {
+      h <- 0 until 3; i <- 0 until 3
+    } yield ("burst", ts(f"2024-02-10 ${10 + h}%02d:0$i:00"))
+    val real = corpus ++ burst
+
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val drops = EventStream.slowConsumerDrops(
+      in.toDF().toDF("event_type", "ts"), capacity = 1L)
+    val qG = drops
+      .select(col("stream"), unix_timestamp(col("window.start")).as("he"),
+        col("dropped"))
+      .writeStream.format("memory").queryName("sc_gauge")
+      .outputMode("append").start()
+    val qC = EventStream.slowConsumerCutoffs(drops)
+      .writeStream.format("memory").queryName("sc_cutoffs")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = real.splitAt(real.length / 2)
+      in.addData(b1); qG.processAllAvailable(); qC.processAllAvailable()
+      in.addData(b2); qG.processAllAvailable(); qC.processAllAvailable()
+      // far-future sentinel closes every real window in both queries
+      in.addData(Seq(("zz_flush", ts("2030-01-01 00:00:00"))))
+      qG.processAllAvailable(); qC.processAllAvailable()
+    } finally { qG.stop(); qC.stop() }
+
+    val gauge = spark.table("sc_gauge").filter(col("stream") =!= "zz_flush")
+      .as[(String, Long, Long)].collect().toSet
+    val cutoffs = spark.table("sc_cutoffs").filter(col("stream") =!= "zz_flush")
+      .as[(String, Long)].collect().toSet
+
+    // batch twin at the same capacity, the evt_slow_consumer shape:
+    // per-hour rank > capacity, then lag(2) consecutiveness
+    val batchDf = real.toSeq.toDF("event_type", "ts")
+    val wArr = Window.partitionBy(col("event_type"), col("h")).orderBy("ts")
+    val hourly = batchDf
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("arrival", row_number().over(wArr))
+      .groupBy(col("event_type").as("stream"),
+        unix_timestamp(col("h")).as("he"))
+      .agg(sum(when(col("arrival") > 1, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("dropped") > 0)
+    val wh = Window.partitionBy(col("stream")).orderBy(col("he"))
+    val batchGauge = hourly.as[(String, Long, Long)].collect().toSet
+    val batchCutoffs = hourly
+      .withColumn("prev2", lag(col("he"), 2).over(wh))
+      .filter(col("prev2") === col("he") - lit(7200L))
+      .select(col("stream"), col("he"))
+      .as[(String, Long)].collect().toSet
+
+    assert(gauge == batchGauge)
+    assert(cutoffs == batchCutoffs)
+    assert(gauge.nonEmpty, "no drop-hours; parity is vacuous")
+    assert(cutoffs == Set(("burst", ts("2024-02-10 12:00:00").getTime / 1000)),
+      s"burst must cut off at its third hour; got $cutoffs")
+  }
+
   test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
