@@ -14,7 +14,11 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q2_filter_project", "q3_join_agg", "q9_multi_join",
         "evt_route", "evt_route_meta", "evt_sessionize", "doc_minhash_lsh",
-        "emb_cosine_topk", "emb_neardup")
+        "emb_cosine_topk", "emb_neardup",
+        // r8/r10 additions: the metric-gauge family + curation ops
+        "wrp_modified", "evt_queue_depth", "evt_slow_consumer",
+        "evt_kinesis_batches", "evt_counters", "evt_merge_errors",
+        "doc_decontaminate", "doc_pack", "doc_mixture")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

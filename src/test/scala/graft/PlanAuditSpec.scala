@@ -69,4 +69,57 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("q2_filter_project")
     assert(p.contains("*(1)"), p)
   }
+
+  private def occurrences(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("metric queries read the events table exactly once") {
+    // the r8/r10 gauge family: each is a window/agg pipeline over ONE
+    // scan — a second FileScan means someone re-introduced the
+    // union-of-passes shape evt_counters used to have
+    Seq("wrp_modified", "evt_queue_depth", "evt_slow_consumer",
+      "evt_kinesis_batches", "evt_counters", "evt_merge_errors").foreach { q =>
+      val p = planOf(q)
+      assert(occurrences(p, "FileScan") == 1,
+        s"$q must read the fact table exactly once:\n$p")
+    }
+  }
+
+  test("wrp_modified prunes the scan to the single classifying column") {
+    val p = planOf("wrp_modified")
+    assert(p.contains("ReadSchema: struct<event_id:bigint>"), p)
+  }
+
+  test("evt_counters chains its three rank passes — three Windows, no Union") {
+    val p = planOf("evt_counters")
+    assert(occurrences(p, "Window") == 3, p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("doc_pack: pruned scan, one window shuffle, explode after the window") {
+    val p = planOf("doc_pack")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+    assert(occurrences(p, "Window") == 1, p)
+  }
+
+  test("doc_mixture: weight joins broadcast; only the single-row t_max crosses") {
+    val p = planOf("doc_mixture")
+    assert(occurrences(p, "BroadcastHashJoin") >= 2, p)
+    // exactly one BNLJ: the broadcast cross join of the 1-row t_max
+    assert(occurrences(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
+
+  test("doc_decontaminate: bench side broadcast, posting-list equi join") {
+    val p = planOf("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(occurrences(p, "FileScan") == 2, p) // train + bench slices
+  }
+
+  test("no query plans a CartesianProduct (all-pairs baselines are bounded BNLJ crosses)") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    CacheScope.releaseAll()
+  }
 }
