@@ -54,8 +54,17 @@ object Docs {
     * |A| ≥ τ|B| ∧ |B| ≥ τ|A|) with zero effect on the result, and
     * registers its posting-list persist with CacheScope. */
   def docNgramJaccard(s: SparkSession, d: String): DataFrame =
-    graft.operators.TextDedup.ngramJaccardPairs(
-      Tables.documents(s, d), n = 3, tau = 0.5)
+    minedPairs(s, d)
+
+  /** The mined Jaccard pair graph, memoized per (session, corpus): four
+    * products consume it (#37 the pair list, #37b victim removal, #37c
+    * clusters, #37d canonical selection), and a production pipeline
+    * mines ONCE per corpus. The memo holds only (doc_a, doc_b, sim)
+    * rows — never documents (VERDICT r9 #5). */
+  private def minedPairs(s: SparkSession, d: String): DataFrame =
+    QueryMemo.cached(s, s"jaccard_pairs:n=3:tau=0.5:$d")(
+      graft.operators.TextDedup.ngramJaccardPairs(
+        Tables.documents(s, d), n = 3, tau = 0.5))
 
   /** #56 Benchmark decontamination (GPT-3 appendix-C / Lee et al. 2022
     * §6.2 n-gram collision procedure): training docs sharing ≥5
@@ -119,7 +128,7 @@ object Docs {
     * stores only id pairs; documents never enter it. */
   private def clusterAssignment(s: SparkSession, d: String): DataFrame =
     QueryMemo.cached(s, s"dedup_cluster_map:n=3:tau=0.5:$d") {
-      val pairs = docNgramJaccard(s, d)
+      val pairs = minedPairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       graft.operators.ConnectedComponents.assign(pairs)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
