@@ -56,17 +56,19 @@ object TextDedup {
     * one gram's cross posting list. The bench side of a real pipeline
     * is tiny (eval suites, MBs) — AQE broadcasts it at runtime; the
     * 100 TB train side never self-joins. */
+  /** (doc → distinct shingle) posting rows — the join side of every
+    * cross-corpus check. */
+  def gramPostings(df: DataFrame, n: Int, out: String): DataFrame =
+    shingleArrays(df, n)
+      .select(col("doc_id").as(out), explode(col("shingles")).as("shingle"))
+
   def crossCorpusOverlap(train: DataFrame, bench: DataFrame,
-      n: Int = 5, minShared: Long = 5L): DataFrame = {
-    def grams(df: DataFrame, out: String) =
-      shingleArrays(df, n)
-        .select(col("doc_id").as(out), explode(col("shingles")).as("shingle"))
-    grams(train, "train_id")
-      .join(grams(bench, "bench_id"), "shingle")
+      n: Int = 5, minShared: Long = 5L): DataFrame =
+    gramPostings(train, n, "train_id")
+      .join(gramPostings(bench, n, "bench_id"), "shingle")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Exact Jaccard near-dup pairs at threshold tau via the
     * shared-shingle posting-list self-join. Size-incompatible pairs are

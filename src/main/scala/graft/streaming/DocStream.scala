@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.storage.StorageLevel
 
 /** One (band bucket, doc) occupancy row flowing into the stateful op. */
 case class BandDoc(band_idx: Int, band_hash: Int, doc_id: Long, sig: Seq[Int])
@@ -214,6 +215,41 @@ object DocStream {
           }
       }
     judged.union(short)
+  }
+
+  /** Streaming benchmark decontamination (the incremental twin of
+    * `doc_decontaminate`, SURVEY §2c #56): incoming training documents
+    * are checked against the benchmark suites ON ARRIVAL, so a
+    * contaminated doc never reaches the training set — instead of a
+    * nightly cross-corpus sweep.
+    *
+    * Shape: the bench posting list (eval suites — broadcast-sized at
+    * any real scale) is shingled ONCE and persisted for the query's
+    * lifetime; each micro-batch runs the BATCH operator's posting-list
+    * equi join against it. Train docs are judged independently of each
+    * other, so the union of per-batch outputs IS the batch operator's
+    * result over the full stream — parity by construction (pinned by
+    * DecontaminateSpec). Output is idempotent under micro-batch replay:
+    * each batch overwrites its own batch_id=N subtree, the same
+    * exactly-once pattern as EventStream.batchedSink. */
+  def decontaminateSink(train: DataFrame, bench: DataFrame, outDir: String,
+      checkpointDir: String, n: Int = 5, minShared: Long = 5L): StreamingQuery = {
+    val benchGrams = graft.operators.TextDedup
+      .gramPostings(bench, n, "bench_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    train.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextDedup.gramPostings(batch, n, "train_id")
+          .join(benchGrams, "shingle")
+          .groupBy("train_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** Doc-level keep/drop decisions from per-band verdicts: a doc is a

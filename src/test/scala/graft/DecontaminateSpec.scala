@@ -60,4 +60,42 @@ class DecontaminateSpec extends AnyFunSuite {
     // only "b0 b1 b2 b3 b4" matches
     assert(got == Set((1L, 100L, 1L)), s"got $got")
   }
+
+  test("streaming decontamination: on-arrival verdicts equal the batch sweep (parity by construction)") {
+    // train docs stream in across micro-batches against the static
+    // bench corpus; the union of per-batch outputs must equal the batch
+    // operator over the full train set
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val bench = docs.filter(org.apache.spark.sql.functions
+      .pmod($"doc_id", org.apache.spark.sql.functions.lit(10)) === 0)
+    val train = docs.filter(org.apache.spark.sql.functions
+      .pmod($"doc_id", org.apache.spark.sql.functions.lit(10)) =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val out = java.nio.file.Files.createTempDirectory("decon_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decon_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.decontaminateSink(
+      in.toDF().toDF("doc_id", "text"), bench, out, ckpt,
+      n = 5, minShared = 5L)
+    try {
+      val (b1, b2) = train.splitAt(train.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("train_id", "bench_id", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.Docs
+      .docDecontaminate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed}")
+    assert(batch.nonEmpty, "corpus has no planted contamination; vacuous")
+  }
 }
