@@ -21,11 +21,17 @@ object QueryMemo {
     scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
   /** The frame for `key`, building + materializing it on first use.
-    * Keyed per applicationId so a stopped session's stale RDDs can
-    * never be served to a new one. */
+    * Keyed per SESSION (appId + session identity), not per context: a
+    * stopped session's stale RDDs can never be served to a new one,
+    * and two sessions sharing one context (e.g. a plain and an
+    * extensions-enabled test session) never exchange frames whose
+    * plans are bound to the other's analyzer. Production mains hold
+    * one session, so they share maximally. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
-      memo.getOrElseUpdate((spark.sparkContext.applicationId, key), {
+      val sessionKey = spark.sparkContext.applicationId + "#" +
+        System.identityHashCode(spark)
+      memo.getOrElseUpdate((sessionKey, key), {
         val chk = build.localCheckpoint(eager = false)
         chk.count()
         chk
