@@ -419,6 +419,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream.nonEmpty)
   }
 
+  test("#24-streaming queue-depth closed form survives full batch cycles (n > 100)") {
+    // corpus hours never reach 100 arrivals, so the sf0.001 parity test
+    // leaves the q > 0 branch of the closed form untested: 250 arrivals
+    // in one hour = two full 100-deep cycles + a 50 remainder
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val gauge = EventStream.queueDepthGauge(in.toDF().toDF("event_type", "ts"))
+      .select("stream", "n_arrivals", "n_batches", "max_depth", "sum_depth")
+    val q = gauge.writeStream.format("memory").queryName("qdepth_dense")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until 250).map(i =>
+        ("dense", ts(f"2024-03-01 08:${i / 60}%02d:${i % 60}%02d"))))
+      q.processAllAvailable()
+      in.addData(Seq(("zz_flush", ts("2030-01-01 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("qdepth_dense").filter(col("stream") === "dense")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // depths cycle 1..100, 1..100, 1..50: sum = 2*5050 + 50*51/2
+    assert(got == Set(("dense", 250L, 3L, 100L, 2L * 5050L + 50L * 51L / 2L)),
+      s"got $got")
+  }
+
   test("#25-streaming batch/stream parity: slow-consumer drops + chained-window cutoffs agree") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.expressions.Window
