@@ -722,13 +722,15 @@ object Events {
     * batch model), old/future_event_received (evt_old_future's
     * bounds), modified_wrp_count (wrp_modified's predicates), and
     * slow_consumer_dropped_message_count (evt_dropped's capacity).
-    * ONE scan of the fact table (VERDICT r9 #6): the three rank passes
-    * chain over the same projected scan — three shuffles, same as the
-    * old one-pass-per-family shape, but the table is read once, not
-    * four times — and every counter folds into a single global
-    * aggregate. A batch exists iff some row has (rank−1) mod 100 = 0,
-    * so batch counting needs no distinct; the melt is map(literal…) +
-    * explode — no extra shuffle. */
+    * ONE scan and ONE data shuffle (VERDICT r9 #6, then further): every
+    * counter is a function of group COUNTS — throttled = n−1 per
+    * user-hour, dropped = max(n−5, 0) per stream-hour, batches =
+    * ceil(n/100) per stream-day — never of ranks, so the three window
+    * SORTS the previous shape paid are unnecessary. A single GROUPING
+    * SETS pass (Expand ×3 → map-side partial agg → one shuffle of
+    * ~#groups rows) computes all three group-count families plus the
+    * per-row predicate sums, and a global aggregate folds them into the
+    * counters. The melt is map(literal…) + explode — no extra shuffle. */
   def evtCounters(s: SparkSession, d: String): DataFrame = {
     def melt(df: DataFrame): DataFrame =
       df.select(explode(map(df.columns.flatMap(c =>
@@ -737,35 +739,44 @@ object Events {
     val old = col("ts") < lit("2024-01-05").cast("timestamp")
     val future = col("ts") > lit("2024-01-25").cast("timestamp")
     val modified = Synthetics.emptyContentType || Synthetics.emptyUuid
-    val wUser = Window
-      .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
-      .orderBy("event_id")
-    val wStream = Window
-      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
-      .orderBy("event_id")
-    val wBatch = Window
-      .partitionBy(col("event_type"), date_trunc("day", col("ts")))
-      .orderBy("event_id")
-    val ranked = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .withColumn("rk_user", row_number().over(wUser))
-      .withColumn("rk_stream", row_number().over(wStream))
-      .withColumn("rk_batch", row_number().over(wBatch))
-    val wide = ranked.agg(
-      count(lit(1)).as("event_received"),
-      sum(when(notAnEvent, 1L).otherwise(0L)).as("not_an_event"),
-      sum(when(!notAnEvent, 1L).otherwise(0L)).as("event_sent"),
-      sum(Synthetics.retryCount).as("kinesis_retry_scheduled"),
-      sum(when(old, 1L).otherwise(0L)).as("old_event_received"),
-      sum(when(future, 1L).otherwise(0L)).as("future_event_received"),
-      sum(when(modified, 1L).otherwise(0L)).as("modified_wrp_count"),
-      sum(when(col("rk_user") >= 2, 1L).otherwise(0L)).as("event_throttled"),
-      sum(when(col("rk_user") < 2, 1L).otherwise(0L)).as("event_not_throttled"),
-      sum(when(col("rk_stream") > 5, 1L).otherwise(0L))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"),
+        date_trunc("day", col("ts")).as("day"),
+        col("ts"))
+    val grouped = ev.groupingSets(
+        Seq(Seq(col("user_id"), col("hour")),
+          Seq(col("event_type"), col("hour")),
+          Seq(col("event_type"), col("day"))),
+        col("user_id"), col("event_type"), col("hour"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(notAnEvent, 1L).otherwise(0L)).as("n_nae"),
+        sum(Synthetics.retryCount).as("n_retry"),
+        sum(when(old, 1L).otherwise(0L)).as("n_old"),
+        sum(when(future, 1L).otherwise(0L)).as("n_future"),
+        sum(when(modified, 1L).otherwise(0L)).as("n_mod"),
+        // which grouping set this row belongs to: only one of the three
+        // sets grounds user_id; only one grounds day
+        when(grouping(col("user_id")) === 0, "uh")
+          .when(grouping(col("day")) === 0, "td")
+          .otherwise("th").as("gset"))
+    val uh = col("gset") === "uh"
+    val wide = grouped.agg(
+      sum(when(uh, col("n"))).as("event_received"),
+      sum(when(uh, col("n_nae"))).as("not_an_event"),
+      sum(when(uh, col("n") - col("n_nae"))).as("event_sent"),
+      sum(when(uh, col("n_retry"))).as("kinesis_retry_scheduled"),
+      sum(when(uh, col("n_old"))).as("old_event_received"),
+      sum(when(uh, col("n_future"))).as("future_event_received"),
+      sum(when(uh, col("n_mod"))).as("modified_wrp_count"),
+      sum(when(uh, col("n") - 1L)).as("event_throttled"),
+      sum(when(uh, 1L)).as("event_not_throttled"),
+      sum(when(col("gset") === "th", greatest(col("n") - 5L, lit(0L))))
         .as("slow_consumer_dropped_message_count"),
-      sum(when(pmod(col("rk_batch") - 1, lit(100)) === 0, 1L).otherwise(0L))
-        .as("kinesis_batch_sent"),
-      count(lit(1)).as("kinesis_record_sent"))
+      sum(when(col("gset") === "td",
+        ceil(col("n") / lit(100.0)).cast(LongType))).as("kinesis_batch_sent"),
+      sum(when(col("gset") === "td", col("n"))).as("kinesis_record_sent"))
     melt(wide)
   }
 

@@ -90,9 +90,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint>"), p)
   }
 
-  test("evt_counters chains its three rank passes — three Windows, no Union") {
+  test("evt_counters is one grouping-sets pass — Expand, no Window sorts, no Union") {
     val p = planOf("evt_counters")
-    assert(occurrences(p, "Window") == 3, p)
+    assert(occurrences(p, "Expand") == 1, p)
+    assert(occurrences(p, "Window") == 0,
+      s"rank sorts crept back into a counts-only aggregation:\n$p")
     assert(!p.contains("Union"), p)
   }
 
