@@ -594,23 +594,22 @@ object Events {
     * depth (the gauge's envelope), arrivals, batches. ONE shuffle on
     * (stream, hour); window partitions are hour-bounded so no stream's
     * full history funnels through one reducer. */
-  def evtQueueDepth(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"), col("h"))
-      .orderBy("event_id")
+  def evtQueueDepth(s: SparkSession, d: String): DataFrame =
+    // depth after the r-th arrival is ((r−1) mod 100)+1 — a function of
+    // the rank alone — so the hour's whole envelope is a closed form in
+    // the arrival count n: no rank sort, one partial-agg shuffle (the
+    // same arithmetic the streaming twin queueDepthGauge uses)
     Tables.events(s, d)
-      .withColumn("h", date_trunc("hour", col("ts")))
-      .withColumn("r", row_number().over(w))
-      .withColumn("depth",
-        (col("r") - floor((col("r") - 1) / 100) * 100).cast(LongType))
       .groupBy(col("event_type").as("stream"),
-        unix_timestamp(col("h")).as("hour_epoch"))
-      .agg(count(lit(1)).as("n_arrivals"),
-        ceil(count(lit(1)) / lit(100.0)).cast(LongType).as("n_batches"),
-        max("depth").as("max_depth"),
-        sum("depth").as("sum_depth"))
-      .withColumn("avg_depth", col("sum_depth").cast("double") / col("n_arrivals"))
-  }
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n_arrivals"))
+      .withColumn("n_batches",
+        ceil(col("n_arrivals") / lit(100.0)).cast(LongType))
+      .withColumn("max_depth", least(col("n_arrivals"), lit(100L)))
+      .withColumn("sum_depth", expr("(n_arrivals div 100) * 5050 + " +
+        "(n_arrivals % 100) * (n_arrivals % 100 + 1) div 2"))
+      .withColumn("avg_depth",
+        col("sum_depth").cast("double") / col("n_arrivals"))
 
   /** #25 Slow-consumer accounting (metrics.go:16-17
     * SlowConsumerDroppedMsgCounter / SlowConsumerCounter): per stream,
@@ -624,14 +623,14 @@ object Events {
     * Reuses evt_dropped's (stream, hour) shuffle shape; the per-stream
     * hour sequence is tiny (thousands of rows per stream-year). */
   def evtSlowConsumer(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"), col("h"))
-      .orderBy("event_id")
+    // arrival ranks > capacity over n arrivals drop exactly
+    // max(n − 5, 0) messages: the hourly gauge is a pure count
+    // aggregate (the streaming twin slowConsumerDrops' arithmetic),
+    // no rank sort needed
     val hourly = Tables.events(s, d)
-      .withColumn("h", date_trunc("hour", col("ts")))
-      .withColumn("arrival", row_number().over(w))
-      .groupBy(col("event_type"), unix_timestamp(col("h")).as("he"))
-      .agg(sum(when(col("arrival") > 5, 1L).otherwise(0L)).as("dropped"))
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("he"))
+      .agg(greatest(count(lit(1)) - 5L, lit(0L)).as("dropped"))
       .filter(col("dropped") > 0)
     val wh = Window.partitionBy(col("event_type")).orderBy(col("he"))
     hourly
