@@ -182,16 +182,16 @@ object Events {
   /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
     * DroppedItems metric): capacity per stream per hour; arrival rank
     * beyond capacity ⇒ dropped, counted by stream. */
-  def evtDropped(s: SparkSession, d: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
-      .orderBy("event_id")
+  def evtDropped(s: SparkSession, d: String): DataFrame =
+    // arrival ranks > capacity over an hour's n arrivals drop exactly
+    // max(n − 5, 0) and deliver min(n, 5): two count aggregations
+    // (map-side partial both times), no rank sort
     Tables.events(s, d)
-      .withColumn("arrival", row_number().over(w))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
       .groupBy("event_type")
-      .agg(sum(when(col("arrival") > 5, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("arrival") <= 5, 1L).otherwise(0L)).as("n_delivered"))
-  }
+      .agg(sum(greatest(col("n") - 5L, lit(0L))).as("n_dropped"),
+        sum(least(col("n"), lit(5L))).as("n_delivered"))
 
   /** #11 Partition-key assignment (kinesis_sender.go:100 — partition key
     * = session/device id): deterministic shard + per-shard skew check. */
