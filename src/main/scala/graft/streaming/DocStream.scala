@@ -237,7 +237,7 @@ object DocStream {
     val benchGrams = graft.operators.TextDedup
       .gramPostings(bench, n, "bench_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    train.writeStream
+    val q = train.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -250,6 +250,23 @@ object DocStream {
         ()
       }
       .start()
+    // the bench cache is query-scoped, not session-scoped: free it when
+    // THIS query terminates (a long-lived session may run many streams)
+    val spark = train.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            benchGrams.unpersist(blocking = false)
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 
   /** Doc-level keep/drop decisions from per-band verdicts: a doc is a
