@@ -682,20 +682,12 @@ object Events {
     * — row_number over the user partition, one extra window shuffle.
     * Per-type counters, ONE scan of the fact table. */
   def evtMergeErrors(s: SparkSession, d: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val iface = when(pmod(k, lit(5)) === 0, "wifi")
-      .when(pmod(k, lit(5)) === 1, "ethernet")
-      .when(pmod(k, lit(5)) === 2, "moca")
-      .when(pmod(k, lit(5)) === 3, "5g-modem")
-      .otherwise(lit(null))
-    val offline = pmod(col("event_id"), lit(6)) === 1
-    val payload = when(Synthetics.missingDisconnectPayload, lit("{}"))
-      .otherwise(lit("""{"reason":"normal-disconnect"}"""))
     val wHist = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, d)
       .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
-        iface.as("iface"), offline.as("offline"),
-        get_json_object(payload, "$.reason").as("reason"))
+        Synthetics.interfaceUsed.as("iface"),
+        Synthetics.offlineEvent.as("offline"),
+        Synthetics.disconnectReason.as("reason"))
       .withColumn("hist_rank", row_number().over(wHist))
       .groupBy("event_type")
       .agg(

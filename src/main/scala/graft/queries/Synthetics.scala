@@ -47,4 +47,27 @@ object Synthetics {
       .when(pmod(col("event_id"), lit(7)) === 0, 2L)
       .when(pmod(col("event_id"), lit(3)) === 0, 1L)
       .otherwise(0L)
+
+  /** Connection interface parsed from the props field — #13c's ladder;
+    * NULL = the interface-used read fails. Shared by the batch
+    * evt_merge_errors and its streaming twin. */
+  def interfaceUsed: Column = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    when(pmod(k, lit(5)) === 0, "wifi")
+      .when(pmod(k, lit(5)) === 1, "ethernet")
+      .when(pmod(k, lit(5)) === 2, "moca")
+      .when(pmod(k, lit(5)) === 3, "5g-modem")
+      .otherwise(lit(null))
+  }
+
+  /** #13b's offline (disconnect) sub-type. */
+  val offlineEvent: Column = pmod(col("event_id"), lit(6)) === 1
+
+  /** The disconnect reason ACTUALLY parsed from the synthesized payload
+    * (corrupt on the missingDisconnectPayload subset) — NULL = missing. */
+  def disconnectReason: Column =
+    get_json_object(
+      when(missingDisconnectPayload, lit("{}"))
+        .otherwise(lit("""{"reason":"normal-disconnect"}""")),
+      "$.reason")
 }

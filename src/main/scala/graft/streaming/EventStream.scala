@@ -168,6 +168,58 @@ object EventStream {
       .select(col("stream"),
         (unix_timestamp(col("window.start")) + 7200L).as("cutoff_hour_epoch"))
 
+  /** #27b-streaming Merge-error flag counters — the live form of
+    * `evt_merge_errors`' three stateless columns (interface_used_read /
+    * missing_disconnect_payload / error_merging_event): the flags are
+    * pure per-row expressions shared with the batch query via
+    * `Synthetics`, so batch and stream cannot drift; one watermarked
+    * windowed aggregate per (window, type). empty_history is the
+    * stateful fourth counter — see [[firstEvents]]. */
+  def mergeErrorFlags(events: DataFrame): DataFrame =
+    events
+      .withColumn("iface_read",
+        graft.queries.Synthetics.interfaceUsed.isNotNull)
+      .withColumn("missing_disc",
+        graft.queries.Synthetics.offlineEvent &&
+          graft.queries.Synthetics.disconnectReason.isNull)
+      .withColumn("merge_err", graft.queries.Synthetics.mergeError)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        sum(when(col("iface_read"), 1L).otherwise(0L))
+          .as("interface_used_read"),
+        sum(when(col("missing_disc"), 1L).otherwise(0L))
+          .as("missing_disconnect_payload"),
+        sum(when(col("merge_err"), 1L).otherwise(0L))
+          .as("error_merging_event"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("interface_used_read"), col("missing_disconnect_payload"),
+        col("error_merging_event"))
+
+  /** #27b-streaming' The empty_history feed: a merge-time read finds
+    * empty stored history iff the event is its user's FIRST — one
+    * boolean of state per user (the reference's device registry,
+    * internal/metrics/tags.go:71 EmptyHistory). Within a micro-batch
+    * rows are processed in (ts, event_id) order, so the emitted first
+    * event matches the batch query's rank-1 row deterministically under
+    * in-order replay. Emits one row per user, downstream-aggregable
+    * (chained stateful ops are fine in append mode). */
+  def firstEvents(events: Dataset[Evt]): Dataset[Evt] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, Evt](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[Evt], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(
+              batch.toSeq.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      }
+  }
+
   /** #21 Streaming sessionization with custom state
     * (online/offline session semantics, internal/metrics/tags.go):
     * gap-closed sessions via flatMapGroupsWithState, partitioned by

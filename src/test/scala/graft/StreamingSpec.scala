@@ -510,6 +510,56 @@ class StreamingSpec extends AnyFunSuite {
       s"burst must cut off at its third hour; got $cutoffs")
   }
 
+  test("#27b-streaming merge-error flags + empty_history agree with the batch query") {
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // stateless flags: readStream over the parquet, complete mode
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    val flags = EventStream.mergeErrorFlags(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val qF = flags.writeStream.format("memory").queryName("me_flags")
+      .outputMode("complete").start()
+    try qF.processAllAvailable() finally qF.stop()
+    val streamFlags = spark.table("me_flags").groupBy("event_type")
+      .agg(sum("interface_used_read").as("i"),
+        sum("missing_disconnect_payload").as("m"),
+        sum("error_merging_event").as("e"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // empty_history: per-user first-seen state over an ordered stream
+    val evts = Tables.events(spark, d)
+      .select("user_id", "ts", "event_type", "event_id", "value")
+      .orderBy("ts", "event_id").as[Evt].collect()
+    val in = MemoryStream[Evt]
+    val qH = EventStream.firstEvents(in.toDS())
+      .writeStream.format("memory").queryName("me_firsts")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = evts.splitAt(evts.length / 2)
+      in.addData(b1.toSeq); qH.processAllAvailable()
+      in.addData(b2.toSeq); qH.processAllAvailable()
+    } finally qH.stop()
+    val streamFirsts = spark.table("me_firsts").groupBy("event_type")
+      .count().as[(String, Long)].collect().toMap
+
+    val batch = graft.queries.Events.evtMergeErrors(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    batch.foreach { case (tpe, (i, m, e, h)) =>
+      assert(streamFlags(tpe) == ((i, m, e)),
+        s"$tpe flags: stream ${streamFlags(tpe)} vs batch ${(i, m, e)}")
+      assert(streamFirsts.getOrElse(tpe, 0L) == h,
+        s"$tpe empty_history: stream ${streamFirsts.get(tpe)} vs batch $h")
+    }
+    assert(batch.values.map(_._4).sum > 0, "no first events; vacuous")
+  }
+
   test("#22 dropDuplicatesWithinWatermark suppresses redelivery") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
