@@ -57,20 +57,34 @@ object Similarity {
     * probe fanout multiplies only the broadcast query side, never the
     * corpus). nprobe = #cells degenerates to exact brute force —
     * IvfAnnSpec pins that equivalence. */
-  def ivfAnn(v: DataFrame, isQuery: Column, k: Int, nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1, s"ivfAnn: nprobe must be >= 1, got $nprobe")
+  /** The IVF coarse index: (cluster, ce, cnorm) centroids from the
+    * MERGEABLE avg aggregate. Build ONCE per corpus and reuse across
+    * every search — at scale the index is a persisted ARTIFACT (it is a
+    * plain DataFrame: write it to parquet, read it back, search), not a
+    * per-query subplan. IvfAnnSpec pins a parquet round-tripped index
+    * to search-identical results. */
+  def ivfIndex(v: DataFrame): DataFrame = {
     require(v.schema("cluster_by").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfAnn: cluster_by must be numeric (tie-break negates it), got " +
+      s"ivfIndex: cluster_by must be numeric (tie-break negates it), got " +
         v.schema("cluster_by").dataType.catalogString)
-    val cent = v
-      .select(col("cluster_by"), posexplode(col("e")).as(Seq("pos", "x")))
+    v.select(col("cluster_by"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("cluster_by", "pos").agg(avg("x").as("cx"))
       .groupBy(col("cluster_by").as("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("ce"))
       .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+  }
+
+  def ivfAnn(v: DataFrame, isQuery: Column, k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearch(v, ivfIndex(v), isQuery, k, nprobe)
+
+  /** Search against a PREBUILT index (see [[ivfIndex]]): broadcast
+    * assignment, each query probing its `nprobe` nearest cells. */
+  def ivfSearch(v: DataFrame, cent: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"ivfSearch: nprobe must be >= 1, got $nprobe")
     val scored = v.withColumn("is_q", isQuery)
       .crossJoin(broadcast(cent))
       .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))

@@ -29,6 +29,29 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(op == q, s"operator-only: ${op -- q}; query-only: ${q -- op}")
   }
 
+  test("a parquet round-tripped prebuilt index searches identically to the inline path") {
+    // the index is an ARTIFACT: build once, persist, reload, search —
+    // results must be bit-identical to composing index+search inline
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").as("cluster_by"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.operators.Similarity.ivfIndex(v).write.mode("overwrite").parquet(idxDir)
+    val reloaded = spark.read.parquet(idxDir)
+    val viaArtifact = graft.operators.Similarity
+      .ivfSearch(v, reloaded, col("vec_id") < 5, 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inline = graft.operators.Similarity
+      .ivfAnn(v, col("vec_id") < 5, 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaArtifact == inline,
+      s"artifact-only: ${viaArtifact -- inline}; inline-only: ${inline -- viaArtifact}")
+    assert(inline.nonEmpty)
+  }
+
   test("nprobe = #cells degenerates to exact brute-force top-k") {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("label").as("cluster_by"),
