@@ -378,12 +378,7 @@ object Events {
     * device state class; anything outside the known set counts as
     * unknown_dest_type. */
   def evtDestClass(s: SparkSession, d: String): DataFrame = {
-    val subtype = when(pmod(col("event_id"), lit(6)) === 0, "online")
-      .when(pmod(col("event_id"), lit(6)) === 1, "offline")
-      .when(pmod(col("event_id"), lit(6)) === 2, "operational")
-      .when(pmod(col("event_id"), lit(6)) === 3, "manageable")
-      .when(pmod(col("event_id"), lit(6)) === 4, "pending-reboot")
-      .otherwise("mystery")
+    val subtype = Synthetics.destSubtype
     val dest = concat(lit("event:"), col("event_type"), lit("/"), subtype,
       lit("/"), col("event_id").cast("string"))
     val extracted = regexp_extract(dest, "^event:[^/]+/([^/]+)/", 1)
@@ -400,12 +395,7 @@ object Events {
     * UnknownConnectionInterfaceReceived): known interfaces count as
     * ci_received, off-list ones as other_ci, absent as unknown_ci. */
   def evtInterface(s: SparkSession, d: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val iface = when(pmod(k, lit(5)) === 0, "wifi")
-      .when(pmod(k, lit(5)) === 1, "ethernet")
-      .when(pmod(k, lit(5)) === 2, "moca")
-      .when(pmod(k, lit(5)) === 3, "5g-modem")
-      .otherwise(lit(null))
+    val iface = Synthetics.interfaceUsed
     Tables.events(s, d)
       .select(iface.as("iface"),
         when(iface.isNull, "unknown_ci")

@@ -60,6 +60,16 @@ object Synthetics {
       .otherwise(lit(null))
   }
 
+  /** #13b's dest sub-type ladder (device state class embedded in the
+    * synthesized dest path; %6=5 ⇒ an off-list class). */
+  def destSubtype: Column =
+    when(pmod(col("event_id"), lit(6)) === 0, "online")
+      .when(pmod(col("event_id"), lit(6)) === 1, "offline")
+      .when(pmod(col("event_id"), lit(6)) === 2, "operational")
+      .when(pmod(col("event_id"), lit(6)) === 3, "manageable")
+      .when(pmod(col("event_id"), lit(6)) === 4, "pending-reboot")
+      .otherwise("mystery")
+
   /** #13b's offline (disconnect) sub-type. */
   val offlineEvent: Column = pmod(col("event_id"), lit(6)) === 1
 
