@@ -27,18 +27,30 @@ object Bench {
       if (s0.size % 2 == 1) s0(s0.size / 2)
       else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // PASS-MAJOR with a QueryMemo clear per pass: each pass prices the
+    // full suite including every shared artifact's one-time build
+    // exactly once, charged to its first consumer — deterministically
+    // the same query every pass, so per-query medians are stable and
+    // the total is an honest pipeline cost. (Query-major order would
+    // let the median-of-3 silently discard the build cost: only run 1
+    // pays it, runs 2-3 read the memo.)
+    val samples = (1 to runs).map { _ =>
+      QueryMemo.clear()
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         } finally CacheScope.releaseAll()
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> median(times)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map { case (name, _) =>
+      name -> median(samples.map(_.apply(name)))
+    }
+    QueryMemo.clear()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -47,12 +59,15 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
     // The driver captures only the last ~2 KB of stdout; the per-query map
     // alone is ~2.4 KB. Persist the full record to a committed file and keep
-    // the final stdout line under 200 bytes so it always parses.
+    // the final stdout line under 200 bytes so it always parses. The path
+    // is cwd-relative (the driver runs sbt from the repo root); override
+    // with SPARK_GRAFT_BENCH_OUT when launching from elsewhere.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
+      java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val totalR = math.round(total * 1000.0) / 1000.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failedJson,"runs":$runs,"full":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failedJson,"runs":$runs,"full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,10 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
-        case Some(q) => q(spark, sfDir).explain("formatted")
+        // memoization off: a memoized LogicalRDD leaf would hide the
+        // mining subplan this tool exists to audit (and materialize the
+        // most expensive jobs in the repo just to print a plan)
+        case Some(q) => QueryMemo.disabled(q(spark, sfDir).explain("formatted"))
         case None => println(s"unknown query '$n'; available: " +
           SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       }

@@ -4,34 +4,67 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for expensive intermediates shared by SEVERAL
   * queries of one session (e.g. the mined near-dup pair graph, consumed
-  * by both cluster assignment and canonical-doc selection).
+  * by pair listing, victim removal, clustering and canonical selection).
   *
   * [[CacheScope]] deliberately cannot express this: its contract is
   * release-after-every-query, which is right for intra-query persists
   * but forces cross-query consumers to re-mine from scratch. A memoized
-  * frame is materialized ONCE per (application, key) as its own lazy
+  * frame is materialized ONCE per (session, key) as its own lazy
   * `localCheckpoint` — self-contained blocks, so later queries can read
   * it after CacheScope has released the plans that built it — and lives
   * until [[clear]] or session end. Only small derived artifacts belong
   * here (pair graphs, component maps: O(docs) rows of ids, never
   * documents), so pinning them for the session is cheap at any scale.
+  *
+  * Scope of the localCheckpoint choice: it is right for single-JVM
+  * sessions (local mode — this repo's runtime), where losing an
+  * executor means losing the JVM. On a multi-executor cluster,
+  * localCheckpoint blocks are unreplicated and lineage-free: a lost
+  * executor would poison the entry until [[clear]]. Cluster deployments
+  * should persist shared artifacts as TABLES instead (e.g.
+  * `Similarity.ivfIndex` written to parquet) — the memo is a
+  * session-convenience, not a durability mechanism.
   */
 object QueryMemo {
   private val memo =
-    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    scala.collection.mutable.Map.empty[(Long, String), DataFrame]
+  // identity-keyed (SparkSession does not override equals) and weak, so
+  // a stopped session's entry key cannot pin the session object; ids
+  // are assigned, never hashed — two live sessions can never collide
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private var nextSessionId = 0L
+  private val off = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `body` with memoization OFF on this thread: cached() returns
+    * the freshly-built frame with its full logical plan, materializing
+    * nothing. Plan audits (Explain, PlanAuditSpec) use this — a
+    * memoized LogicalRDD leaf would hide the mining subplan they exist
+    * to inspect. */
+  def disabled[T](body: => T): T = {
+    off.set(java.lang.Boolean.TRUE)
+    try body finally off.set(java.lang.Boolean.FALSE)
+  }
 
   /** The frame for `key`, building + materializing it on first use.
-    * Keyed per SESSION (appId + session identity), not per context: a
-    * stopped session's stale RDDs can never be served to a new one,
-    * and two sessions sharing one context (e.g. a plain and an
-    * extensions-enabled test session) never exchange frames whose
-    * plans are bound to the other's analyzer. Production mains hold
-    * one session, so they share maximally. */
+    * Keyed per SESSION: a stopped session's stale RDDs can never be
+    * served to a new one, and two sessions sharing one context (e.g. a
+    * plain and an extensions-enabled test session) never exchange
+    * frames whose plans are bound to the other's analyzer. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.synchronized {
-      val sessionKey = spark.sparkContext.applicationId + "#" +
-        System.identityHashCode(spark)
-      memo.getOrElseUpdate((sessionKey, key), {
+    if (off.get()) build
+    else memo.synchronized {
+      val sid = {
+        val existing = sessionIds.get(spark)
+        if (existing != null) existing.longValue()
+        else {
+          nextSessionId += 1
+          sessionIds.put(spark, java.lang.Long.valueOf(nextSessionId))
+          nextSessionId
+        }
+      }
+      memo.getOrElseUpdate((sid, key), {
         val chk = build.localCheckpoint(eager = false)
         chk.count()
         chk
@@ -40,7 +73,10 @@ object QueryMemo {
 
   /** Drop every memoized frame and free its checkpoint blocks
     * (checkpoint data lives on the materialized RDD, not in the
-    * CacheManager — release through the LogicalRDD leaf). */
+    * CacheManager — release through the LogicalRDD leaf). Bench calls
+    * this between passes so each pass pays the one-time mining cost
+    * exactly once — honest, reproducible timings; long-lived JVMs call
+    * it when a corpus is retired. */
   def clear(): Unit = memo.synchronized {
     memo.values.foreach { df =>
       df.queryExecution.analyzed match {

@@ -45,6 +45,7 @@ object Verify {
     val manifest = SparkEntry.queries.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    QueryMemo.clear()
     spark.stop()
   }
 }

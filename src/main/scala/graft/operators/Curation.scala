@@ -33,7 +33,11 @@ object Curation {
     require(ctx >= 1, "ctx must be >= 1")
     // ROWS frame, not the orderBy default of RANGE-to-current-row: under
     // RANGE, tied doc_ids would sum together and corrupt token positions.
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    // n_tok as secondary sort makes tied doc_ids deterministic across
+    // engines/replays; docs tied on BOTH keys are interchangeable in
+    // every output column (the aggregates carry no doc identity), so
+    // the result is total-order-independent.
+    val w = Window.partitionBy("source").orderBy("doc_id", "n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // token counts map-side; only (source, doc_id, n_tok) reaches the
     // window shuffle — document text never crosses the wire

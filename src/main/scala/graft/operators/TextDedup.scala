@@ -42,6 +42,12 @@ object TextDedup {
     }
   }
 
+  /** (doc → distinct shingle) posting rows — the join side of every
+    * cross-corpus check. */
+  def gramPostings(df: DataFrame, n: Int, out: String): DataFrame =
+    shingleArrays(df, n)
+      .select(col("doc_id").as(out), explode(col("shingles")).as("shingle"))
+
   /** Cross-corpus n-gram overlap — benchmark decontamination (the
     * GPT-3 appendix-C / Lee et al. 2022 §6.2 procedure): flag every
     * training doc sharing at least `minShared` distinct word n-grams
@@ -56,12 +62,6 @@ object TextDedup {
     * one gram's cross posting list. The bench side of a real pipeline
     * is tiny (eval suites, MBs) — AQE broadcasts it at runtime; the
     * 100 TB train side never self-joins. */
-  /** (doc → distinct shingle) posting rows — the join side of every
-    * cross-corpus check. */
-  def gramPostings(df: DataFrame, n: Int, out: String): DataFrame =
-    shingleArrays(df, n)
-      .select(col("doc_id").as(out), explode(col("shingles")).as("shingle"))
-
   def crossCorpusOverlap(train: DataFrame, bench: DataFrame,
       n: Int = 5, minShared: Long = 5L): DataFrame =
     gramPostings(train, n, "train_id")

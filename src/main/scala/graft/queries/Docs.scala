@@ -750,7 +750,8 @@ object Docs {
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text,' ')) AS n_tok,
         |    CAST(SUM(len(string_split(text,' '))) OVER (
-        |      PARTITION BY source ORDER BY doc_id
+        |      PARTITION BY source
+        |      ORDER BY doc_id, len(string_split(text,' '))
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
         |  FROM documents),
         |s AS (SELECT source, doc_id, n_tok, end_tok,

@@ -237,35 +237,47 @@ object DocStream {
     val benchGrams = graft.operators.TextDedup
       .gramPostings(bench, n, "bench_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val q = train.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.TextDedup.gramPostings(batch, n, "train_id")
-          .join(benchGrams, "shingle")
-          .groupBy("train_id", "bench_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= minShared)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        ()
+    val q =
+      try train.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.TextDedup.gramPostings(batch, n, "train_id")
+            .join(benchGrams, "shingle")
+            .groupBy("train_id", "bench_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .start()
+      catch {
+        // start() failed: no query will ever terminate — free the cache
+        case t: Throwable => benchGrams.unpersist(blocking = false); throw t
       }
-      .start()
     // the bench cache is query-scoped, not session-scoped: free it when
     // THIS query terminates (a long-lived session may run many streams)
     val spark = train.sparkSession
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
-            benchGrams.unpersist(blocking = false)
-            spark.streams.removeListener(this)
-          }
-      })
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          benchGrams.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    // a query that died in its first micro-batch may have posted
+    // QueryTerminated before the listener registered: unpersist is
+    // idempotent, so cover the race directly
+    if (!q.isActive) {
+      benchGrams.unpersist(blocking = false)
+      spark.streams.removeListener(listener)
+    }
     q
   }
 

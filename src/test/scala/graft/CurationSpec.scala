@@ -64,9 +64,13 @@ class CurationSpec extends AnyFunSuite {
     def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
     val docs = mkDocs(Seq(
       (1L, "s", words(6, "a")), (1L, "s", words(3, "b"))))
+    // (n_docs, n_docs_started, n_tokens) per seq — the n_tok secondary
+    // sort pins the tie order to (3-tok, 6-tok), so doc counts are
+    // deterministic too, not just the tie-order-invariant token sums
     val got = Curation.packSequences(docs, ctx = 8)
-      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
-    assert(got == Map(0L -> 8L, 1L -> 1L), s"got $got")
+      .collect().map(r =>
+        r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(0L -> ((2L, 2L, 8L)), 1L -> ((1L, 0L, 1L))), s"got $got")
   }
 
   test("mixtureSample: a weighted lang absent from the corpus caps the mixture at zero, and kept is never NULL") {

@@ -12,8 +12,11 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.extSpark
   private val d = "/root/testdata/sf0.001"
 
-  private def planOf(q: String): String =
-    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+  // memoization off: the audits must see the full mining/CC subplans,
+  // not a memoized LogicalRDD leaf (which would also both hide a
+  // reintroduced Cartesian and execute the miner just to print a plan)
+  private def planOf(q: String): String = QueryMemo.disabled(
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString)
 
   test("q2_filter_project: predicate pushdown + column pruning reach the scan") {
     val p = planOf("q2_filter_project")
