@@ -51,7 +51,11 @@ object QueryMemo {
     * Keyed per SESSION: a stopped session's stale RDDs can never be
     * served to a new one, and two sessions sharing one context (e.g. a
     * plain and an extensions-enabled test session) never exchange
-    * frames whose plans are bound to the other's analyzer. */
+    * frames whose plans are bound to the other's analyzer.
+    *
+    * The build runs under the memo's global lock: callers here are the
+    * sequential mains (Verify/Bench/probes), so a convoy cannot form; a
+    * concurrent query server would want per-key futures instead. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     if (off.get()) build
     else memo.synchronized {
