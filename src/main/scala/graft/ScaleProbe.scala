@@ -80,6 +80,58 @@ object ScaleProbe {
           graft.operators.ConnectedComponents.assign(rand.union(chain))
             .select(org.apache.spark.sql.functions.countDistinct(
               org.apache.spark.sql.functions.col("component"))).collect()(0).getLong(0)
+        case Array("docstream", total) =>
+          // streaming near-dup suppression throughput: rate-micro-batch
+          // → synthetic ~30-word docs (deterministic vocab draws, so
+          // real bucket collisions occur) → MinHash/LSH verdicts
+          // (stateful, per-band-bucket) → noop sink. Prints docs/sec.
+          val target = total.toLong
+          val rowsPerBatch = 20000L
+          val src = spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rowsPerBatch)
+            .option("numPartitions", 32).load()
+          val docs = src.selectExpr(
+            "value AS doc_id",
+            """array_join(transform(sequence(1, 30),
+              |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
+              |AS text""".stripMargin.replaceAll("\n", ""))
+          val verdicts = graft.streaming.DocStream.nearDupVerdicts(
+            docs, n = 3, k = 16, bands = 4, tau = 0.5)
+          val ckptPath = java.nio.file.Files
+            .createTempDirectory("probe_docstream_ckpt")
+          var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+          val processed =
+            try {
+              qq = verdicts.writeStream.format("noop")
+                .option("checkpointLocation", ckptPath.toString).start()
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "docstream probe query terminated before reaching target"))
+                done = Option(qq.lastProgress)
+                  .map(p => (p.batchId + 1) * rowsPerBatch).getOrElse(0L)
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              println(f"[probe] docstream throughput: ${done / secs}%.0f docs/s ($done docs in $secs%.1f s)")
+              done
+            } finally {
+              if (qq != null && qq.isActive) {
+                try qq.stop()
+                catch { case _: Throwable => () }
+              }
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(ckptPath)
+              try
+                walk.iterator().asScala.toSeq
+                  .sortBy(-_.getNameCount)
+                  .foreach(p => java.nio.file.Files.deleteIfExists(p))
+              finally walk.close()
+            }
+          processed
         case Array("stream", total) =>
           // end-to-end streaming throughput: rate-micro-batch → WRP JSON
           // → parse → validate → broadcast route fanout → noop sink.
