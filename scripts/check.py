@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check.py <outDir> <sfDir>
+Usage: python3 scripts/check.py <outDir> <sfDir> [jsonOut]
   (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 
 For each <outDir>/<name>/ parquet result with an oracle in
 oracle_sql.json: run the SQL in DuckDB over the sfDir tables, sort
-columns by name, sort rows, compare values.
+columns by name, sort rows, compare values. With jsonOut, also write
+a per-query record in the driver's CORRECTNESS_r{N}.json shape, so
+scale runs (e.g. sf1) leave a committable diffable artifact.
 """
 import sys, json, glob, os
 import duckdb
@@ -18,30 +20,40 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    record = {}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         res_dir = f"{out_dir}/{name}"
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        record[name] = rec
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
+            rec["err"] = "no spark result"
             print(f"FAIL {name}: no spark result"); n_fail += 1; continue
         try:
             got = canon(con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df())
             want = canon(con.execute(oracles[name]).df())
         except Exception as e:
+            rec["err"] = str(e)[:200]
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        rec["schema_match"] = True
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        rec["rows_match"] = True
         eq = got.astype(str).equals(want.astype(str))
         if eq:
+            rec["hash_match"] = True
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:
             diff = (got.astype(str) != want.astype(str)).any(axis=1)
@@ -61,15 +73,25 @@ def main(out_dir, sf_dir):
         if name in oracles:
             continue
         res = f"{out_dir}/{name}"
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "no_oracle"}
+        record[name] = rec
         if not os.path.isdir(res):
+            rec["err"] = "no_oracle; no spark result"
             print(f"FAIL {name} (rows-only): no spark result"); n_fail += 1; continue
         try:
             n = con.execute(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
+            rec["spark_rows"] = n
             print(f"ROWS {name}: {n}")
         except Exception as e:
+            rec["err"] = f"no_oracle; {str(e)[:200]}"
             print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
