@@ -185,6 +185,97 @@ object Docs {
     graft.operators.TextDedup.simhashPairs(
       Tables.documents(s, d), n = 3, bands = 8, maxHamming = 7)
 
+  /** #38b MinHash+LSH, md5 family — the ORACLE-REPLAYABLE twin of
+    * [[docMinhashLsh]]: same pipeline shape (k-wide signature per doc,
+    * banded buckets, candidates from band equality, similarity estimated
+    * from signature agreement), but the hash family is
+    * min(md5(j || ':' || shingle)) over the LEXICOGRAPHIC order of hex
+    * strings — a monotone bijection of a uniform 128-bit value, so the
+    * MinHash estimator is unchanged and DuckDB reproduces every byte.
+    * ~10x the per-row cost of the murmur3 production path (#38), which
+    * is why it exists as a correctness twin, not a replacement: it
+    * converts the rows-only #38 family into hash-matched evidence. */
+  def docMinhashMd5(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val sh = graft.CacheScope.persistTracked(
+      graft.operators.TextDedup.shingleArrays(Tables.documents(s, d), 3)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    val sigCols = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
+    val sigs = graft.CacheScope.persistTracked(
+      sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      // k = 16 is a power of two, so agree/k is an exact binary
+      // fraction — bit-identical across engines
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** #39b SimHash, md5 family — the ORACLE-REPLAYABLE twin of
+    * [[docSimhash]]: 64-bit fingerprint from the first 16 hex chars of
+    * md5(shingle) (bit p = bit (p-1)%4 of hex digit ceil(p/4), decoded
+    * with instr over the hex alphabet — both engines identical),
+    * majority vote per position, fingerprints as '0'/'1' strings so no
+    * engine-specific integer hashing is involved. Candidates by equal
+    * 8-char bands (pigeonhole for Hamming ≤ 7), verified by counting
+    * differing positions. Correctness twin for #39's rows-only status;
+    * the production path stays the codegen'd SimHash64. */
+  def docSimhashMd5(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.CacheScope.persistTracked(
+      graft.operators.TextDedup.shingleArrays(Tables.documents(s, d), 3)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    val bits = sh
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("h"))
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(1, 64), p -> struct(p AS p,
+          |  CASE WHEN floor((instr('0123456789abcdef',
+          |        substr(h, CAST(ceil(p/4.0) AS INT), 1)) - 1)
+          |      / power(2, (p-1)%4)) % 2 = 1
+          |  THEN 1 ELSE -1 END AS c))) AS x""".stripMargin))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.c").as("c"))
+    val fp = graft.CacheScope.persistTracked(bits
+      .groupBy("doc_id", "p").agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("s")))),
+        x => when(x.getField("s") >= 0, "1").otherwise("0")), "").as("fp")))
+    val bandRows = fp.select(col("doc_id"),
+      posexplode(array((0 until 8).map(b =>
+        substring(col("fp"), b * 8 + 1, 8)): _*)).as(Seq("band_idx", "bk")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("""aggregate(sequence(1, 64), 0, (acc, i) ->
+          |  acc + IF(substr(fp_a, i, 1) <> substr(fp_b, i, 1), 1, 0))"""
+          .stripMargin).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= 7)
+  }
+
   /** #43 Language ID: stopword-profile heuristic — per-language stopword
     * hit counts, argmax with fixed precedence. Pure per-row regex
     * (codegen); the synthetic corpus is English-vocab so the value is the
@@ -425,7 +516,9 @@ object Docs {
     "doc_dedup_near" -> (docDedupNear _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_minhash_lsh" -> (docMinhashLsh _),
+    "doc_minhash_md5" -> (docMinhashMd5 _),
     "doc_simhash" -> (docSimhash _),
+    "doc_simhash_md5" -> (docSimhashMd5 _),
     "doc_langid" -> (docLangid _),
     "doc_quality" -> (docQuality _),
     "doc_tokens" -> (docTokens _),
@@ -441,10 +534,95 @@ object Docs {
     "doc_pack" -> (docPack _),
     "doc_mixture" -> (docMixture _))
 
-  /** DuckDB twins (doc_minhash_lsh is rows-only: Spark-internal hash
-    * family). Shingles are built with list_transform over range — same
-    * sequence as the Spark expression. */
+  /** The shared shingle CTE body: 3-word shingles via list_transform
+    * over range — the same sequence as the Spark ShingleNGrams
+    * expression. NOTE: interpolated into stripMargin templates, so no
+    * continuation line may start with '|' (the outer stripMargin would
+    * eat it). */
+  private val shingleCte =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(string_split(text,' '))-1, 1)),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] ||
+      |           ' ' || string_split(text,' ')[i+2])) AS shingle
+      |    FROM documents) t""".stripMargin
+
+  /** doc_minhash_md5 oracle: generated so k/bands stay in lockstep with
+    * the Spark twin (k=16, 4 bands of 4). */
+  private val minhashMd5Oracle: String = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val sigCols = (0 until k)
+      .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (rpb * b until rpb * (b + 1)).map(j => s"h$j").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  $shingleCte),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY 1),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, CAST($agree AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  /** doc_simhash_md5 oracle: 64 '0'/'1' chars per doc, majority vote per
+    * bit of md5's first 16 hex digits, banded candidates, differing-char
+    * Hamming — every step string-domain so both engines agree. */
+  private val simhashMd5Oracle: String =
+    s"""WITH sh AS (
+       |  $shingleCte),
+       |hx AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, p,
+       |    SUM(CASE WHEN floor((instr('0123456789abcdef',
+       |          substr(h, CAST(ceil(p/4.0) AS INT), 1)) - 1)
+       |        / power(2, (p-1)%4)) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS s
+       |  FROM hx, generate_series(1, 64) AS t(p)
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS fp
+       |  FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b, substr(fp, (b-1)*8 + 1, 8) AS bk
+       |  FROM fp, generate_series(1, 8) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |res AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN substr(fa.fp, i, 1) <> substr(fb.fp, i, 1)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM cand
+       |  JOIN fp fa ON fa.doc_id = doc_a
+       |  JOIN fp fb ON fb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, hamming FROM res WHERE hamming <= 7""".stripMargin
+
+  /** DuckDB twins (doc_minhash_lsh / doc_simhash stay rows-only:
+    * Spark-internal hash family — their md5-family twins above carry the
+    * hash-matched evidence). Shingles are built with list_transform over
+    * range — same sequence as the Spark expression. */
   val oracles: Map[String, String] = Map(
+    "doc_minhash_md5" -> minhashMd5Oracle,
+    "doc_simhash_md5" -> simhashMd5Oracle,
     "doc_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM (
