@@ -35,17 +35,22 @@ object Bench {
     // the total is an honest pipeline cost. (Query-major order would
     // let the median-of-3 silently discard the build cost: only run 1
     // pays it, runs 2-3 read the memo.)
+    var charges = Map.empty[String, String]
     val samples = (1 to runs).map { _ =>
       QueryMemo.clear()
-      names.map { case (name, fn) =>
+      val pass = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        QueryMemo.setLabel(name)
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        } finally CacheScope.releaseAll()
+        } finally { QueryMemo.setLabel(null); CacheScope.releaseAll() }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      // identical every pass (deterministic order + clear-per-pass)
+      charges = QueryMemo.buildCharges
+      pass
     }
     val results = names.map { case (name, _) =>
       name -> median(samples.map(_.apply(name)))
@@ -56,7 +61,12 @@ object Bench {
     val total = results.map(_._2).sum
     // a broken query must not read as a fast one: failures are listed
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    // which query's timing carries each shared memo artifact's one-time
+    // build (pass-major accounting): readers comparing per-query numbers
+    // across rounds must not misattribute the mining cost
+    val chargedJson = charges.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"build_charged_to":$chargedJson,"runs":$runs,"sf":"$sfDir"}"""
     // The driver captures only the last ~2 KB of stdout; the per-query map
     // alone is ~2.4 KB. Persist the full record to a committed file and keep
     // the final stdout line under 200 bytes so it always parses. The path

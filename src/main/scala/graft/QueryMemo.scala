@@ -26,8 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session-convenience, not a durability mechanism.
   */
 object QueryMemo {
+  // value = the checkpointed frame + the ids of the RDDs its build
+  // newly persisted (captured from getPersistentRDDs around the
+  // materialization), so clear() can release blocks WITHOUT assuming
+  // any particular analyzed-plan shape (LogicalRDD today; anything a
+  // future Spark wraps the checkpoint in tomorrow).
   private val memo =
-    scala.collection.mutable.Map.empty[(Long, String), DataFrame]
+    scala.collection.mutable.Map.empty[(Long, String), (DataFrame, Set[Int])]
   // identity-keyed (SparkSession does not override equals) and weak, so
   // a stopped session's entry key cannot pin the session object; ids
   // are assigned, never hashed — two live sessions can never collide
@@ -36,6 +41,21 @@ object QueryMemo {
   private val off = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
   }
+  // key -> the caller label (set by Bench around each query) that paid
+  // the one-time build: pass-major bench accounting charges a shared
+  // artifact to its first consumer, and the record makes that explicit
+  // so cross-round per-query comparison cannot misattribute it.
+  private val buildLog = scala.collection.mutable.Map.empty[String, String]
+  @volatile private var label: String = _
+
+  /** Label subsequent builds on any thread (null = unlabeled). */
+  def setLabel(l: String): Unit = label = l
+
+  /** Which label paid each memo build since the last [[clear]],
+    * keyed by the memo key's short name (prefix before the first ':'). */
+  def buildCharges: Map[String, String] = memo.synchronized {
+    buildLog.map { case (k, v) => k.takeWhile(_ != ':') -> v }.toMap
+  }
 
   /** Run `body` with memoization OFF on this thread: cached() returns
     * the freshly-built frame with its full logical plan, materializing
@@ -43,8 +63,9 @@ object QueryMemo {
     * memoized LogicalRDD leaf would hide the mining subplan they exist
     * to inspect. */
   def disabled[T](body: => T): T = {
+    val prev = off.get()
     off.set(java.lang.Boolean.TRUE)
-    try body finally off.set(java.lang.Boolean.FALSE)
+    try body finally off.set(prev)
   }
 
   /** The frame for `key`, building + materializing it on first use.
@@ -69,10 +90,13 @@ object QueryMemo {
         }
       }
       memo.getOrElseUpdate((sid, key), {
+        if (label != null) buildLog(key) = label
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         val chk = build.localCheckpoint(eager = false)
         chk.count()
-        chk
-      })
+        (chk, sc.getPersistentRDDs.keySet.diff(before).toSet)
+      })._1
     }
 
   /** Drop every memoized frame and free its checkpoint blocks
@@ -82,13 +106,21 @@ object QueryMemo {
     * exactly once — honest, reproducible timings; long-lived JVMs call
     * it when a corpus is retired. */
   def clear(): Unit = memo.synchronized {
-    memo.values.foreach { df =>
+    memo.values.foreach { case (df, persistedIds) =>
       df.queryExecution.analyzed match {
         case r: org.apache.spark.sql.execution.LogicalRDD =>
           r.rdd.unpersist(blocking = false)
         case _ => ()
       }
+      // Belt and braces for plan shapes a future Spark might wrap the
+      // checkpoint in: release by the RDD ids the build persisted, so
+      // blocks cannot leak for the session lifetime even if the
+      // LogicalRDD match above stops firing.
+      val sc = df.sparkSession.sparkContext
+      val live = sc.getPersistentRDDs
+      persistedIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
     memo.clear()
+    buildLog.clear()
   }
 }

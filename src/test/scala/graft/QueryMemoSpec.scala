@@ -63,4 +63,30 @@ class QueryMemoSpec extends AnyFunSuite {
     get(); QueryMemo.clear(); get()
     assert(builds == 2, "clear() must force a rebuild")
   }
+
+  test("clear() releases every RDD the build persisted (no block leak)") {
+    val sc = spark.sparkContext
+    QueryMemo.clear()
+    val before = sc.getPersistentRDDs.keySet
+    val key = s"memo-spec-leak-${System.nanoTime()}"
+    val f = QueryMemo.cached(spark, key)(spark.range(1000).toDF("id"))
+    assert(f.count() == 1000)
+    val during = sc.getPersistentRDDs.keySet.diff(before)
+    assert(during.nonEmpty, "localCheckpoint must register a persistent RDD")
+    QueryMemo.clear()
+    val leaked = sc.getPersistentRDDs.keySet.intersect(during)
+    assert(leaked.isEmpty, s"memo blocks leaked after clear: $leaked")
+  }
+
+  test("disabled() nests: inner scope exit must not re-enable memoization") {
+    var builds = 0
+    val key = s"memo-spec-nest-${System.nanoTime()}"
+    QueryMemo.disabled {
+      QueryMemo.disabled {} // inner scope exits here
+      // still inside the outer scope: cached() must keep bypassing
+      QueryMemo.cached(spark, key) { builds += 1; spark.range(2).toDF("id") }
+      QueryMemo.cached(spark, key) { builds += 1; spark.range(2).toDF("id") }
+    }
+    assert(builds == 2, "outer disabled scope was re-enabled by nested exit")
+  }
 }
