@@ -77,10 +77,40 @@ def gen_events(out: str) -> None:
     pq.write_table(t, f"{out}/events.parquet")
 
 
+def gen_zipf(out: str, s: float = 1.5) -> None:
+    """5M events with a zipf(s) user distribution — the reference's
+    hot-device reality (one device fanning every message into the same
+    filters). At s=1.5 the hottest user carries ~38% of all rows, so the
+    per-user shuffle partition is genuinely skewed (SURVEY §5 salting /
+    AQE-skew claims are probed against this corpus, not asserted)."""
+    rng = np.random.default_rng(13)
+    n, n_user = 5_000_000, 15_000
+    eid = np.arange(n, dtype=np.int64)
+    base = np.int64(1704067200_000_000_000)  # 2024-01-01 in ns
+    ts = base + (eid * np.int64(432_000_000)) + rng.integers(0, 10**9, n)
+    users = np.minimum(rng.zipf(s, n) - 1, n_user - 1).astype(np.int64)
+    hot = (users == 0).mean()
+    t = pa.table({
+        "event_id": eid,
+        "ts": pa.array(ts, type=pa.timestamp("ns")),
+        "user_id": users,
+        "event_type": np.array(["click", "view", "purchase", "signup", "error"])[
+            rng.integers(0, 5, n)],
+        "value": np.round(rng.exponential(20.0, n), 2),
+        "props": np.array([f'{{"k": {k}}}' for k in range(100)])[
+            rng.integers(0, 100, n)],
+    })
+    pq.write_table(t, f"{out}/events.parquet")
+    print(f"  hottest user share: {hot:.1%}")
+
+
 if __name__ == "__main__":
     kind, out = sys.argv[1], sys.argv[2]
     import os
     os.makedirs(out, exist_ok=True)
-    {"embeddings": gen_embeddings, "documents": gen_documents,
-     "events": gen_events}[kind](out)
+    if kind == "zipf":
+        gen_zipf(out, float(sys.argv[3]) if len(sys.argv) > 3 else 1.5)
+    else:
+        {"embeddings": gen_embeddings, "documents": gen_documents,
+         "events": gen_events}[kind](out)
     print(f"wrote {kind} -> {out}")

@@ -1,12 +1,146 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc scale probe (SURVEY §5b): times selected operators against an
   * arbitrary data directory — used with synthetic larger-than-testdata
   * tables to confirm the scale-path plans beat their exact twins once N
-  * grows. Usage: runMain graft.ScaleProbe <dir> <query> [query ...] */
+  * grows. Usage: runMain graft.ScaleProbe <dir> <query> [query ...]
+  *
+  * Every probe appends a machine-readable record (corpus, config, wall
+  * time, rows, and where computable planted-dup recall) to PROBES.json
+  * in the working directory, merging with any existing records — scale
+  * evidence lives as a diffable committed artifact, not prose. */
 object ScaleProbe {
+
+  /** Accumulates one record per probe arg and merges them into
+    * PROBES.json (sorted keys, overwrite-by-key) so repeated runs keep
+    * refreshing the same entries. */
+  private object Probes {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private val acc =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+
+    def record(name: String, fields: Map[String, Any]): Unit =
+      acc(name) = fields
+
+    def flush(path: String = "PROBES.json"): Unit = {
+      if (acc.isEmpty) return
+      val p = java.nio.file.Paths.get(path)
+      val existing: Map[String, Any] =
+        if (java.nio.file.Files.exists(p))
+          JsonMethods.parse(java.nio.file.Files.readString(p)).values
+            .asInstanceOf[Map[String, Any]]
+        else Map.empty
+      val merged = scala.collection.immutable.TreeMap[String, Any]() ++
+        existing ++ acc
+      java.nio.file.Files.write(p,
+        Serialization.writePretty(merged)(DefaultFormats).getBytes("UTF-8"))
+      println(s"[probe] wrote ${acc.size} record(s) -> $path")
+    }
+  }
+
+  /** Fraction of the `planted` highest-id corpus rows (the probe
+    * generators plant near-dups at the id tail) surfacing in at least
+    * one mined pair — found/planted recall for the mining probes. */
+  private def plantedRecall(pairs: DataFrame, a: String, b: String,
+      total: Long, planted: Long): Double = {
+    val cut = total - planted
+    val found = pairs.select(col(a).as("x"))
+      .union(pairs.select(col(b).as("x")))
+      .filter(col("x") >= cut).distinct().count()
+    found.toDouble / planted
+  }
+
+  /** corpus_rows always; planted + recall when the probe arg carries a
+    * trailing `pN` (N = planted tail size). */
+  private def recallFields(pairs: DataFrame, a: String, b: String,
+      corpus: DataFrame, rest: Seq[String]): Map[String, Any] = {
+    val total = corpus.count()
+    val base: Map[String, Any] = Map("corpus_rows" -> total)
+    rest.headOption
+      .filter(r => r.startsWith("p") && r.drop(1).nonEmpty && r.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong) match {
+      case Some(p) =>
+        base ++ Map("planted" -> p,
+          "recall" -> plantedRecall(pairs, a, b, total, p))
+      case None => base
+    }
+  }
+
+  /** Sums numInputRows over completed micro-batches via a listener.
+    * Polling lastProgress and deriving rows from batchId arithmetic
+    * assumes every batch carries exactly rowsPerBatch and that no
+    * progress event is missed between polls; accumulating the reported
+    * numInputRows holds even if the source ever emits a short batch. */
+  private final class RowsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      rows.addAndGet(e.progress.numInputRows); ()
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Runs `df` to a noop sink until >= target input rows have been
+    * processed; returns (rows, secs). The probe-scoped checkpoint is
+    * removed afterwards (stop the query BEFORE deleting it, or the
+    * active query races the delete). */
+  private def runStreamToTarget(spark: SparkSession, df: DataFrame,
+      target: Long, what: String): (Long, Double) = {
+    val ckptPath = java.nio.file.Files.createTempDirectory(s"probe_${what}_ckpt")
+    val listener = new RowsListener
+    spark.streams.addListener(listener)
+    var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      qq = df.writeStream.format("noop")
+        .option("checkpointLocation", ckptPath.toString).start()
+      val t1 = System.nanoTime()
+      var done = 0L
+      while (done < target) {
+        Thread.sleep(100)
+        if (!qq.isActive)
+          throw qq.exception.getOrElse(new IllegalStateException(
+            s"$what probe query terminated before reaching target"))
+        done = listener.rows.get()
+      }
+      qq.stop()
+      ((System.nanoTime() - t1) / 1e9) match {
+        case secs => (done, secs)
+      }
+    } finally {
+      spark.streams.removeListener(listener)
+      if (qq != null && qq.isActive) {
+        try qq.stop()
+        catch { case _: Throwable => () }
+      }
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckptPath)
+      try
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def vecs(spark: SparkSession, dir: String, withLabel: Boolean): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    val sel =
+      if (withLabel) base.select(col("vec_id"), col("label").as("cluster_by"),
+        col("embedding").cast("array<double>").as("e"))
+      else base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+    sel.withColumn("norm", sqrt(
+      graft.functions.DotProduct.column(col("e"), col("e"))))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val spark = SparkSession.builder().master("local[32]")
@@ -18,77 +152,88 @@ object ScaleProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.tail.foreach { q =>
       val t0 = System.nanoTime()
-      // "neardup:<bands>:<bits>:<tau>" probes the parameterized LSH
-      // operator directly; anything else is a SparkEntry query name
-      val n = q.split(":") match {
+      val (n, extra): (Long, Map[String, Any]) = q.split(":") match {
         case Array("ivf", k) =>
-          val v = Tables.embeddings(spark, dir)
-            .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.col("label").as("cluster_by"),
-              org.apache.spark.sql.functions.col("embedding")
-                .cast("array<double>").as("e"))
-            .withColumn("norm", org.apache.spark.sql.functions.sqrt(
-              graft.functions.DotProduct.column(
-                org.apache.spark.sql.functions.col("e"),
-                org.apache.spark.sql.functions.col("e"))))
-          graft.operators.Similarity.ivfAnn(v,
-            org.apache.spark.sql.functions.col("vec_id") < 5, k.toInt).count()
+          (graft.operators.Similarity.ivfAnn(vecs(spark, dir, withLabel = true),
+            col("vec_id") < 5, k.toInt).count(), Map.empty)
         case Array("ivf", k, np) =>
-          val v = Tables.embeddings(spark, dir)
-            .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.col("label").as("cluster_by"),
-              org.apache.spark.sql.functions.col("embedding")
-                .cast("array<double>").as("e"))
-            .withColumn("norm", org.apache.spark.sql.functions.sqrt(
-              graft.functions.DotProduct.column(
-                org.apache.spark.sql.functions.col("e"),
-                org.apache.spark.sql.functions.col("e"))))
-          graft.operators.Similarity.ivfAnn(v,
-            org.apache.spark.sql.functions.col("vec_id") < 5, k.toInt,
-            nprobe = np.toInt).count()
-        case Array("minhash", k, bands, tau) =>
-          graft.operators.TextDedup.minhashLshPairs(
-            Tables.documents(spark, dir), 3, k.toInt, bands.toInt,
-            tau.toDouble).count()
-        case Array("simhash", bands, maxH) =>
-          graft.operators.TextDedup.simhashPairs(
-            Tables.documents(spark, dir), 3, bands.toInt, maxH.toInt).count()
-        case Array("jaccard", tau) =>
-          graft.operators.TextDedup.ngramJaccardPairs(
-            Tables.documents(spark, dir), 3, tau.toDouble).count()
-        case Array("neardup", bands, bits, tau) =>
-          val v = Tables.embeddings(spark, dir)
-            .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.col("embedding")
-                .cast("array<double>").as("e"))
-            .withColumn("norm", org.apache.spark.sql.functions.sqrt(
-              graft.functions.DotProduct.column(
-                org.apache.spark.sql.functions.col("e"),
-                org.apache.spark.sql.functions.col("e"))))
-          graft.operators.Similarity.lshNearDupPairs(v, 64,
-            bands.toInt, bits.toInt, tau.toDouble).count()
+          (graft.operators.Similarity.ivfAnn(vecs(spark, dir, withLabel = true),
+            col("vec_id") < 5, k.toInt, nprobe = np.toInt).count(), Map.empty)
+        case Array("minhash", k, bands, tau, rest @ _*) =>
+          val docs = Tables.documents(spark, dir)
+          val pairs = CacheScope.persistTracked(
+            graft.operators.TextDedup.minhashLshPairs(
+              docs, 3, k.toInt, bands.toInt, tau.toDouble))
+          (pairs.count(), recallFields(pairs, "doc_a", "doc_b", docs, rest))
+        case Array("simhash", bands, maxH, rest @ _*) =>
+          val docs = Tables.documents(spark, dir)
+          val pairs = CacheScope.persistTracked(
+            graft.operators.TextDedup.simhashPairs(
+              docs, 3, bands.toInt, maxH.toInt))
+          (pairs.count(), recallFields(pairs, "doc_a", "doc_b", docs, rest))
+        case Array("jaccard", tau, rest @ _*) =>
+          val docs = Tables.documents(spark, dir)
+          val pairs = CacheScope.persistTracked(
+            graft.operators.TextDedup.ngramJaccardPairs(docs, 3, tau.toDouble))
+          (pairs.count(), recallFields(pairs, "doc_a", "doc_b", docs, rest))
+        case Array("neardup", bands, bits, tau, rest @ _*) =>
+          val emb = Tables.embeddings(spark, dir)
+          val pairs = CacheScope.persistTracked(
+            graft.operators.Similarity.lshNearDupPairs(
+              vecs(spark, dir, withLabel = false), 64,
+              bands.toInt, bits.toInt, tau.toDouble))
+          (pairs.count(), recallFields(pairs, "vec_a", "vec_b", emb, rest))
         case Array("cc", nodes, edges) =>
           // synthetic random graph (seeded murmur3 endpoints): times the
           // connected-components loop at arbitrary edge scale; a chain
           // fragment keeps the worst-case round count honest
-          val n = nodes.toLong
+          val nN = nodes.toLong
           val e = edges.toLong
           val rand = spark.range(e).selectExpr(
-            s"pmod(hash(id, 1), $n) AS u", s"pmod(hash(id, 2), $n) AS v")
-          val chain = spark.range(math.min(n / 10, 100000))
+            s"pmod(hash(id, 1), $nN) AS u", s"pmod(hash(id, 2), $nN) AS v")
+          val chain = spark.range(math.min(nN / 10, 100000))
             .selectExpr("id AS u", "id + 1 AS v")
-          graft.operators.ConnectedComponents.assign(rand.union(chain))
-            .select(org.apache.spark.sql.functions.countDistinct(
-              org.apache.spark.sql.functions.col("component"))).collect()(0).getLong(0)
+          val comps = graft.operators.ConnectedComponents.assign(rand.union(chain))
+            .select(countDistinct(col("component"))).collect()(0).getLong(0)
+          (comps, Map("nodes" -> nN, "edges" -> e))
+        case Array("skewjoin", mode) =>
+          // per-user deviation-from-mean over a zipf corpus: events ⋈
+          // per-user dim on user_id, sort-merge (broadcast disabled).
+          // With AQE skew handling ON the hot user's partition must be
+          // split (plan shows skew=true); OFF rides one straggler task.
+          val on = mode == "on"
+          val tuned = Seq(
+            "spark.sql.adaptive.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.enabled" -> on.toString,
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+          val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+          tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+          try {
+            val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+            val dim = Tables.events(spark, dir)
+              .groupBy("user_id").agg(avg("value").as("u_avg"))
+            val dev = ev.join(dim, "user_id")
+              .groupBy("user_id")
+              .agg(sum(abs(col("value") - col("u_avg"))).as("abs_dev"))
+            val rows = dev.collect().length.toLong
+            val plan = dev.queryExecution.executedPlan.toString
+            val fired = plan.contains("skew=true") || plan.contains("skewed")
+            println(s"[probe] skewjoin enabled=$on split_fired=$fired")
+            (rows, Map("skew_join_enabled" -> on, "skew_split_fired" -> fired))
+          } finally prev.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
         case Array("docstream", total) =>
           // streaming near-dup suppression throughput: rate-micro-batch
           // → synthetic ~30-word docs (deterministic vocab draws, so
           // real bucket collisions occur) → MinHash/LSH verdicts
           // (stateful, per-band-bucket) → noop sink. Prints docs/sec.
-          val target = total.toLong
-          val rowsPerBatch = 20000L
           val src = spark.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", rowsPerBatch)
+            .option("rowsPerBatch", 20000L)
             .option("numPartitions", 32).load()
           val docs = src.selectExpr(
             "value AS doc_id",
@@ -97,50 +242,17 @@ object ScaleProbe {
               |AS text""".stripMargin.replaceAll("\n", ""))
           val verdicts = graft.streaming.DocStream.nearDupVerdicts(
             docs, n = 3, k = 16, bands = 4, tau = 0.5)
-          val ckptPath = java.nio.file.Files
-            .createTempDirectory("probe_docstream_ckpt")
-          var qq: org.apache.spark.sql.streaming.StreamingQuery = null
-          val processed =
-            try {
-              qq = verdicts.writeStream.format("noop")
-                .option("checkpointLocation", ckptPath.toString).start()
-              val t1 = System.nanoTime()
-              var done = 0L
-              while (done < target) {
-                Thread.sleep(100)
-                if (!qq.isActive)
-                  throw qq.exception.getOrElse(new IllegalStateException(
-                    "docstream probe query terminated before reaching target"))
-                done = Option(qq.lastProgress)
-                  .map(p => (p.batchId + 1) * rowsPerBatch).getOrElse(0L)
-              }
-              qq.stop()
-              val secs = (System.nanoTime() - t1) / 1e9
-              println(f"[probe] docstream throughput: ${done / secs}%.0f docs/s ($done docs in $secs%.1f s)")
-              done
-            } finally {
-              if (qq != null && qq.isActive) {
-                try qq.stop()
-                catch { case _: Throwable => () }
-              }
-              import scala.jdk.CollectionConverters._
-              val walk = java.nio.file.Files.walk(ckptPath)
-              try
-                walk.iterator().asScala.toSeq
-                  .sortBy(-_.getNameCount)
-                  .foreach(p => java.nio.file.Files.deleteIfExists(p))
-              finally walk.close()
-            }
-          processed
+          val (done, secs) =
+            runStreamToTarget(spark, verdicts.toDF(), total.toLong, "docstream")
+          println(f"[probe] docstream throughput: ${done / secs}%.0f docs/s ($done docs in $secs%.1f s)")
+          (done, Map("docs_per_s" -> math.rint(done / secs)))
         case Array("stream", total) =>
           // end-to-end streaming throughput: rate-micro-batch → WRP JSON
           // → parse → validate → broadcast route fanout → noop sink.
           // Prints input events/sec over >= `total` rows — the number to
           // hold against the reference service's single-node ingest.
-          val target = total.toLong
-          val rowsPerBatch = 100000L
           val src = spark.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", rowsPerBatch)
+            .option("rowsPerBatch", 100000L)
             .option("numPartitions", 32).load()
           val json = src.selectExpr(
             """concat('{"msg_type":4,"source":"mac:', value % 5000,
@@ -154,57 +266,18 @@ object ScaleProbe {
           val routed = graft.streaming.EventStream.route(
             graft.streaming.EventStream.validate(
               graft.streaming.EventStream.parse(json)), spark)
-          val ckptPath = java.nio.file.Files
-            .createTempDirectory("probe_stream_ckpt")
-          var qq: org.apache.spark.sql.streaming.StreamingQuery = null
-          val processed =
-            try {
-              qq = routed.writeStream.format("noop")
-                .option("checkpointLocation", ckptPath.toString).start()
-              val t1 = System.nanoTime()
-              var done = 0L
-              // recentProgress is capped (default 100 entries) and would
-              // undercount long runs: every rate-micro-batch trigger is
-              // exactly rowsPerBatch, so completed batches × batch size
-              // is the exact processed count (fresh checkpoint dir ⇒
-              // batchId starts at 0)
-              while (done < target) {
-                Thread.sleep(100)
-                if (!qq.isActive)
-                  throw qq.exception.getOrElse(new IllegalStateException(
-                    "streaming probe query terminated before reaching target"))
-                done = Option(qq.lastProgress)
-                  .map(p => (p.batchId + 1) * rowsPerBatch).getOrElse(0L)
-              }
-              qq.stop()
-              val secs = (System.nanoTime() - t1) / 1e9
-              println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
-              done
-            } finally {
-              // if an exception escaped the poll loop the query may still
-              // be running — stop it BEFORE deleting its checkpoint, or
-              // the active query races the delete
-              if (qq != null && qq.isActive) {
-                try qq.stop()
-                catch { case _: Throwable => () }
-              }
-              // the checkpoint is probe-scoped scratch: remove it so
-              // repeated probes neither accumulate /tmp state nor risk
-              // resuming from a stale batchId
-              import scala.jdk.CollectionConverters._
-              val walk = java.nio.file.Files.walk(ckptPath)
-              try
-                walk.iterator().asScala.toSeq
-                  .sortBy(-_.getNameCount)
-                  .foreach(p => java.nio.file.Files.deleteIfExists(p))
-              finally walk.close()
-            }
-          processed
-        case _ => SparkEntry.queries(q)(spark, dir).count()
+          val (done, secs) = runStreamToTarget(spark, routed, total.toLong, "stream")
+          println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
+          (done, Map("events_per_s" -> math.rint(done / secs)))
+        case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
-      println(f"[probe] $q%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $q%-24s $secs%8.2f s  ($n rows)")
+      Probes.record(q, Map("dir" -> dir,
+        "wall_s" -> math.rint(secs * 1000) / 1000, "rows" -> n) ++ extra)
       CacheScope.releaseAll()
     }
+    Probes.flush()
     spark.stop()
   }
 }
