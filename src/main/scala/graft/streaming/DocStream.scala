@@ -21,7 +21,14 @@ case class BandDocTs(band_idx: Int, band_hash: Int, doc_id: Long,
 
 /** Signatures already seen in one LSH band bucket, plus the newest
   * event time the bucket has observed (millis; used only by the
-  * event-time-TTL variant — the processing-time variant leaves it 0). */
+  * event-time-TTL variant — the processing-time variant leaves it 0).
+  *
+  * State-schema note: adding `maxTs` (r10) changed the encoder schema
+  * of the flatMapGroupsWithState state, so a query resuming from a
+  * checkpoint written BEFORE that change fails state deserialization.
+  * Checkpoints here are probe/test scratch so no migration shim is
+  * shipped; a production deployment versioning long-lived checkpoints
+  * should bump the checkpoint path on any state case-class change. */
 case class BucketState(docs: List[(Long, Seq[Int])], maxTs: Long = 0L)
 
 /** Streaming near-duplicate suppression for a document stream — the

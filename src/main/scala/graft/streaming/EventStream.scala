@@ -203,19 +203,36 @@ object EventStream {
     * rows are processed in (ts, event_id) order, so the emitted first
     * event matches the batch query's rank-1 row deterministically under
     * in-order replay. Emits one row per user, downstream-aggregable
-    * (chained stateful ops are fine in append mode). */
-  def firstEvents(events: Dataset[Evt]): Dataset[Evt] = {
+    * (chained stateful ops are fine in append mode).
+    *
+    * State is deliberately unbounded: "first ever" needs one boolean
+    * per user forever — exactly the reference's device-registry
+    * membership check, which also never expires. One boolean per user
+    * is ~tens of bytes of store per user; at 10^9 users that is tens of
+    * GB across the cluster's state stores — held, not growing per
+    * event. A deployment that can tolerate occasional re-counts after
+    * long inactivity can pass `ttl` to re-admit idle users and bound
+    * the store instead. */
+  def firstEvents(events: Dataset[Evt],
+      ttl: Option[java.time.Duration] = None): Dataset[Evt] = {
     import events.sparkSession.implicits._
+    val timeoutKind = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Boolean, Evt](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Boolean, Evt](OutputMode.Append, timeoutKind) {
         (_, batch: Iterator[Evt], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(true)
-            Iterator.single(
-              batch.toSeq.minBy(e => (e.ts.getTime, e.event_id)))
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                state.update(true)
+                Iterator.single(
+                  batch.toSeq.minBy(e => (e.ts.getTime, e.event_id)))
+              }
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
           }
       }
   }
