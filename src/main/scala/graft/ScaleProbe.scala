@@ -197,31 +197,79 @@ object ScaleProbe {
             .select(countDistinct(col("component"))).collect()(0).getLong(0)
           (comps, Map("nodes" -> nN, "edges" -> e))
         case Array("skewjoin", mode) =>
-          // per-user deviation-from-mean over a zipf corpus: events ⋈
-          // per-user dim on user_id, sort-merge (broadcast disabled).
-          // With AQE skew handling ON the hot user's partition must be
-          // split (plan shows skew=true); OFF rides one straggler task.
+          // total deviation-from-mean over a zipf corpus: events ⋈
+          // per-user dim on user_id, sort-merge (broadcast disabled),
+          // then a GLOBAL aggregate — deliberately: a parent that
+          // requires the join's hash partitioning (e.g. a per-user
+          // groupBy) makes AQE skip the skew split to preserve the
+          // distribution unless forceOptimizeSkewedJoin pays an extra
+          // shuffle; a partial-agg parent imposes no requirement. With
+          // skew handling ON the hot user's partition must split (plan
+          // shows skew=true); OFF rides one straggler task.
           val on = mode == "on"
           val tuned = Seq(
             "spark.sql.adaptive.enabled" -> "true",
             "spark.sql.adaptive.skewJoin.enabled" -> on.toString,
+            "spark.sql.adaptive.forceOptimizeSkewedJoin" -> on.toString,
+            // thresholds sized for the probe corpus: the hot user's
+            // partition is ~10 MB AFTER shuffle compression (a constant
+            // user_id column compresses almost to nothing), so the
+            // 256 MB default would never flag it at probe scale; at
+            // production scale the same zipf share is GBs and the
+            // default fires. factor stays 2x median.
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
             "spark.sql.autoBroadcastJoinThreshold" -> "-1")
           val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
           tuned.foreach { case (k, v) => spark.conf.set(k, v) }
           try {
             val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+            // materialize the dim first (a precomputed per-user table,
+            // the realistic shape): computed inline, its final
+            // HashAggregate sits between the join and the shuffle
+            // stage, and OptimizeSkewedJoin only matches a join whose
+            // BOTH children are sort-over-shuffle-stage directly
             val dim = Tables.events(spark, dir)
               .groupBy("user_id").agg(avg("value").as("u_avg"))
+              .localCheckpoint()
             val dev = ev.join(dim, "user_id")
-              .groupBy("user_id")
-              .agg(sum(abs(col("value") - col("u_avg"))).as("abs_dev"))
+              .agg(sum(abs(col("value") - col("u_avg"))).as("total_abs_dev"))
             val rows = dev.collect().length.toLong
             val plan = dev.queryExecution.executedPlan.toString
             val fired = plan.contains("skew=true") || plan.contains("skewed")
             println(s"[probe] skewjoin enabled=$on split_fired=$fired")
+            // a silent not-fired defeats the probe's purpose: show the
+            // join/read nodes so the reason (broadcast? threshold?) is
+            // visible in the log
+            if (on && !fired) {
+              plan.linesIterator
+                .filter(l => l.contains("Join") || l.contains("ShuffleRead") ||
+                  l.contains("Exchange"))
+                .take(12).foreach(l => println(s"[probe]   $l"))
+              // query stages are leaves: recurse through their .plan
+              def all(p: org.apache.spark.sql.execution.SparkPlan):
+                  Seq[org.apache.spark.sql.execution.SparkPlan] = {
+                val inner = p match {
+                  case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                    Seq(a.executedPlan)
+                  case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+                  case _ => Nil
+                }
+                p +: (p.children ++ inner).flatMap(all)
+              }
+              val stages = all(dev.queryExecution.executedPlan).collect {
+                case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+              }
+              println(s"[probe]   found ${stages.size} shuffle stages")
+              stages.foreach { s =>
+                val sizes = s.mapStats.map(_.bytesByPartitionId).getOrElse(Array.empty[Long])
+                if (sizes.nonEmpty)
+                  println(s"[probe]   stage ${s.id}: top partitions " +
+                    sizes.sorted.reverse.take(4).mkString(",") +
+                    s" median ${sizes.sorted.apply(sizes.length / 2)}")
+              }
+            }
             (rows, Map("skew_join_enabled" -> on, "skew_split_fired" -> fired))
           } finally prev.foreach {
             case (k, Some(v)) => spark.conf.set(k, v)

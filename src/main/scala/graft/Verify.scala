@@ -24,7 +24,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the whole
+      // final stage onto one thread, which serializes queries with an
+      // expensive post-shuffle tail (the simhash md5 twin's 40M-pair
+      // hamming ran 13+ min single-core at sf1); repartition adds one
+      // tiny shuffle of the result rows and keeps the tail parallel.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

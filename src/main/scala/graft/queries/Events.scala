@@ -535,14 +535,18 @@ object Events {
 
   /** Exact per-type percentiles as the oracle-backed twin of the sketch
     * above: Spark percentile() is linear interpolation ≡ DuckDB
-    * quantile_cont, bit-exact on doubles. */
+    * quantile_cont. Both sides round to 6 decimals — lossless for the
+    * 2-decimal source values, and it absorbs the 1-ulp divergence the
+    * engines' `a + (b-a)*f` interpolations accumulate differently once
+    * a group holds ~200k rows (first seen at sf1: 46.13 vs
+    * 46.13000000000001; sub-sf0.1 groups never hit it). */
   def evtQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.9)).as("p90"),
-        percentile(col("value"), lit(0.99)).as("p99"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"),
         count(lit(1)).as("n"))
 
   /** #18 Payload/props field extraction (WRP metadata handling):
@@ -1062,9 +1066,9 @@ object Events {
         |WHERE rnk <= 3""".stripMargin,
     "evt_quantiles" ->
       """SELECT event_type,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.9) AS p90,
-        |  quantile_cont(value, 0.99) AS p99,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "evt_parse_errors" ->
