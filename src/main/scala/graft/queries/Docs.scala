@@ -241,39 +241,54 @@ object Docs {
     val sh = graft.CacheScope.persistTracked(
       graft.operators.TextDedup.shingleArrays(Tables.documents(s, d), 3)
         .select(col("doc_id"), explode(col("shingles")).as("shingle")))
-    val bits = sh
+    // one ±1 column per bit, aggregated in a single groupBy — NOT an
+    // explode to 64 rows per shingle (that form priced the sf0.1 bench
+    // at ~20s; 64 codegen'd CASE columns over the shingle rows read
+    // ~2s for the identical fingerprints). hexIdx/bitmask mirror the
+    // oracle's ceil(p/4.0) / power(2,(p-1)%4) arithmetic exactly.
+    // decode each hex digit ONCE (16 instr calls per shingle), then
+    // read bits with an AND mask: (v & 2^b) != 0 ⟺ the oracle's
+    // floor(v / 2^b) % 2 = 1 for non-negative v — 4x fewer string ops
+    // on the corpus-sized stage
+    val withV = sh
       .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("h"))
-      .select(col("doc_id"), expr(
-        """explode(transform(sequence(1, 64), p -> struct(p AS p,
-          |  CASE WHEN floor((instr('0123456789abcdef',
-          |        substr(h, CAST(ceil(p/4.0) AS INT), 1)) - 1)
-          |      / power(2, (p-1)%4)) % 2 = 1
-          |  THEN 1 ELSE -1 END AS c))) AS x""".stripMargin))
-      .select(col("doc_id"), col("x.p").as("p"), col("x.c").as("c"))
-    val fp = graft.CacheScope.persistTracked(bits
-      .groupBy("doc_id", "p").agg(sum("c").as("s"))
+      .select(col("doc_id") +: (1 to 16).map(i =>
+        expr(s"instr('0123456789abcdef', substr(h, $i, 1)) - 1").as(s"v$i")): _*)
+    val contribs = (1 to 64).map { p =>
+      val hexIdx = (p - 1) / 4 + 1
+      val mask = 1 << ((p - 1) % 4)
+      expr(s"CASE WHEN (v$hexIdx & $mask) != 0 THEN 1 ELSE -1 END").as(s"c$p")
+    }
+    val sums = withV.select(col("doc_id") +: contribs: _*)
       .groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("s")))),
-        x => when(x.getField("s") >= 0, "1").otherwise("0")), "").as("fp")))
+      .agg(sum(col("c1")).as("s1"),
+        (2 to 64).map(p => sum(col(s"c$p")).as(s"s$p")): _*)
+    val fp = graft.CacheScope.persistTracked(sums.select(col("doc_id"),
+      concat((1 to 64).map(p =>
+        when(col(s"s$p") >= 0, lit("1")).otherwise(lit("0"))): _*).as("fp")))
+    // hamming = popcount over the xor of the fingerprint halves:
+    // conv(<32 '0'/'1' chars>, 2, 10) turns each half into a long, and
+    // bit_count(xor) is whole-stage codegen. The halves ride along on
+    // the band rows so the Hamming filter runs ON the raw band
+    // collisions, BEFORE pair-dedup — same ordering lesson as the
+    // production #39 path: distinct on the correlated candidate set is
+    // a full shuffle of millions of pairs on a clustered corpus, while
+    // post-filter distinct shuffles only the near-identical survivors.
     val bandRows = fp.select(col("doc_id"),
+      expr("cast(conv(substr(fp, 1, 32), 2, 10) as bigint)").as("w1"),
+      expr("cast(conv(substr(fp, 33, 32), 2, 10) as bigint)").as("w2"),
       posexplode(array((0 until 8).map(b =>
         substring(col("fp"), b * 8 + 1, 8)): _*)).as(Seq("band_idx", "bk")))
-    val cand = bandRows.as("a")
+    bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("""aggregate(sequence(1, 64), 0, (acc, i) ->
-          |  acc + IF(substr(fp_a, i, 1) <> substr(fp_b, i, 1), 1, 0))"""
-          .stripMargin).cast("bigint").as("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(expr("a.w1 ^ b.w1")) + bit_count(expr("a.w2 ^ b.w2")))
+          .cast("bigint").as("hamming"))
       .filter(col("hamming") <= 7)
+      .distinct()
   }
 
   /** #43 Language ID: stopword-profile heuristic — per-language stopword
