@@ -100,6 +100,39 @@ object Embeddings {
         (col("label_a") === col("label_b")).as("same_label"))
   }
 
+  /** #42c Semantic dedup (SemDeDup, Abbas et al. 2023 — within-CLUSTER
+    * near-duplicate pruning, the standard curation pass before
+    * training): pairs with cosine ≥ τ inside one cluster are
+    * duplicates; the greedy pass keeps the smallest vec_id of each
+    * pair (the same drop-later convention as doc_dedup_near) and
+    * reports per-cluster kept/dropped accounting.
+    *
+    * The cluster column here is `label` — the stand-in for a k-means
+    * assignment; a production pipeline feeds
+    * `Similarity.ivfSearch`-style centroid assignments instead and
+    * nothing else changes. The within-cluster restriction IS the
+    * method's scale story: comparisons are quadratic only inside a
+    * cluster (an equi join on the cluster key — never a cartesian),
+    * and clusters are sized by the k-means k knob. */
+  def embSemdedup(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val a = v.select(col("label"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("norm").as("na"))
+    val b = v.select(col("label"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val victims = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_b").as("victim")).distinct()
+    v.join(victims, col("vec_id") === col("victim"), "left_anti")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(v.groupBy("label").agg(count(lit(1)).as("n_total")), Seq("label"))
+      .select(col("label"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Deterministic random-hyperplane components — the shared family in
     * graft.operators.Similarity (one definition so queries, the
     * library operator, and the generated oracle SQL can never drift). */
@@ -195,6 +228,7 @@ object Embeddings {
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_exact" -> (embNeardupExact _),
+    "emb_semdedup" -> (embSemdedup _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ann_ivf" -> (embAnnIvf _))
 
@@ -252,6 +286,23 @@ object Embeddings {
         |  a.label = b.label AS same_label
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin,
+    "emb_semdedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+        |victims AS (
+        |  SELECT DISTINCT b.vec_id AS victim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4),
+        |kept AS (
+        |  SELECT label, COUNT(*) AS n_kept FROM n
+        |  WHERE vec_id NOT IN (SELECT victim FROM victims)
+        |  GROUP BY 1),
+        |total AS (SELECT label, COUNT(*) AS n_total FROM n GROUP BY 1)
+        |SELECT t.label, t.n_total, k.n_kept, t.n_total - k.n_kept AS n_dropped
+        |FROM total t JOIN kept k ON t.label = k.label""".stripMargin,
     "emb_ann_lsh" -> {
       // same literal-replay trick as emb_neardup: the 8-bit sign bucket
       // is reproducible in DuckDB, so the ANN probe is fully
