@@ -172,6 +172,48 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"restart must keep user 1's first from epoch 1 and admit only user 3; got $firsts")
   }
 
+  test("#27b-streaming'' firstEvents ttl re-admits a user after inactivity") {
+    // ttl trades bounded state for occasional re-counts: after the
+    // processing-time timeout fires, the SAME user counts as first
+    // again. Tiny ttl + a sleep longer than it makes expiry
+    // deterministic (timeouts fire at the next batch after deadline).
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[Evt]
+    def evt(id: Long, ts: Long) =
+      Evt(7L, new java.sql.Timestamp(ts), "click", id, 1.0)
+    val q = EventStream.firstEvents(in.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(50)))
+      .writeStream.format("memory").queryName("fe_ttl")
+      .outputMode("append").start()
+    // processAllAvailable() NEVER returns under ProcessingTimeTimeout
+    // (the engine keeps running no-data micro-batches to fire future
+    // timeouts — the r7 hang documented in StreamingDedupSpec).
+    // Bounded-poll the sink instead.
+    def waitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (spark.table("fe_ttl").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spark.table("fe_ttl").count() >= n,
+        s"timed out waiting for $n sink rows")
+    }
+    try {
+      in.addData(evt(1, 1000), evt(2, 2000))
+      waitRows(1)
+      Thread.sleep(300) // let the 50ms timeout expire
+      // two batches: one fires the timeout (state removed), the next
+      // re-admits the user
+      in.addData(evt(3, 3000))
+      in.addData(evt(4, 4000))
+      waitRows(2)
+    } finally q.stop()
+    val ids = spark.table("fe_ttl").select("event_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(1L), "first event must be emitted")
+    assert(ids.contains(3L) || ids.contains(4L),
+      s"user must be re-admitted after ttl expiry; got $ids")
+  }
+
   test("#56b-streaming decontaminate sink resumes from checkpoint without duplicate verdicts") {
     val src = tmp("dc_src"); val out = tmp("dc_out"); val ckpt = tmp("dc_ckpt")
     // 6 shared words -> 2 shared 5-grams >= minShared=2
