@@ -82,6 +82,28 @@ object Embeddings {
       .select(col("vec_a"), col("vec_b"), col("cos"),
         (col("label_a") === col("label_b")).as("same_label"))
 
+  /** #42-scale Cosine near-dup pairs at the PRODUCTION banding
+    * (16 bands × 8 sign bits over 128 planes): 256 buckets per band
+    * caps in-bucket candidates at ~N²/256 per band — 16× fewer than
+    * [[embNeardup]]'s 8×4 demo banding, which is what keeps the pair
+    * volume near-linear as N grows (sf1 probe: 24 s vs 95 s; the
+    * planted-dup probe holds recall 1.0 for cos ≥ 0.7 at this config,
+    * PROBES.json `neardup_16_8`). The threshold stays at the family's
+    * τ = 0.4 ON PURPOSE: this synthetic corpus has no pair above
+    * cos 0.6, so a τ=0.7 pin would be trivially green on an empty
+    * result — at τ=0.4 the wide banding yields a real (lower-recall:
+    * ~0.33 at the τ edge, the documented wide-band trade) pair set,
+    * and the DuckDB literal replay of all 128 plane constants then
+    * genuinely verifies every sign bit cross-engine. The recall knob
+    * vs the candidate-volume knob is exactly [[graft.operators.Similarity]]'s
+    * selectivity math; production picks the banding by its τ. */
+  def embNeardupScale(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity
+      .lshNearDupPairs(vecs(s, d), dim = 64, bands = 16, bitsPerBand = 8,
+        tau = 0.4, carry = Seq("label"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+
   /** #42b Brute-force all-pairs cosine near-dup: the exact-recall
     * baseline for [[embNeardup]]. All-pairs is quadratic by definition —
     * this form is for small-scale cross-checks and oracle twinning only;
@@ -227,10 +249,41 @@ object Embeddings {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
+    "emb_neardup_scale" -> (embNeardupScale _),
     "emb_neardup_exact" -> (embNeardupExact _),
     "emb_semdedup" -> (embSemdedup _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ann_ivf" -> (embAnnIvf _))
+
+  /** Replays the banded sign-bucket EXACTLY for any (bands, bits, tau):
+    * the plane constants are deterministic (murmur3 of (plane, dim)),
+    * embedded as literals; list_dot_product evaluates the same
+    * sequential double sum, so every sign bit — and therefore the
+    * candidate-pair set — agrees bit for bit with the Spark plan. One
+    * builder serves both the 8×4 τ=0.4 demo and the 16×8 τ=0.7
+    * production configs, so query and oracle can never diverge on the
+    * banding. */
+  private def neardupOracle(bands: Int, bits: Int, tau: Double): String = {
+    val pl = planes(bands * bits, 64)
+    def bitSql(p: Int): String =
+      s"CASE WHEN list_dot_product(e, ${pl(p).mkString("[", ", ", "]")}) >= 0 THEN 1 ELSE 0 END"
+    def bandSql(b: Int): String =
+      (0 until bits).map(i => s"${1 << i}*(${bitSql(bits * b + i)})").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+       |s AS (SELECT vec_id, label, e, norm,
+       |${(0 until bands).map(b => s"  ${bandSql(b)} AS k$b").mkString(",\n")}
+       |  FROM n)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cos,
+       |  a.label = b.label AS same_label
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |  AND (${(0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")})
+       |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= $tau""".stripMargin
+  }
 
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
@@ -249,32 +302,8 @@ object Embeddings {
         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 5) t
         |WHERE rnk <= 5""".stripMargin,
-    "emb_neardup" -> {
-      // replay the banded sign-bucket EXACTLY: the plane constants are
-      // deterministic (murmur3 of (plane, dim)), embedded as literals;
-      // list_dot_product evaluates the same sequential double sum, so
-      // every sign bit — and therefore the candidate-pair set — agrees
-      // bit for bit with the Spark plan
-      val pl = planes(32, 64)
-      def bitSql(p: Int): String =
-        s"CASE WHEN list_dot_product(e, ${pl(p).mkString("[", ", ", "]")}) >= 0 THEN 1 ELSE 0 END"
-      def bandSql(b: Int): String =
-        (0 until 4).map(i => s"${1 << i}*(${bitSql(4 * b + i)})").mkString(" + ")
-      s"""WITH v AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
-         |s AS (SELECT vec_id, label, e, norm,
-         |${(0 until 8).map(b => s"  ${bandSql(b)} AS k$b").mkString(",\n")}
-         |  FROM n)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  list_dot_product(a.e, b.e) / (a.norm * b.norm) AS cos,
-         |  a.label = b.label AS same_label
-         |FROM s a JOIN s b ON a.vec_id < b.vec_id
-         |  AND (${(0 until 8).map(b => s"a.k$b = b.k$b").mkString(" OR ")})
-         |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4""".stripMargin
-    },
+    "emb_neardup" -> neardupOracle(bands = 8, bits = 4, tau = 0.4),
+    "emb_neardup_scale" -> neardupOracle(bands = 16, bits = 8, tau = 0.4),
     "emb_neardup_exact" ->
       """WITH v AS (
         |  SELECT vec_id, label,

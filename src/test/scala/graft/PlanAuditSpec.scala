@@ -120,6 +120,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 2, p) // train + bench slices
   }
 
+  test("q21_null_safe_join joins pre-aggregated sides (no pair materialization)") {
+    // the r12 rewrite: each side folds to <=5 rows BEFORE the null-safe
+    // join. A Join whose input is a raw relation would re-introduce the
+    // quadratic |customer|x|supplier|/5 intermediate (12.9 s at sf1).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = QueryMemo.disabled(
+      SparkEntry.queries("q21_null_safe_join")(spark, d).queryExecution.optimizedPlan)
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, lp.toString)
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"join side is not pre-aggregated:\n$side")
+      }
+    }
+  }
+
   test("no query plans a CartesianProduct (all-pairs baselines are bounded BNLJ crosses)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = planOf(q)
