@@ -77,4 +77,35 @@ object Batching {
     df.withColumn("batch_id",
       floor((row_number().over(w) - 1) / batchSize).cast(LongType))
   }
+
+  /** Time-OR-size flush (queue.go:144-216): processItems flushes the
+    * moment the batch reaches BatchSize, and the BatchTimeLimitSeconds
+    * ticker flushes whatever has accumulated when arrivals pause — so a
+    * batch closes at `batchSize` OR when the gap to the next arrival
+    * exceeds `timeLimitSec`. Decomposes into two prefix-sum windows:
+    * gap-boundaries open a new "flush session" (exactly Sessionize's
+    * cumulative condition — a time flush always resets the size count),
+    * and fixed-size sub-batches partition each session. `batch_id` is
+    * 1-based dense per (stream, bucket) in arrival order; `sec` (epoch
+    * seconds of `ts`) is kept for span accounting. Three window passes,
+    * ONE hash exchange: pass 2 refines pass 1's keys (AQE keeps the
+    * partitioning; only a re-sort), pass 3 reuses pass 1's keys. The
+    * bucket column bounds every partition, as in [[assign]]. */
+  def assignTimeOrSize(df: DataFrame, stream: Column, bucket: Column,
+      ts: Column, order: Column, batchSize: Int, timeLimitSec: Long): DataFrame = {
+    val w = Window.partitionBy(stream, bucket).orderBy(order)
+    val ws = Window.partitionBy(stream, bucket, col("__sess")).orderBy(order)
+    val wb = Window.partitionBy(stream, bucket)
+      .orderBy(col("__sess"), col("__sub"))
+    df.withColumn("sec", unix_timestamp(ts))
+      .withColumn("__gap", col("sec") - lag("sec", 1).over(w))
+      .withColumn("__sess",
+        sum(when(col("__gap").isNull || col("__gap") > timeLimitSec, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__sub",
+        floor((row_number().over(ws) - 1) / batchSize).cast(LongType))
+      .withColumn("batch_id", dense_rank().over(wb).cast(LongType))
+      .drop("__gap", "__sess", "__sub")
+  }
 }

@@ -179,6 +179,29 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min("event_id").as("first_event"), max("event_id").as("last_event"))
 
+  /** #9b Time-OR-size batch flush (queue.go:144-216: the BatchSize
+    * check in processItems AND the BatchTimeLimitSeconds ticker): a
+    * batch closes when it fills OR when the gap to the next arrival
+    * exceeds the time limit — the ticker fires while the stream idles,
+    * so a quiet period always flushes the partial batch and resets the
+    * size count. Per-batch rollup with the close reason: a batch at
+    * exactly batch_size closed by size (processItems flushes
+    * immediately, before any ticker), anything smaller was flushed by
+    * time (the day tail behaves as a final ticker flush). Streaming
+    * twin: [[graft.streaming.EventStream.batchFlush]] (parity spec). */
+  def evtBatchTime(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.assignTimeOrSize(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("ts"), col("event_id"),
+        batchSize = 10, timeLimitSec = 1800)
+      .groupBy(col("event_type").as("stream"), to_date(col("day")).as("day"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"),
+        (max("sec") - min("sec")).as("span_sec"))
+      .withColumn("closed_by",
+        when(col("n_events") === 10, "size").otherwise("time"))
+
   /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
     * DroppedItems metric): capacity per stream per hour; arrival rank
     * beyond capacity ⇒ dropped, counted by stream. */
@@ -705,7 +728,11 @@ object Events {
     * kinesis_retry_scheduled (evt_failover's retry ladder),
     * kinesis_batch_sent/kinesis_record_sent (evt_batch's day-bucketed
     * batch model), old/future_event_received (evt_old_future's
-    * bounds), modified_wrp_count (wrp_modified's predicates), and
+    * bounds), modified_wrp_count (wrp_modified's predicates),
+    * event_read_request/event_bad_request (tags.go:39-40 — the
+    * pre-validation body-read failure and the four 400-reason classes
+    * wrp_validate's ladder synthesizes, read-failure short-circuiting
+    * first as in request_handler.go:90-131), and
     * slow_consumer_dropped_message_count (evt_dropped's capacity).
     * ONE scan and ONE data shuffle (VERDICT r9 #6, then further): every
     * counter is a function of group COUNTS — throttled = n−1 per
@@ -741,6 +768,8 @@ object Events {
         sum(when(old, 1L).otherwise(0L)).as("n_old"),
         sum(when(future, 1L).otherwise(0L)).as("n_future"),
         sum(when(modified, 1L).otherwise(0L)).as("n_mod"),
+        sum(when(Synthetics.readRequestError, 1L).otherwise(0L)).as("n_rre"),
+        sum(when(Synthetics.badRequest, 1L).otherwise(0L)).as("n_bad"),
         // which grouping set this row belongs to: only one of the three
         // sets grounds user_id; only one grounds day
         when(grouping(col("user_id")) === 0, "uh")
@@ -755,6 +784,8 @@ object Events {
       sum(when(uh, col("n_old"))).as("old_event_received"),
       sum(when(uh, col("n_future"))).as("future_event_received"),
       sum(when(uh, col("n_mod"))).as("modified_wrp_count"),
+      sum(when(uh, col("n_rre"))).as("event_read_request"),
+      sum(when(uh, col("n_bad"))).as("event_bad_request"),
       sum(when(uh, col("n") - 1L)).as("event_throttled"),
       sum(when(uh, 1L)).as("event_not_throttled"),
       sum(when(col("gset") === "th", greatest(col("n") - 5L, lit(0L))))
@@ -775,6 +806,7 @@ object Events {
     "evt_route" -> (evtRoute _),
     "evt_route_meta" -> (evtRouteMeta _),
     "evt_batch" -> (evtBatch _),
+    "evt_batch_time" -> (evtBatchTime _),
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
@@ -878,6 +910,33 @@ object Events {
         |      ORDER BY event_id) - 1) / 100) AS BIGINT) AS batch_id
         |  FROM events) t
         |GROUP BY 1, 2, 3""".stripMargin,
+    "evt_batch_time" ->
+      """WITH e AS (
+        |  SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sec - lag(sec) OVER (PARTITION BY stream, day
+        |    ORDER BY event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY stream, day ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |b AS (
+        |  SELECT *, CAST(floor((ROW_NUMBER() OVER (PARTITION BY stream, day, sess
+        |      ORDER BY event_id) - 1) / 10) AS BIGINT) AS sub
+        |  FROM s),
+        |r AS (
+        |  SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY stream, day
+        |      ORDER BY sess, sub) AS BIGINT) AS batch_id
+        |  FROM b)
+        |SELECT stream, CAST(day AS DATE) AS day, batch_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+        |  MAX(sec) - MIN(sec) AS span_sec,
+        |  CASE WHEN COUNT(*) = 10 THEN 'size' ELSE 'time' END AS closed_by
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "evt_dropped" ->
       """SELECT event_type,
         |  CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -1206,6 +1265,13 @@ object Events {
         |    AS BIGINT) FROM events
         |UNION ALL SELECT 'modified_wrp_count',
         |  CAST(SUM(CASE WHEN event_id % 5 = 0 OR event_id % 3 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'event_read_request',
+        |  CAST(SUM(CASE WHEN event_id % 103 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |UNION ALL SELECT 'event_bad_request',
+        |  CAST(SUM(CASE WHEN event_id % 103 <> 0 AND (event_id % 101 = 0
+        |    OR event_id % 89 = 0 OR event_id % 97 = 0 OR event_id % 79 = 0)
         |    THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |UNION ALL SELECT 'event_throttled',
         |  CAST(SUM(CASE WHEN rk >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_u

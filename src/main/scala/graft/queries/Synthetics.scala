@@ -34,6 +34,22 @@ object Synthetics {
     * (reference filter/filter.go:30 deliveryRetries). */
   val failedOver: Column = pmod(col("event_id"), lit(10)) === 0
 
+  /** transport failed reading the request body — precedes ALL
+    * validation in the reference's ladder (request_handler.go:90-95;
+    * tags.go:39 EventReadRequestError). */
+  val readRequestError: Column = pmod(col("event_id"), lit(103)) === 0
+
+  /** any 400-class validation reject on a successfully-READ body
+    * (request_handler.go:97-131; tags.go:40 EventBadRequest): empty
+    * payload (%101), undecodable (%89), msg_type != 4 (%97), invalid
+    * UTF-8 (%79) — the same four moduli wrp_validate's ladder
+    * synthesizes its payload classes from. */
+  def badRequest: Column = !readRequestError &&
+    (pmod(col("event_id"), lit(101)) === 0 ||
+      pmod(col("event_id"), lit(89)) === 0 ||
+      pmod(col("event_id"), lit(97)) === 0 ||
+      pmod(col("event_id"), lit(79)) === 0)
+
   /** disconnect event arrived without its reason payload
     * (reference internal/metrics/tags.go:49 NoDisconnectPayload). */
   val missingDisconnectPayload: Column = pmod(col("event_id"), lit(17)) === 0

@@ -16,6 +16,15 @@ case class SessionState(start_s: Long, last_s: Long, n_events: Int)
 case class ClosedSession(user_id: Long, start_s: Long, end_s: Long,
     n_events: Int)
 
+/** Open time-OR-size batch carried between micro-batches
+  * (epoch seconds; batches_closed numbers the next close 1-based). */
+case class BatchState(n: Int, first_id: Long, last_id: Long,
+    first_s: Long, last_s: Long, batches_closed: Long)
+
+/** A flushed batch emitted downstream (closed_by: "size" | "time"). */
+case class ClosedBatch(stream: String, batch_id: Long, n_events: Int,
+    first_event: Long, last_event: Long, span_sec: Long, closed_by: String)
+
 /** Structured-Streaming re-expression of the reference's end-to-end
   * service (SURVEY.md §2a #19-22): HTTP ingest → decode/validate →
   * regex route fanout → bounded batches → Kinesis ship becomes
@@ -167,6 +176,55 @@ object EventStream {
       .filter(col("n_drop_hours") === 3)
       .select(col("stream"),
         (unix_timestamp(col("window.start")) + 7200L).as("cutoff_hour_epoch"))
+
+  /** #9b-streaming Time-OR-size batch flush — the live twin of the
+    * batch `evt_batch_time` (queue.go:144-216): per stream, a batch is
+    * emitted the MOMENT it fills (`size`), and a later event arriving
+    * more than `timeLimitSec` after the last one first flushes the
+    * pending partial batch (`time`) — the gap-closure trick
+    * [[sessionize]] uses, deterministic without wall-clock timeouts
+    * (the reference's ticker fires in idle wall time; replaying the gap
+    * when the next event arrives yields the identical batch boundaries
+    * one event later). The open tail batch stays in state, exactly the
+    * reference's not-yet-flushed accumulator. Events are processed in
+    * event_id (arrival) order within each micro-batch, matching the
+    * batch operator's order column — BatchFlushParitySpec pins stream
+    * output == batch assignment minus each stream's open tail. */
+  def batchFlush(events: Dataset[Evt], batchSize: Int,
+      timeLimitSec: Long): Dataset[ClosedBatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BatchState, ClosedBatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: String, batch: Iterator[Evt], state: GroupState[BatchState]) =>
+          val out = List.newBuilder[ClosedBatch]
+          var st = state.getOption
+          def close(s: BatchState, reason: String): BatchState = {
+            out += ClosedBatch(stream, s.batches_closed + 1, s.n,
+              s.first_id, s.last_id, s.last_s - s.first_s, reason)
+            BatchState(0, 0L, 0L, 0L, 0L, s.batches_closed + 1)
+          }
+          batch.toSeq.sortBy(_.event_id).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            st = st match {
+              case Some(s) if s.n > 0 && sec - s.last_s > timeLimitSec =>
+                // idle gap: the ticker would have flushed the pending
+                // partial batch before this arrival
+                Some(close(s, "time").copy(n = 1, first_id = e.event_id,
+                  last_id = e.event_id, first_s = sec, last_s = sec))
+              case Some(s) if s.n > 0 =>
+                Some(s.copy(n = s.n + 1, last_id = e.event_id, last_s = sec))
+              case other =>
+                Some(BatchState(1, e.event_id, e.event_id, sec, sec,
+                  other.map(_.batches_closed).getOrElse(0L)))
+            }
+            st = st.map(s => if (s.n >= batchSize) close(s, "size") else s)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** #27b-streaming Merge-error flag counters — the live form of
     * `evt_merge_errors`' three stateless columns (interface_used_read /
