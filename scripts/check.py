@@ -32,7 +32,8 @@ def main(out_dir, sf_dir, json_out=None):
     for name in sorted(oracles):
         res_dir = f"{out_dir}/{name}"
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
-               "spark_rows": None, "oracle_rows": None, "err": None}
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "oracle": True}
         record[name] = rec
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -73,18 +74,21 @@ def main(out_dir, sf_dir, json_out=None):
         if name in oracles:
             continue
         res = f"{out_dir}/{name}"
+        # rows-only: oracle=False marks the weaker check; err stays None
+        # on success so consumers can treat non-null err as failure
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
-               "spark_rows": None, "oracle_rows": None, "err": "no_oracle"}
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "oracle": False}
         record[name] = rec
         if not os.path.isdir(res):
-            rec["err"] = "no_oracle; no spark result"
+            rec["err"] = "no spark result"
             print(f"FAIL {name} (rows-only): no spark result"); n_fail += 1; continue
         try:
             n = con.execute(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
             rec["spark_rows"] = n
             print(f"ROWS {name}: {n}")
         except Exception as e:
-            rec["err"] = f"no_oracle; {str(e)[:200]}"
+            rec["err"] = str(e)[:200]
             print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:

@@ -92,6 +92,12 @@ object QueryMemo {
       memo.getOrElseUpdate((sid, key), {
         if (label != null) buildLog(key) = label
         val sc = spark.sparkContext
+        // NOTE: the before/after id diff attributes EVERY RDD persisted
+        // during the build window to this entry — sound only because
+        // builds run under the memo's global lock AND the callers are
+        // sequential mains (no concurrent thread persists during the
+        // window). A concurrent query server would need to filter the
+        // diff to RDDs reachable from `chk` instead.
         val before = sc.getPersistentRDDs.keySet
         val chk = build.localCheckpoint(eager = false)
         chk.count()

@@ -233,6 +233,10 @@ object ScaleProbe {
             val dim = Tables.events(spark, dir)
               .groupBy("user_id").agg(avg("value").as("u_avg"))
               .localCheckpoint()
+            // CacheScope does not track localCheckpoint blocks — free
+            // this one explicitly below or repeated probe invocations
+            // accumulate checkpointed RDDs for the session's lifetime
+            try {
             val dev = ev.join(dim, "user_id")
               .agg(sum(abs(col("value") - col("u_avg"))).as("total_abs_dev"))
             val rows = dev.collect().length.toLong
@@ -271,6 +275,13 @@ object ScaleProbe {
               }
             }
             (rows, Map("skew_join_enabled" -> on, "skew_split_fired" -> fired))
+            } finally (dim.queryExecution.analyzed match {
+              // same release path as QueryMemo.clear: checkpoint blocks
+              // live on the LogicalRDD leaf's RDD, not in the CacheManager
+              case r: org.apache.spark.sql.execution.LogicalRDD =>
+                r.rdd.unpersist(blocking = false)
+              case _ => ()
+            })
           } finally prev.foreach {
             case (k, Some(v)) => spark.conf.set(k, v)
             case (k, None) => spark.conf.unset(k)

@@ -559,10 +559,16 @@ object Events {
   /** Exact per-type percentiles as the oracle-backed twin of the sketch
     * above: Spark percentile() is linear interpolation ≡ DuckDB
     * quantile_cont. Both sides round to 6 decimals — lossless for the
-    * 2-decimal source values, and it absorbs the 1-ulp divergence the
-    * engines' `a + (b-a)*f` interpolations accumulate differently once
-    * a group holds ~200k rows (first seen at sf1: 46.13 vs
-    * 46.13000000000001; sub-sf0.1 groups never hit it). */
+    * 2-decimal source values, and it NARROWS (not eliminates) the
+    * 1-ulp divergence the engines' `a + (b-a)*f` interpolations
+    * accumulate differently once a group holds ~200k rows (first seen
+    * at sf1: 46.13 vs 46.13000000000001; sub-sf0.1 groups never hit
+    * it). Residual risk: Spark rounds via BigDecimal HALF_UP while
+    * DuckDB's round can land 1 ulp away, so an interpolated value
+    * sitting EXACTLY on a 6th-decimal halfway boundary could still
+    * split — reachable only if the interpolation lands on a
+    * half-point at some future scale; a numeric-tolerance compare is
+    * the fallback if it ever does. */
   def evtQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
