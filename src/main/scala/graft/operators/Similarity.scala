@@ -115,6 +115,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
   }
 
+  /** Within-cluster SemDeDup pruning core (Abbas et al. 2023 — the
+    * standard semantic-dedup curation pass): pairs at cosine ≥ tau
+    * inside one cluster are duplicates, the greedy pass keeps the
+    * smallest vec_id of each pair, and the result is per-cluster
+    * (cluster, n_total, n_kept, n_dropped) accounting. The
+    * within-cluster restriction IS the method's scale story:
+    * comparisons are quadratic only inside a cluster (an equi join on
+    * the cluster key — never a cartesian), and cluster sizes are
+    * capped by the k-means k knob. The smallest id of a cluster is
+    * never a victim, so no cluster ever empties out of the result.
+    * `v` carries (vec_id, e: array<double>, norm) + the named cluster
+    * column. */
+  def semDedupWithin(v: DataFrame, cluster: String, tau: Double): DataFrame = {
+    val a = v.select(col(cluster), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("norm").as("na"))
+    val b = v.select(col(cluster), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val victims = a.join(b, Seq(cluster))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_b").as("victim")).distinct()
+    v.join(victims, col("vec_id") === col("victim"), "left_anti")
+      .groupBy(cluster)
+      .agg(count(lit(1)).as("n_kept"))
+      .join(v.groupBy(cluster).agg(count(lit(1)).as("n_total")), Seq(cluster))
+      .select(col(cluster), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** End-to-end SemDeDup against a PREBUILT IVF index (see
+    * [[ivfIndex]]): every vector goes to its nearest centroid via a
+    * broadcast of the tiny centroid table (map-side; the max_by
+    * tiebreak keeps assignment deterministic), then
+    * [[semDedupWithin]] prunes inside each cell. The index is the
+    * persisted-artifact path — build once, parquet round-trip, dedup
+    * many corpora against it. */
+  def semDedup(v: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
+        first(col("e")).as("e"), first(col("norm")).as("norm"))
+    semDedupWithin(assigned, "cluster", tau)
+  }
+
   /** Near-dup pairs with cosine ≥ tau from a vector table carrying
     * (vec_id, e: array<double>, norm) plus any `carry` columns, which
     * come back suffixed `_a`/`_b` on each side of every pair. */

@@ -129,30 +129,58 @@ object Embeddings {
     * pair (the same drop-later convention as doc_dedup_near) and
     * reports per-cluster kept/dropped accounting.
     *
-    * The cluster column here is `label` — the stand-in for a k-means
-    * assignment; a production pipeline feeds
-    * `Similarity.ivfSearch`-style centroid assignments instead and
-    * nothing else changes. The within-cluster restriction IS the
+    * The cluster column here is `label` — the given-grouping baseline;
+    * [[embSemdedupIvf]] is the same pass over REAL centroid
+    * assignments, and `Similarity.semDedup` is the production form
+    * against a prebuilt index. The within-cluster restriction IS the
     * method's scale story: comparisons are quadratic only inside a
     * cluster (an equi join on the cluster key — never a cartesian),
     * and clusters are sized by the k-means k knob. */
-  def embSemdedup(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    val a = v.select(col("label"), col("vec_id").as("vec_a"),
-      col("e").as("ea"), col("norm").as("na"))
-    val b = v.select(col("label"), col("vec_id").as("vec_b"),
-      col("e").as("eb"), col("norm").as("nb"))
-    val victims = a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.4)
-      .select(col("vec_b").as("victim")).distinct()
-    v.join(victims, col("vec_id") === col("victim"), "left_anti")
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_kept"))
-      .join(v.groupBy("label").agg(count(lit(1)).as("n_total")), Seq("label"))
-      .select(col("label"), col("n_total"), col("n_kept"),
-        (col("n_total") - col("n_kept")).as("n_dropped"))
+  def embSemdedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.semDedupWithin(vecs(s, d), "label", tau = 0.4)
+
+  /** #42c' Semantic dedup over REAL centroid assignments — the
+    * end-to-end SemDeDup shape: cluster = nearest sequential-fold
+    * centroid (the same assignment [[embAnnIvf]] probes, bit-exact
+    * cross-engine), then within-cluster pruning via
+    * Similarity.semDedupWithin. The label-seeded centroids make this
+    * the k-means-initialized variant of [[embSemdedup]];
+    * SemdedupIvfSpec pins the two formulations equal on a
+    * label-separated seeded corpus, and the production path
+    * (mergeable-centroid [[graft.operators.Similarity.semDedup]]) to
+    * the same answer there too. */
+  def embSemdedupIvf(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity
+      .semDedupWithin(seqFoldAssigned(vecs(s, d)), "cluster", tau = 0.4)
+
+  /** The sequential-fold centroid assignment shared by [[embAnnIvf]]
+    * and [[embSemdedupIvf]]: per-label per-dimension means folded
+    * SEQUENTIALLY over vec_id-ordered value lists (bit-identical to
+    * the DuckDB replay — see [[embAnnIvf]]'s scaladoc for the
+    * exactness argument and the scale caveat; production uses
+    * graft.operators.Similarity.ivfIndex's mergeable avg). Every
+    * vector goes to its nearest centroid via a broadcast of the tiny
+    * centroid table (max_by tiebreak keeps it deterministic); e/norm
+    * ride through the aggregate (identical on every replicated row)
+    * instead of a join-back shuffle to recover them. Returns
+    * (vec_id, cluster, e, norm). */
+  private[graft] def seqFoldAssigned(v: DataFrame): DataFrame = {
+    val seqMean = aggregate(
+      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / count(lit(1))
+    val cent = v
+      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(seqMean.as("cx"))
+      .groupBy(col("label").as("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+    v.crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
+        first(col("e")).as("e"), first(col("norm")).as("norm"))
   }
 
   /** Deterministic random-hyperplane components — the shared family in
@@ -209,27 +237,7 @@ object Embeddings {
     * the MERGEABLE avg centroid instead (a spec pins the two paths to
     * identical results on the verification corpus). */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    val seqMean = aggregate(
-      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-        t => t.getField("x")),
-      lit(0.0), (acc, x) => acc + x) / count(lit(1))
-    val cent = v
-      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(seqMean.as("cx"))
-      .groupBy(col("label").as("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        t => t.getField("cx")).as("ce"))
-      .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
-    // assign every vector to its nearest centroid (broadcast, map-side;
-    // the max_by tiebreak keeps assignment deterministic). e/norm ride
-    // through the aggregate (identical on every replicated row) instead
-    // of a join-back shuffle to recover them.
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
-        first(col("e")).as("e"), first(col("norm")).as("norm"))
+    val assigned = seqFoldAssigned(vecs(s, d))
     val q = broadcast(assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("cluster")))
@@ -252,6 +260,7 @@ object Embeddings {
     "emb_neardup_scale" -> (embNeardupScale _),
     "emb_neardup_exact" -> (embNeardupExact _),
     "emb_semdedup" -> (embSemdedup _),
+    "emb_semdedup_ivf" -> (embSemdedupIvf _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ann_ivf" -> (embAnnIvf _))
 
@@ -332,6 +341,46 @@ object Embeddings {
         |total AS (SELECT label, COUNT(*) AS n_total FROM n GROUP BY 1)
         |SELECT t.label, t.n_total, k.n_kept, t.n_total - k.n_kept AS n_dropped
         |FROM total t JOIN kept k ON t.label = k.label""".stripMargin,
+    "emb_semdedup_ivf" ->
+      // the emb_ann_ivf sequential-fold assignment CTEs (bit-identical
+      // centroids => identical clusters), then the emb_semdedup victim
+      // logic over the ASSIGNED cluster instead of the label
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+        |ex AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos, e[CAST(i AS INTEGER)] AS x
+        |  FROM n, range(1, 65) t(i)),
+        |cx AS (
+        |  SELECT label, pos,
+        |    list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS cx
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label AS cluster, list(cx ORDER BY pos) AS ce
+        |  FROM cx GROUP BY 1),
+        |cn AS (SELECT cluster, ce, sqrt(list_dot_product(ce, ce)) AS cnorm FROM cent),
+        |assigned AS (
+        |  SELECT vec_id, e, norm, cluster FROM (
+        |    SELECT n.vec_id, n.e, n.norm, c.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.e, c.ce) / (n.norm * c.cnorm) DESC,
+        |                 c.cluster ASC) AS rn
+        |    FROM n CROSS JOIN cn c) t
+        |  WHERE rn = 1),
+        |victims AS (
+        |  SELECT DISTINCT b.vec_id AS victim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= 0.4),
+        |kept AS (
+        |  SELECT cluster, COUNT(*) AS n_kept FROM assigned
+        |  WHERE vec_id NOT IN (SELECT victim FROM victims)
+        |  GROUP BY 1),
+        |total AS (SELECT cluster, COUNT(*) AS n_total FROM assigned GROUP BY 1)
+        |SELECT t.cluster, t.n_total, k.n_kept, t.n_total - k.n_kept AS n_dropped
+        |FROM total t JOIN kept k ON t.cluster = k.cluster""".stripMargin,
     "emb_ann_lsh" -> {
       // same literal-replay trick as emb_neardup: the 8-bit sign bucket
       // is reproducible in DuckDB, so the ANN probe is fully
