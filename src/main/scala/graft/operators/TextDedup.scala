@@ -128,6 +128,33 @@ object TextDedup {
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** The mined pair graph as a persisted ARTIFACT (parallel to
+    * Similarity.ivfIndex): a production pipeline mines ONCE per
+    * corpus, writes the (doc_a, doc_b, …, jaccard) rows — ids and
+    * scores only, never documents, so the artifact is O(pairs) tiny —
+    * and every downstream product (victim removal, clustering,
+    * canonical selection) in every later SESSION reads it instead of
+    * re-mining. QueryMemo gives the same mine-once semantic within
+    * one session; the parquet artifact is what makes it hold across
+    * sessions and across a cluster. Consumers opt in by setting
+    * `graft.dedup.pairGraphPath` (see graft.queries.Docs.minedPairs);
+    * PairGraphSpec pins the round trip and the prebuilt-graph
+    * products to the mined ones. */
+  def writePairGraph(pairs: DataFrame, path: String): Unit =
+    pairs.write.mode("overwrite").parquet(path)
+
+  /** Read a [[writePairGraph]] artifact, failing fast if the path does
+    * not hold a pair graph (the two id columns are what every
+    * consumer joins on). */
+  def readPairGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val g = spark.read.parquet(path)
+    require(Seq("doc_a", "doc_b").forall(g.columns.contains),
+      s"readPairGraph: $path is not a pair graph artifact " +
+        s"(columns ${g.columns.mkString(", ")} lack doc_a/doc_b)")
+    g
+  }
+
   /** MinHash signatures (k seeded murmur3 minima over the shingle
     * posting list) banded into `bands` buckets; candidates pair on any
     * shared band bucket and similarity is ESTIMATED from signature

@@ -60,11 +60,18 @@ object Docs {
     * products consume it (#37 the pair list, #37b victim removal, #37c
     * clusters, #37d canonical selection), and a production pipeline
     * mines ONCE per corpus. The memo holds only (doc_a, doc_b, sim)
-    * rows — never documents (VERDICT r9 #5). */
+    * rows — never documents (VERDICT r9 #5). Cross-SESSION mine-once:
+    * when `graft.dedup.pairGraphPath` is set, the graph is read from
+    * that TextDedup.writePairGraph parquet artifact instead of mined —
+    * every downstream product works unchanged off the prebuilt graph
+    * (PairGraphSpec pins the equivalence). */
   private def minedPairs(s: SparkSession, d: String): DataFrame =
     QueryMemo.cached(s, s"jaccard_pairs:n=3:tau=0.5:$d")(
-      graft.operators.TextDedup.ngramJaccardPairs(
-        Tables.documents(s, d), n = 3, tau = 0.5))
+      s.conf.getOption("graft.dedup.pairGraphPath") match {
+        case Some(path) => graft.operators.TextDedup.readPairGraph(s, path)
+        case None => graft.operators.TextDedup.ngramJaccardPairs(
+          Tables.documents(s, d), n = 3, tau = 0.5)
+      })
 
   /** #56 Benchmark decontamination (GPT-3 appendix-C / Lee et al. 2022
     * §6.2 n-gram collision procedure): training docs sharing ≥5
