@@ -130,6 +130,101 @@ object ScaleProbe {
     }
   }
 
+  /** Streaming-pipeline builders shared by the single-probe modes and
+    * the [[streamSuite]]: each returns an unbounded DataFrame over a
+    * rate-micro-batch source, ready for runStreamToTarget. */
+  private def routeStreamDf(spark: SparkSession): DataFrame = {
+    // end-to-end ingest: WRP JSON → parse → validate → broadcast route
+    // fanout (the reference's request path as a stream)
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100000L)
+      .option("numPartitions", 32).load()
+    val json = src.selectExpr(
+      """concat('{"msg_type":4,"source":"mac:', value % 5000,
+        |'","dest":"event:', element_at(
+        |  array('click','view','purchase','error','heartbeat'),
+        |  cast(value % 5 as int) + 1),
+        |'/', value, '","event_id":', value,
+        |',"user_id":', value % 5000,
+        |',"ts":"2024-01-01 00:00:01","value":1.5}')
+        |AS value""".stripMargin.replaceAll("\n", ""))
+    graft.streaming.EventStream.route(
+      graft.streaming.EventStream.validate(
+        graft.streaming.EventStream.parse(json)), spark)
+  }
+
+  private def docStreamDf(spark: SparkSession): DataFrame = {
+    // streaming near-dup suppression: synthetic ~30-word docs
+    // (deterministic vocab draws, so real bucket collisions occur) →
+    // MinHash/LSH verdicts (stateful, per-band-bucket)
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 20000L)
+      .option("numPartitions", 32).load()
+    val docs = src.selectExpr(
+      "value AS doc_id",
+      """array_join(transform(sequence(1, 30),
+        |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
+        |AS text""".stripMargin.replaceAll("\n", ""))
+    graft.streaming.DocStream.nearDupVerdicts(
+      docs, n = 3, k = 16, bands = 4, tau = 0.5).toDF()
+  }
+
+  private def batchFlushStreamDf(spark: SparkSession): DataFrame = {
+    // the r12 stateful time-OR-size batch flusher: synthetic events with
+    // monotone per-type timestamps (1 type-second per 500 rows → both
+    // size and gap flushes fire), keyed state per event_type
+    import spark.implicits._
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100000L)
+      .option("numPartitions", 32).load()
+    val evts = src.selectExpr(
+        "value % 5000 AS user_id",
+        """cast(timestamp '2024-01-01 00:00:00'
+          |  + make_dt_interval(0, 0, 0, cast(value / 500 as double)
+          |    + cast(value % 97 as double) * 40.0) AS timestamp) AS ts"""
+          .stripMargin.replaceAll("\n", ""),
+        """element_at(array('click','view','purchase','error','heartbeat'),
+          |  cast(value % 5 as int) + 1) AS event_type"""
+          .stripMargin.replaceAll("\n", ""),
+        "value AS event_id",
+        "CAST(1.5 AS DOUBLE) AS value")
+      .as[graft.streaming.Evt]
+    graft.streaming.EventStream
+      .batchFlush(evts, batchSize = 100, timeLimitSec = 600).toDF()
+  }
+
+  /** The committed streaming-regression record (VERDICT r11 #7): run
+    * the three pipelines to a row target each and write ONE
+    * driver-parseable STREAMBENCH.json — per-probe rows, wall secs and
+    * rows/sec — so round-over-round streaming comparisons are diffable
+    * exactly like the batch BENCH files (anchors in BASELINE.md). */
+  private def streamSuite(spark: SparkSession, target: Long): (Long, Map[String, Any]) = {
+    val probes = Seq(
+      // docs and the stateful flusher are an order slower per row than
+      // stateless route fanout — scale their targets so the suite stays
+      // minutes, not hours, while every probe still spans many batches
+      ("events_route", () => routeStreamDf(spark), target),
+      ("events_batch_flush", () => batchFlushStreamDf(spark), target / 5),
+      ("docs_neardup", () => docStreamDf(spark), target / 10))
+    val recs = probes.map { case (name, mk, tgt) =>
+      val (done, secs) = runStreamToTarget(spark, mk(), tgt, name)
+      println(f"[probe] $name%-20s ${done / secs}%.0f rows/s ($done rows in $secs%.1f s)")
+      name -> Map[String, Any]("rows" -> done,
+        "secs" -> math.rint(secs * 1000) / 1000,
+        "rows_per_s" -> math.rint(done / secs))
+    }
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    val out = Map[String, Any]("metric" -> "stream_suite",
+      "unit" -> "rows_per_s", "target" -> target,
+      "probes" -> scala.collection.immutable.TreeMap(recs: _*))
+    java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
+      Serialization.writePretty(out)(DefaultFormats).getBytes("UTF-8"))
+    println("[probe] wrote STREAMBENCH.json")
+    (recs.map(_._2("rows").asInstanceOf[Long]).sum,
+      recs.flatMap { case (n, m) => Seq(s"${n}_rows_per_s" -> m("rows_per_s")) }.toMap)
+  }
+
   private def vecs(spark: SparkSession, dir: String, withLabel: Boolean): DataFrame = {
     val base = Tables.embeddings(spark, dir)
     val sel =
@@ -287,47 +382,23 @@ object ScaleProbe {
             case (k, None) => spark.conf.unset(k)
           }
         case Array("docstream", total) =>
-          // streaming near-dup suppression throughput: rate-micro-batch
-          // → synthetic ~30-word docs (deterministic vocab draws, so
-          // real bucket collisions occur) → MinHash/LSH verdicts
-          // (stateful, per-band-bucket) → noop sink. Prints docs/sec.
-          val src = spark.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", 20000L)
-            .option("numPartitions", 32).load()
-          val docs = src.selectExpr(
-            "value AS doc_id",
-            """array_join(transform(sequence(1, 30),
-              |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
-              |AS text""".stripMargin.replaceAll("\n", ""))
-          val verdicts = graft.streaming.DocStream.nearDupVerdicts(
-            docs, n = 3, k = 16, bands = 4, tau = 0.5)
+          // streaming near-dup suppression throughput → noop sink;
+          // prints docs/sec (pipeline in [[docStreamDf]])
           val (done, secs) =
-            runStreamToTarget(spark, verdicts.toDF(), total.toLong, "docstream")
+            runStreamToTarget(spark, docStreamDf(spark), total.toLong, "docstream")
           println(f"[probe] docstream throughput: ${done / secs}%.0f docs/s ($done docs in $secs%.1f s)")
           (done, Map("docs_per_s" -> math.rint(done / secs)))
         case Array("stream", total) =>
-          // end-to-end streaming throughput: rate-micro-batch → WRP JSON
-          // → parse → validate → broadcast route fanout → noop sink.
-          // Prints input events/sec over >= `total` rows — the number to
-          // hold against the reference service's single-node ingest.
-          val src = spark.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", 100000L)
-            .option("numPartitions", 32).load()
-          val json = src.selectExpr(
-            """concat('{"msg_type":4,"source":"mac:', value % 5000,
-              |'","dest":"event:', element_at(
-              |  array('click','view','purchase','error','heartbeat'),
-              |  cast(value % 5 as int) + 1),
-              |'/', value, '","event_id":', value,
-              |',"user_id":', value % 5000,
-              |',"ts":"2024-01-01 00:00:01","value":1.5}')
-              |AS value""".stripMargin.replaceAll("\n", ""))
-          val routed = graft.streaming.EventStream.route(
-            graft.streaming.EventStream.validate(
-              graft.streaming.EventStream.parse(json)), spark)
-          val (done, secs) = runStreamToTarget(spark, routed, total.toLong, "stream")
+          // end-to-end streaming ingest throughput → noop sink; prints
+          // events/sec over >= `total` rows — the number to hold against
+          // the reference service's single-node ingest (pipeline in
+          // [[routeStreamDf]])
+          val (done, secs) =
+            runStreamToTarget(spark, routeStreamDf(spark), total.toLong, "stream")
           println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
           (done, Map("events_per_s" -> math.rint(done / secs)))
+        case Array("streamsuite", rest @ _*) =>
+          streamSuite(spark, rest.headOption.map(_.toLong).getOrElse(500000L))
         case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
       val secs = (System.nanoTime() - t0) / 1e9
