@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check.py <outDir> <sfDir> [jsonOut]
-  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+Usage: python3 scripts/check.py <outDir> <sfDir> [jsonOut] [only]
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first;
+  `only` = comma-separated query names for subset runs — scale
+  verification of just the heavy family checks those and ignores the
+  rest of the manifest)
 
 For each <outDir>/<name>/ parquet result with an oracle in
 oracle_sql.json: run the SQL in DuckDB over the sfDir tables, sort
@@ -20,7 +23,8 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(out_dir, sf_dir, json_out=None):
+def main(out_dir, sf_dir, json_out=None, only=None):
+    keep = set(only.split(",")) if only else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -30,6 +34,8 @@ def main(out_dir, sf_dir, json_out=None):
     record = {}
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if keep is not None and name not in keep:
+            continue
         res_dir = f"{out_dir}/{name}"
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None,
@@ -71,7 +77,7 @@ def main(out_dir, sf_dir, json_out=None):
     else:
         declared = [d.rstrip("/").split("/")[-1] for d in sorted(glob.glob(f"{out_dir}/*/"))]
     for name in sorted(declared):
-        if name in oracles:
+        if name in oracles or (keep is not None and name not in keep):
             continue
         res = f"{out_dir}/{name}"
         # rows-only: oracle=False marks the weaker check; err stays None
@@ -98,4 +104,6 @@ def main(out_dir, sf_dir, json_out=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))

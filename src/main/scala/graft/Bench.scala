@@ -27,7 +27,12 @@ object Bench {
       if (s0.size % 2 == 1) s0(s0.size / 2)
       else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2.0
     }
+    // SPARK_GRAFT_ONLY (comma-separated names): bench a subset — scale
+    // runs time just the heavy family (e.g. BENCH_sf3.json) without
+    // paying the full suite at 30x data. Driver calls without it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // PASS-MAJOR with a QueryMemo clear per pass: each pass prices the
     // full suite including every shared artifact's one-time build
     // exactly once, charged to its first consumer — deterministically
