@@ -202,6 +202,28 @@ object Events {
       .withColumn("closed_by",
         when(col("n_events") === 10, "size").otherwise("time"))
 
+  /** #9c SubmitOnEmptyQueue (queue.go:209-216): the submit-early knob
+    * flushes the pending batch whenever the arrival queue drains — in
+    * the deterministic replay (instantaneous processing) the queue is
+    * empty exactly when the next arrival is strictly later, so ANY
+    * positive gap closes the batch: [[evtBatchTime]]'s operator with
+    * the gap limit at zero. Same-second arrivals (gap 0 under epoch
+    * truncation) still accumulate to batch_size; everything else
+    * drains as an idle flush — which is precisely the knob's
+    * production behavior (it trades batch fill for latency whenever
+    * arrivals are slower than the consumer). */
+  def evtBatchIdle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.assignTimeOrSize(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("ts"), col("event_id"),
+        batchSize = 10, timeLimitSec = 0)
+      .groupBy(col("event_type").as("stream"), to_date(col("day")).as("day"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+      .withColumn("closed_by",
+        when(col("n_events") === 10, "size").otherwise("idle_drain"))
+
   /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
     * DroppedItems metric): capacity per stream per hour; arrival rank
     * beyond capacity ⇒ dropped, counted by stream. */
@@ -813,6 +835,7 @@ object Events {
     "evt_route_meta" -> (evtRouteMeta _),
     "evt_batch" -> (evtBatch _),
     "evt_batch_time" -> (evtBatchTime _),
+    "evt_batch_idle" -> (evtBatchIdle _),
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
@@ -942,6 +965,32 @@ object Events {
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
         |  MAX(sec) - MIN(sec) AS span_sec,
         |  CASE WHEN COUNT(*) = 10 THEN 'size' ELSE 'time' END AS closed_by
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    "evt_batch_idle" ->
+      """WITH e AS (
+        |  SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sec - lag(sec) OVER (PARTITION BY stream, day
+        |    ORDER BY event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY stream, day ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |b AS (
+        |  SELECT *, CAST(floor((ROW_NUMBER() OVER (PARTITION BY stream, day, sess
+        |      ORDER BY event_id) - 1) / 10) AS BIGINT) AS sub
+        |  FROM s),
+        |r AS (
+        |  SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY stream, day
+        |      ORDER BY sess, sub) AS BIGINT) AS batch_id
+        |  FROM b)
+        |SELECT stream, CAST(day AS DATE) AS day, batch_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+        |  CASE WHEN COUNT(*) = 10 THEN 'size' ELSE 'idle_drain' END AS closed_by
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "evt_dropped" ->
       """SELECT event_type,
