@@ -120,6 +120,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 2, p) // train + bench slices
   }
 
+  test("evt_batch_time: one exchange feeds the whole window cascade") {
+    // gap-lag, session cumsum, in-session row_number and batch dense_rank
+    // all run off ONE hash exchange: (stream, day) partitioning satisfies
+    // the (stream, day, __sess) clustering (subset rule), so the refined
+    // windows re-sort but never re-shuffle. 2 = that one + the rollup's.
+    val p = planOf("evt_batch_time")
+    assert(occurrences(p, "Exchange") == 2,
+      s"window cascade re-shuffles (expected 2 exchanges):\n$p")
+    assert(occurrences(p, "FileScan") == 1, p)
+  }
+
   test("q21_null_safe_join joins pre-aggregated sides (no pair materialization)") {
     // the r12 rewrite: each side folds to <=5 rows BEFORE the null-safe
     // join. A Join whose input is a raw relation would re-introduce the
