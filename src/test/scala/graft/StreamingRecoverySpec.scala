@@ -239,4 +239,43 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(verdicts.sorted == Seq((1L, 1000L), (3L, 1000L)),
       s"restart must add doc 3 without re-judging doc 1; got $verdicts")
   }
+
+  test("#9b-streaming batchFlush resumes its open batch from checkpoint exactly once") {
+    val src = tmp("bf_src"); val out = tmp("bf_out"); val ckpt = tmp("bf_ckpt")
+    def evtSource(): org.apache.spark.sql.Dataset[Evt] =
+      spark.readStream.text(src)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p")(0).cast("long").as("user_id"),
+          to_timestamp(col("p")(1)).as("ts"),
+          lit("rk").as("event_type"),
+          col("p")(0).cast("long").as("event_id"),
+          lit(1.0).as("value"))
+        .as[Evt]
+    def run(): Unit = {
+      val q = EventStream.batchFlush(evtSource(), batchSize = 5, timeLimitSec = 60)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // epoch 1: ids 1-12 one second apart — two size-flushed batches
+    // emitted, ids 11-12 left OPEN in state
+    addLines(src, "b1.txt",
+      (1 to 12).map(i => f"$i|2024-01-01 00:00:$i%02d"))
+    run()
+    assert(spark.read.parquet(out).count() == 2L)
+
+    // while DOWN: id 13 lands 10 min later (gap > 60 s ⇒ the restart
+    // must first flush the CHECKPOINTED open batch {11,12} as 'time'),
+    // then 14-17 fill a fresh size batch with 13
+    addLines(src, "b2.txt",
+      (13 to 17).map(i => s"$i|2024-01-01 00:10:${i - 13}"))
+    run()
+    val got = spark.read.parquet(out)
+      .select("batch_id", "n_events", "first_event", "last_event", "closed_by")
+      .as[(Long, Int, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 5, 1L, 5L, "size"), (2L, 5, 6L, 10L, "size"),
+      (3L, 2, 11L, 12L, "time"), (4L, 5, 13L, 17L, "size")),
+      s"restart must flush the open tail once and continue numbering; got $got")
+  }
 }
