@@ -26,6 +26,12 @@ def canon(df):
 def main(out_dir, sf_dir, json_out=None, only=None):
     keep = set(only.split(",")) if only else None
     con = duckdb.connect()
+    # bound the oracle's memory and give it a spill dir: the quadratic
+    # dedup/near-dup oracles at sf3+ otherwise grow past RAM and get
+    # OOM-killed (seen at 130 GB RSS) where out-of-core execution
+    # completes fine
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
