@@ -30,7 +30,7 @@ def main(out_dir, sf_dir, json_out=None, only=None):
     # dedup/near-dup oracles at sf3+ otherwise grow past RAM and get
     # OOM-killed (seen at 130 GB RSS) where out-of-core execution
     # completes fine
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='100GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
