@@ -23,8 +23,7 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(out_dir, sf_dir, json_out=None, only=None):
-    keep = set(only.split(",")) if only else None
+def fresh_con(sf_dir):
     con = duckdb.connect()
     # bound the oracle's memory and give it a spill dir: the quadratic
     # dedup/near-dup oracles at sf3+ otherwise grow past RAM and get
@@ -36,6 +35,12 @@ def main(out_dir, sf_dir, json_out=None, only=None):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(out_dir, sf_dir, json_out=None, only=None):
+    keep = set(only.split(",")) if only else None
+    con = fresh_con(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     record = {}
     n_pass = n_fail = 0
@@ -56,7 +61,14 @@ def main(out_dir, sf_dir, json_out=None, only=None):
             want = canon(con.execute(oracles[name]).df())
         except Exception as e:
             rec["err"] = str(e)[:200]
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            # a failed oracle (e.g. an OOM abort) can leave the shared
+            # connection's allocator poisoned so every LATER query also
+            # reports OOM — reconnect to isolate failures
+            try: con.close()
+            except Exception: pass
+            con = fresh_con(sf_dir)
+            continue
         rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
