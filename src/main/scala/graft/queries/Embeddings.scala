@@ -76,6 +76,10 @@ object Embeddings {
     // counts at ~N²/16 per band; 8 OR'd bands push τ-edge recall to
     // ~0.75 (≥0.95 for cos ≥ 0.7). Band width/count are the scale knobs
     // (see graft.operators.Similarity for the selectivity math).
+    // MEASURED WALL (r12, BASELINE.md sf3): at 60k vectors this config's
+    // candidate shuffle needs >200 GB transient spill and fails, while
+    // [[embNeardupScale]]'s 16×8 banding stays oracle-green — keep this
+    // form for ≤20k-vector verification corpora only.
     graft.operators.Similarity
       .lshNearDupPairs(vecs(s, d), dim = 64, bands = 8, bitsPerBand = 4,
         tau = 0.4, carry = Seq("label"))
