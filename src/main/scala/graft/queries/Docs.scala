@@ -65,13 +65,19 @@ object Docs {
     * that TextDedup.writePairGraph parquet artifact instead of mined —
     * every downstream product works unchanged off the prebuilt graph
     * (PairGraphSpec pins the equivalence). */
-  private def minedPairs(s: SparkSession, d: String): DataFrame =
-    QueryMemo.cached(s, s"jaccard_pairs:n=3:tau=0.5:$d")(
-      s.conf.getOption("graft.dedup.pairGraphPath") match {
+  private def minedPairs(s: SparkSession, d: String): DataFrame = {
+    // the artifact path is part of the memo key: re-pointing
+    // graft.dedup.pairGraphPath mid-session must never serve the graph
+    // cached under the previous source
+    val src = s.conf.getOption("graft.dedup.pairGraphPath")
+    QueryMemo.cached(s,
+      s"jaccard_pairs:n=3:tau=0.5:$d:${src.getOrElse("mined")}")(
+      src match {
         case Some(path) => graft.operators.TextDedup.readPairGraph(s, path)
         case None => graft.operators.TextDedup.ngramJaccardPairs(
           Tables.documents(s, d), n = 3, tau = 0.5)
       })
+  }
 
   /** #56 Benchmark decontamination (GPT-3 appendix-C / Lee et al. 2022
     * §6.2 n-gram collision procedure): training docs sharing ≥5
@@ -134,7 +140,10 @@ object Docs {
     * once per session, not once per query (VERDICT r9 #5). The memo
     * stores only id pairs; documents never enter it. */
   private def clusterAssignment(s: SparkSession, d: String): DataFrame =
-    QueryMemo.cached(s, s"dedup_cluster_map:n=3:tau=0.5:$d") {
+    // same source-keying as minedPairs: the component map derived from
+    // one pair graph must not survive a mid-session artifact re-point
+    QueryMemo.cached(s, s"dedup_cluster_map:n=3:tau=0.5:$d:" +
+        s.conf.getOption("graft.dedup.pairGraphPath").getOrElse("mined")) {
       val pairs = minedPairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       graft.operators.ConnectedComponents.assign(pairs)
