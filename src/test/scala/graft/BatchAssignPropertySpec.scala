@@ -30,6 +30,20 @@ class BatchAssignPropertySpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("an unreachable gap limit degenerates to pure size batching (assign)") {
+    import spark.implicits._
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    def ids(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.select($"event_id", $"batch_id").as[(Long, Long)].collect().toMap
+    val sized = ids(graft.operators.Batching.assign(df,
+      col("event_type"), lit(1), col("event_id"), 25))
+    val timed = ids(graft.operators.Batching.assignTimeOrSize(df,
+      col("event_type"), lit(1), col("ts"), col("event_id"), 25,
+      Long.MaxValue))
+    // assign is 0-based, assignTimeOrSize 1-based dense — same partition
+    assert(sized.map { case (k, v) => k -> (v + 1) } == timed)
+  }
+
   test("window cascade equals the sequential reference on random arrivals") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
