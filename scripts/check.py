@@ -28,9 +28,13 @@ def fresh_con(sf_dir):
     # bound the oracle's memory and give it a spill dir: the quadratic
     # dedup/near-dup oracles at sf3+ otherwise grow past RAM and get
     # OOM-killed (seen at 130 GB RSS) where out-of-core execution
-    # completes fine
-    con.execute("SET memory_limit='100GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # completes fine. Both knobs are env-overridable so scale runs can
+    # size them to the host (ADVICE r12): a 100GB limit on a smaller
+    # box would not prevent the OS OOM-kill it exists to avoid.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "100GB")
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -38,16 +42,51 @@ def fresh_con(sf_dir):
     return con
 
 
+def within_float_tolerance(got, want, rtol=1e-12):
+    """Exact equality except float columns, which admit `rtol` relative
+    error (both frames already canon()-sorted). Guards the 1-ulp
+    rounding-boundary class without weakening any exact column."""
+    import numpy as np
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" and w.dtype.kind == "f":
+            both_nan = g.isna() & w.isna()
+            close = np.isclose(g.to_numpy(), w.to_numpy(), rtol=rtol,
+                               atol=0.0, equal_nan=True)
+            if not (close | both_nan.to_numpy()).all():
+                return False
+        elif not g.astype(str).equals(w.astype(str)):
+            return False
+    return True
+
+
 def main(out_dir, sf_dir, json_out=None, only=None):
     keep = set(only.split(",")) if only else None
     con = fresh_con(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Declarative scale classes written by graft.Verify (ScaleClasses):
+    # above the demo-corpus threshold, demo-pinned configs were excluded
+    # from the Spark run (record them as declared skips, not failures)
+    # and quadratic single-node oracles are downgraded to a rows-only
+    # check with the reason declared in the record.
+    sc_path = f"{out_dir}/scale_classes.json"
+    sc = json.load(open(sc_path)) if os.path.exists(sc_path) else {}
+    above = bool(sc.get("above_threshold")) and keep is None
+    demo = sc.get("demo", {}) if above else {}
+    quad = set(sc.get("oracle_quadratic", [])) if above else set()
     record = {}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if keep is not None and name not in keep:
             continue
         res_dir = f"{out_dir}/{name}"
+        if name in demo:
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "err": None, "oracle": False,
+                            "skipped": f"demo-class above scale threshold: {demo[name]}"}
+            print(f"SKIP {name}: demo-class above scale threshold")
+            continue
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None,
                "oracle": True}
@@ -56,6 +95,20 @@ def main(out_dir, sf_dir, json_out=None, only=None):
         if not files:
             rec["err"] = "no spark result"
             print(f"FAIL {name}: no spark result"); n_fail += 1; continue
+        if name in quad:
+            # Spark side scales and ran; the oracle replay is the
+            # documented quadratic wall — rows-only above threshold.
+            rec["oracle"] = False
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+            rec["skipped"] = "oracle skipped: quadratic single-node replay above scale threshold"
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{res_dir}/*.parquet'").fetchone()[0]
+                rec["spark_rows"] = n
+                print(f"ROWS {name} (oracle quadratic, skipped): {n}")
+            except Exception as e:
+                rec["err"] = str(e)[:200]
+                print(f"FAIL {name} (rows-only): {e}"); n_fail += 1
+            continue
         try:
             got = canon(con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df())
             want = canon(con.execute(oracles[name]).df())
@@ -77,6 +130,14 @@ def main(out_dir, sf_dir, json_out=None, only=None):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         rec["rows_match"] = True
         eq = got.astype(str).equals(want.astype(str))
+        if not eq and within_float_tolerance(got, want):
+            # 1-ulp class (VERDICT r11/r12, evt_quantiles): engines may
+            # round a float's last bit differently on an exact-decimal
+            # boundary. Non-float columns stay bit-exact; float columns
+            # admit relative error 1e-12 — far below any semantic
+            # divergence, far above ulp noise.
+            eq = True
+            rec["tolerance_used"] = True
         if eq:
             rec["hash_match"] = True
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1

@@ -31,8 +31,18 @@ object Bench {
     // runs time just the heavy family (e.g. BENCH_sf3.json) without
     // paying the full suite at 30x data. Driver calls without it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Declarative scale classes (ScaleClasses): above the demo-corpus
+    // threshold the demo-pinned configs are auto-excluded (documented
+    // Spark-side walls) and listed in the record; an explicit
+    // SPARK_GRAFT_ONLY naming always wins. Checked once, untimed.
+    val above = ScaleClasses.aboveThreshold(spark, sfDir)
+    val excluded: Seq[String] =
+      if (above && only.isEmpty) ScaleClasses.demo.keys.toSeq.sorted else Nil
+    excluded.foreach(n =>
+      System.err.println(s"[bench] excluding demo-class $n above scale threshold"))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filterNot { case (n, _) => excluded.contains(n) }
     // PASS-MAJOR with a QueryMemo clear per pass: each pass prices the
     // full suite including every shared artifact's one-time build
     // exactly once, charged to its first consumer — deterministically
@@ -71,7 +81,8 @@ object Bench {
     // across rounds must not misattribute the mining cost
     val chargedJson = charges.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"build_charged_to":$chargedJson,"runs":$runs,"sf":"$sfDir"}"""
+    val excludedJson = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"build_charged_to":$chargedJson,"runs":$runs,"sf":"$sfDir"}"""
     // The driver captures only the last ~2 KB of stdout; the per-query map
     // alone is ~2.4 KB. Persist the full record to a committed file and keep
     // the final stdout line under 200 bytes so it always parses. The path

@@ -21,8 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Declarative scale classes: above the demo-corpus threshold the
+    // demo-pinned configs are excluded automatically (they are
+    // documented walls, see ScaleClasses) — UNLESS named explicitly in
+    // the filter arg, which always wins. The classification ships with
+    // the output so the gate artifact declares its own exclusions.
+    val above = ScaleClasses.aboveThreshold(spark, sfDir)
+    Files.writeString(Paths.get(s"$outDir/scale_classes.json"),
+      ScaleClasses.declarationJson(above))
+    def autoExcluded(name: String): Boolean =
+      above && ScaleClasses.demo.contains(name) && only.isEmpty
+    if (above && only.isEmpty) ScaleClasses.demo.keys.foreach { n =>
+      System.err.println(s"[verify] excluding demo-class $n above scale threshold")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) => autoExcluded(name) }
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the whole
       // final stage onto one thread, which serializes queries with an
