@@ -82,7 +82,16 @@ object Batching {
     * moment the batch reaches BatchSize, and the BatchTimeLimitSeconds
     * ticker flushes whatever has accumulated when arrivals pause — so a
     * batch closes at `batchSize` OR when the gap to the next arrival
-    * exceeds `timeLimitSec`. Decomposes into two prefix-sum windows:
+    * exceeds `timeLimitSec`. FIDELITY (ADVICE r12): the reference's
+    * ticker is free-running and periodic — reset only after it fires,
+    * never on arrivals or size flushes — so under a steady sub-limit
+    * trickle (batchSize 10, limit 600 s, one event each 500 s) it also
+    * flushes ~1-event batches each tick where this gap model
+    * accumulates 10. The gap replay is a deterministic APPROXIMATION,
+    * exact when arrivals are dense (size flushes dominate) or fully
+    * idle; modeling the periodic phase would need wall-clock alignment
+    * no deterministic replay can commit to. Decomposes into two
+    * prefix-sum windows:
     * gap-boundaries open a new "flush session" (exactly Sessionize's
     * cumulative condition — a time flush always resets the size count),
     * and fixed-size sub-batches partition each session. `batch_id` is

@@ -184,7 +184,10 @@ object Events {
     * batch closes when it fills OR when the gap to the next arrival
     * exceeds the time limit — the ticker fires while the stream idles,
     * so a quiet period always flushes the partial batch and resets the
-    * size count. Per-batch rollup with the close reason: a batch at
+    * size count. (A deterministic approximation of the free-running
+    * ticker — see the fidelity note on
+    * [[graft.operators.Batching.assignTimeOrSize]].)
+    * Per-batch rollup with the close reason: a batch at
     * exactly batch_size closed by size (processItems flushes
     * immediately, before any ticker), anything smaller was flushed by
     * time (the day tail behaves as a final ticker flush). Streaming
@@ -201,6 +204,47 @@ object Events {
         (max("sec") - min("sec")).as("span_sec"))
       .withColumn("closed_by",
         when(col("n_events") === 10, "size").otherwise("time"))
+
+  /** Histogram bucket ladder shared by [[evtQueueLatency]] and its
+    * generated oracle — the reference's declared histogram bounds
+    * (internal/metrics/fx.go:72), read here in seconds for the
+    * incoming_queue_latency_histogram_seconds twin
+    * (internal/event/metrics.go:29). */
+  private[graft] val latencyBounds: Seq[Long] =
+    Seq(10L, 100L, 1000L, 5000L, 10000L, 100000L, 500000L, 1000000L, 2000000L)
+
+  /** #27c Incoming-queue latency histogram
+    * (internal/event/metrics.go:29 IncomingQueueLatencyHistogram,
+    * bucket ladder internal/metrics/fx.go:72): per-event queue latency
+    * = batch-close time − arrival time under the deterministic
+    * time-OR-size replay ([[evtBatchTime]]'s model — close time is the
+    * batch's last arrival, a deterministic lower bound of the wall
+    * flush instant). Emitted prometheus-style: per stream, cumulative
+    * count per `le` bound, "+Inf" = observation count, "sum" = total
+    * latency seconds. Plan: the close-time window refines
+    * assignTimeOrSize's (stream, day) keys with batch_id, so all FOUR
+    * windows and this max ride ONE hash exchange (the subset rule —
+    * PlanAuditSpec's cascade pin); the bucket counts are conditional
+    * sums (map-side partial), never a rank or explode of the fact
+    * table. Streaming twin: [[graft.streaming.EventStream.queueLatency]]
+    * (QueueLatencyParitySpec). */
+  def evtQueueLatency(s: SparkSession, d: String): DataFrame = {
+    val wb = Window.partitionBy(col("event_type"), col("day"), col("batch_id"))
+    val lat = graft.operators.Batching.assignTimeOrSize(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("ts"), col("event_id"),
+        batchSize = 10, timeLimitSec = 1800)
+      .withColumn("latency_s", max("sec").over(wb) - col("sec"))
+    val aggs = latencyBounds.map(b =>
+      sum(when(col("latency_s") <= b, 1L).otherwise(0L)).as(s"le_$b")) ++
+      Seq(count(lit(1)).as("le_inf"), sum("latency_s").as("lat_sum"))
+    val wide = lat.groupBy(col("event_type").as("stream"))
+      .agg(aggs.head, aggs.tail: _*)
+    wide.select(col("stream"), explode(map(
+      (latencyBounds.flatMap(b => Seq(lit(b.toString), col(s"le_$b"))) ++
+        Seq(lit("+Inf"), col("le_inf"), lit("sum"), col("lat_sum"))): _*))
+      .as(Seq("le", "n")))
+  }
 
   /** #9c SubmitOnEmptyQueue (queue.go:209-216): the submit-early knob
     * flushes the pending batch whenever the arrival queue drains — in
@@ -824,6 +868,52 @@ object Events {
     melt(wide)
   }
 
+  /** evt_queue_latency oracle — generated from [[latencyBounds]] so
+    * the ladder cannot drift from the Spark twin; the batch CTE is
+    * evt_batch_time's replay verbatim. */
+  private val queueLatencyOracle: String = {
+    val condSums = latencyBounds.map(b =>
+      s"CAST(SUM(CASE WHEN l <= $b THEN 1 ELSE 0 END) AS BIGINT) AS le_$b")
+      .mkString(",\n    ")
+    val unions = (latencyBounds.map(b =>
+      s"SELECT stream, '$b' AS le, le_$b AS n FROM agg") ++ Seq(
+      "SELECT stream, '+Inf' AS le, le_inf AS n FROM agg",
+      "SELECT stream, 'sum' AS le, lat_sum AS n FROM agg"))
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |g AS (
+       |  SELECT *, sec - lag(sec) OVER (PARTITION BY stream, day
+       |    ORDER BY event_id) AS gap
+       |  FROM e),
+       |s AS (
+       |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY stream, day ORDER BY event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM g),
+       |b AS (
+       |  SELECT *, CAST(floor((ROW_NUMBER() OVER (PARTITION BY stream, day, sess
+       |      ORDER BY event_id) - 1) / 10) AS BIGINT) AS sub
+       |  FROM s),
+       |r AS (
+       |  SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY stream, day
+       |      ORDER BY sess, sub) AS BIGINT) AS batch_id
+       |  FROM b),
+       |lat AS (
+       |  SELECT stream, MAX(sec) OVER (PARTITION BY stream, day, batch_id)
+       |    - sec AS l
+       |  FROM r),
+       |agg AS (
+       |  SELECT stream,
+       |    $condSums,
+       |    CAST(COUNT(*) AS BIGINT) AS le_inf,
+       |    CAST(SUM(l) AS BIGINT) AS lat_sum
+       |  FROM lat GROUP BY 1)
+       |$unions""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wrp_parse" -> (wrpParse _),
     "wrp_validate" -> (wrpValidate _),
@@ -836,6 +926,7 @@ object Events {
     "evt_batch" -> (evtBatch _),
     "evt_batch_time" -> (evtBatchTime _),
     "evt_batch_idle" -> (evtBatchIdle _),
+    "evt_queue_latency" -> (evtQueueLatency _),
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
@@ -992,6 +1083,7 @@ object Events {
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
         |  CASE WHEN COUNT(*) = 10 THEN 'size' ELSE 'idle_drain' END AS closed_by
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    "evt_queue_latency" -> queueLatencyOracle,
     "evt_dropped" ->
       """SELECT event_type,
         |  CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

@@ -25,6 +25,15 @@ case class BatchState(n: Int, first_id: Long, last_id: Long,
 case class ClosedBatch(stream: String, batch_id: Long, n_events: Int,
     first_event: Long, last_event: Long, span_sec: Long, closed_by: String)
 
+/** Open batch state for the latency twin: the pending events' arrival
+  * seconds, newest first (bounded by batchSize, so state stays a few
+  * dozen bytes per stream). */
+case class LatencyState(secs: List[Long], batches_closed: Long)
+
+/** One per-event queue-latency observation, emitted when its batch
+  * closes (latency_s = batch close second − arrival second). */
+case class LatencyObs(stream: String, batch_id: Long, latency_s: Long)
+
 /** Structured-Streaming re-expression of the reference's end-to-end
   * service (SURVEY.md §2a #19-22): HTTP ingest → decode/validate →
   * regex route fanout → bounded batches → Kinesis ship becomes
@@ -182,14 +191,24 @@ object EventStream {
     * emitted the MOMENT it fills (`size`), and a later event arriving
     * more than `timeLimitSec` after the last one first flushes the
     * pending partial batch (`time`) — the gap-closure trick
-    * [[sessionize]] uses, deterministic without wall-clock timeouts
-    * (the reference's ticker fires in idle wall time; replaying the gap
-    * when the next event arrives yields the identical batch boundaries
-    * one event later). The open tail batch stays in state, exactly the
-    * reference's not-yet-flushed accumulator. Events are processed in
-    * event_id (arrival) order within each micro-batch, matching the
-    * batch operator's order column — BatchFlushParitySpec pins stream
-    * output == batch assignment minus each stream's open tail. */
+    * [[sessionize]] uses, deterministic without wall-clock timeouts.
+    * NOTE on fidelity (ADVICE r12): the reference's ticker is
+    * free-running and periodic — reset only after it fires, never on
+    * arrivals or size flushes — so under a steady sub-limit trickle
+    * (e.g. one event every 500 s against a 600 s limit) it also
+    * flushes partial batches the gap model would keep accumulating.
+    * The gap replay is a deterministic APPROXIMATION, exact when
+    * arrivals are dense (size flushes dominate) or fully idle (every
+    * gap beyond the limit flushes), which is the regime the corpus and
+    * the parity spec exercise. API REQUIREMENT: events must arrive in
+    * event_id (arrival) order ACROSS micro-batches — within one
+    * micro-batch this operator sorts, but a lower-event_id straggler
+    * in a LATER micro-batch is appended out of order, diverging from
+    * the batch operator (and span_sec, last_s − first_s, can go
+    * negative on out-of-order timestamps). Feed it an ordered source
+    * (Kafka per-partition order, or the replay harness) —
+    * BatchFlushParitySpec pins stream output == batch assignment minus
+    * each stream's open tail under that contract. */
   def batchFlush(events: Dataset[Evt], batchSize: Int,
       timeLimitSec: Long): Dataset[ClosedBatch] = {
     import events.sparkSession.implicits._
@@ -222,6 +241,47 @@ object EventStream {
             st = st.map(s => if (s.n >= batchSize) close(s, "size") else s)
           }
           st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** #27c-streaming Queue-latency observations — the live twin of the
+    * batch `evt_queue_latency` (internal/event/metrics.go:29
+    * IncomingQueueLatencyHistogram): the same time-OR-size state
+    * machine as [[batchFlush]], but the state carries each pending
+    * event's arrival second (bounded by batchSize) and a batch close
+    * emits one latency observation per member — close second − arrival
+    * second, the deterministic replay's lower bound of arrival→flush.
+    * Bucketizing downstream (a windowed groupBy over `latency_s`)
+    * reproduces the histogram; emitting raw observations keeps the
+    * operator composable. Same in-order-across-micro-batches contract
+    * and gap-approximation caveat as [[batchFlush]].
+    * QueueLatencyParitySpec pins stream output == the batch query's
+    * per-event latencies minus each stream's open tail. */
+  def queueLatency(events: Dataset[Evt], batchSize: Int,
+      timeLimitSec: Long): Dataset[LatencyObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LatencyState, LatencyObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: String, batch: Iterator[Evt], state: GroupState[LatencyState]) =>
+          val out = List.newBuilder[LatencyObs]
+          var st = state.getOption.getOrElse(LatencyState(Nil, 0L))
+          def close(s: LatencyState): LatencyState = {
+            val closeSec = s.secs.head // newest-first: head = last arrival
+            s.secs.reverseIterator.foreach(a =>
+              out += LatencyObs(stream, s.batches_closed + 1, closeSec - a))
+            LatencyState(Nil, s.batches_closed + 1)
+          }
+          batch.toSeq.sortBy(_.event_id).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (st.secs.nonEmpty && sec - st.secs.head > timeLimitSec)
+              st = close(st)
+            st = st.copy(secs = sec :: st.secs)
+            if (st.secs.size >= batchSize) st = close(st)
+          }
+          state.update(st)
           out.result().iterator
       }
   }

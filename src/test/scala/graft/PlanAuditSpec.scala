@@ -131,6 +131,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 1, p)
   }
 
+  test("evt_queue_latency: the close-time window rides the same cascade exchange") {
+    // five windows (gap-lag, session cumsum, in-session row_number,
+    // batch dense_rank, per-batch close-time max) off ONE hash
+    // exchange; 2 = that one + the per-stream histogram rollup's.
+    val p = planOf("evt_queue_latency")
+    assert(occurrences(p, "Exchange") == 2,
+      s"latency window re-shuffles (expected 2 exchanges):\n$p")
+    assert(occurrences(p, "FileScan") == 1, p)
+  }
+
   test("q21_null_safe_join joins pre-aggregated sides (no pair materialization)") {
     // the r12 rewrite: each side folds to <=5 rows BEFORE the null-safe
     // join. A Join whose input is a raw relation would re-introduce the
