@@ -311,6 +311,25 @@ object Events {
         sum(when(failedOver, 1L).otherwise(0L)).as("n_failed_over"))
   }
 
+  /** #12b Delivery-drop reason ladder (filter/stream_dispatcher.go:66-71:
+    * all streams failed → DroppedMessage; filter/metrics.go:22;
+    * vocabulary internal/event/metrics.go:47-63): a failed-over event
+    * whose alt-stream attempt also fails is terminally dropped, and the
+    * transport error classifies into one of the 13 reason labels —
+    * [[Synthetics.deliveryDropped]] / [[Synthetics.dropReason]]'s
+    * deterministic ladder. Per-(stream, code, reason) counters with the
+    * reference's `message_dropped` code label; the drop total also
+    * feeds evt_counters' dropped_message_count row. Plan: filter →
+    * single partial-agg shuffle of (stream, reason) counts — no rank,
+    * no second scan. */
+  def evtDeliveryDrops(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(Synthetics.deliveryDropped)
+      .groupBy(concat(col("event_type"), lit("_alt")).as("stream"),
+        Synthetics.dropReason.as("reason"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .withColumn("code", lit("message_dropped"))
+
   /** #13 Old/future event detection (internal/metrics/tags.go:
     * OldEventReceived / FutureEventReceived). */
   def evtOldFuture(s: SparkSession, d: String): DataFrame =
@@ -804,7 +823,9 @@ object Events {
     * event_read_request/event_bad_request (tags.go:39-40 — the
     * pre-validation body-read failure and the four 400-reason classes
     * wrp_validate's ladder synthesizes, read-failure short-circuiting
-    * first as in request_handler.go:90-131), and
+    * first as in request_handler.go:90-131),
+    * dropped_message_count (evt_delivery_drops' terminal-drop total,
+    * filter/metrics.go:22), and
     * slow_consumer_dropped_message_count (evt_dropped's capacity).
     * ONE scan and ONE data shuffle (VERDICT r9 #6, then further): every
     * counter is a function of group COUNTS — throttled = n−1 per
@@ -842,6 +863,7 @@ object Events {
         sum(when(modified, 1L).otherwise(0L)).as("n_mod"),
         sum(when(Synthetics.readRequestError, 1L).otherwise(0L)).as("n_rre"),
         sum(when(Synthetics.badRequest, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(Synthetics.deliveryDropped, 1L).otherwise(0L)).as("n_drop"),
         // which grouping set this row belongs to: only one of the three
         // sets grounds user_id; only one grounds day
         when(grouping(col("user_id")) === 0, "uh")
@@ -858,6 +880,7 @@ object Events {
       sum(when(uh, col("n_mod"))).as("modified_wrp_count"),
       sum(when(uh, col("n_rre"))).as("event_read_request"),
       sum(when(uh, col("n_bad"))).as("event_bad_request"),
+      sum(when(uh, col("n_drop"))).as("dropped_message_count"),
       sum(when(uh, col("n") - 1L)).as("event_throttled"),
       sum(when(uh, 1L)).as("event_not_throttled"),
       sum(when(col("gset") === "th", greatest(col("n") - 5L, lit(0L))))
@@ -914,6 +937,21 @@ object Events {
        |$unions""".stripMargin
   }
 
+  /** evt_delivery_drops oracle — the reason CASE is generated from
+    * [[Synthetics.dropReasons]] so the vocabulary cannot drift. */
+  private val deliveryDropsOracle: String = {
+    val cases = Synthetics.dropReasons.zipWithIndex
+      .map { case (r, i) => s"WHEN $i THEN '$r'" }.mkString("\n    ")
+    s"""SELECT event_type || '_alt' AS stream,
+       |  CASE (event_id // 30) % ${Synthetics.dropReasons.length}
+       |    $cases
+       |  END AS reason,
+       |  'message_dropped' AS code,
+       |  COUNT(*) AS n_dropped
+       |FROM events WHERE event_id % 30 = 0
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wrp_parse" -> (wrpParse _),
     "wrp_validate" -> (wrpValidate _),
@@ -930,6 +968,7 @@ object Events {
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
+    "evt_delivery_drops" -> (evtDeliveryDrops _),
     "evt_old_future" -> (evtOldFuture _),
     "evt_dest_class" -> (evtDestClass _),
     "evt_interface" -> (evtInterface _),
@@ -1114,6 +1153,7 @@ object Events {
         |              ELSE 0 END AS BIGINT) AS retries
         |  FROM events) t
         |GROUP BY 1""".stripMargin,
+    "evt_delivery_drops" -> deliveryDropsOracle,
     "evt_old_future" ->
       """SELECT event_type,
         |  CASE WHEN ts < TIMESTAMP '2024-01-05' THEN 'old'
@@ -1420,6 +1460,9 @@ object Events {
         |  CAST(SUM(CASE WHEN event_id % 103 <> 0 AND (event_id % 101 = 0
         |    OR event_id % 89 = 0 OR event_id % 97 = 0 OR event_id % 79 = 0)
         |    THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'dropped_message_count',
+        |  CAST(SUM(CASE WHEN event_id % 30 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
         |UNION ALL SELECT 'event_throttled',
         |  CAST(SUM(CASE WHEN rk >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM ranked_u
         |UNION ALL SELECT 'event_not_throttled',

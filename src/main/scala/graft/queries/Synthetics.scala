@@ -58,6 +58,38 @@ object Synthetics {
     * (reference internal/metrics/tags.go:53 EventMergeError). */
   val mergeError: Column = pmod(col("event_id"), lit(19)) === 0
 
+  /** The 13-label drop-reason vocabulary, in declaration order
+    * (reference internal/event/metrics.go:47-63 — the error ladder a
+    * transport DO failure is classified into; no_err is the non-drop
+    * label and never reaches the DroppedMessage counter). */
+  val dropReasons: Seq[String] = Seq(
+    "unknown", "context_deadline_exceeded", "context_canceled",
+    "address_error", "parse_address_error", "invalid_address",
+    "dns_error", "host_not_found", "connection_closed", "op_error",
+    "unknown_network_err", "update_request_url_failed",
+    "connection_unexpectedly_closed_eof")
+
+  /** Failed-over delivery whose alt-stream attempt ALSO fails — the
+    * dispatcher's terminal drop (filter/stream_dispatcher.go:66-71
+    * all-streams-failed → DroppedMessage with a reason label;
+    * filter/metrics.go:22). A strict subset of [[failedOver]]: the
+    * primary already exhausted its retries. */
+  val deliveryDropped: Column = pmod(col("event_id"), lit(30)) === 0
+
+  /** Deterministic reason classification for a dropped delivery:
+    * (event_id / 30) mod 13 indexes [[dropReasons]] — uniform over the
+    * vocabulary because dropped ids are exactly the multiples of 30.
+    * The oracle replays the same floor-divide arithmetic (generated
+    * from the same list, so the ladders cannot drift). */
+  def dropReason: Column = {
+    val idx = pmod(floor(col("event_id") / 30).cast("long"),
+      lit(dropReasons.length))
+    dropReasons.zipWithIndex.tail.foldLeft(
+      when(idx === 0, dropReasons.head)) { case (acc, (r, i)) =>
+      acc.when(idx === i, r)
+    }
+  }
+
   def retryCount: Column =
     when(failedOver, 3L)
       .when(pmod(col("event_id"), lit(7)) === 0, 2L)
