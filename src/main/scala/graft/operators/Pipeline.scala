@@ -50,6 +50,48 @@ object Dedup {
 }
 
 object Sessionize {
+  /** Assemble per-session records by merging online/offline event
+    * pairs (tags.go:53 EventMergeError, :57 NoSessionStartError): per
+    * user in (ts, order) arrival order, each offline (disconnect)
+    * event attempts to merge with the most recent PRECEDING online
+    * event. The attempt ladder, in the order a merge actually fails:
+    *   - no preceding online in history → `no_session_start`;
+    *   - either side's payload fails a REAL JSON parse (the payloads
+    *     are actually parsed — corruption synthesized upstream, the
+    *     failure is not) → `error_merging_event`;
+    *   - otherwise → `merged`, with the session duration.
+    * Emits one row per merge attempt (offline event): user, online /
+    * offline event ids, dur_s (null unless merged), status. Three
+    * ignore-nulls `last` windows carry the online side's id/second/
+    * payload — all on ONE hash exchange of the user column; nothing
+    * wider than the payload string crosses the wire. */
+  def mergeEvents(df: DataFrame, user: Column, ts: Column, order: Column,
+      isOnline: Column, isOffline: Column, payload: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, order)
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("sec", unix_timestamp(ts))
+      .withColumn("__on", isOnline)
+      .withColumn("__pl", payload)
+      .withColumn("on_event_id",
+        last(when(col("__on"), order), ignoreNulls = true).over(prev))
+      .withColumn("__on_sec",
+        last(when(col("__on"), col("sec")), ignoreNulls = true).over(prev))
+      .withColumn("__on_pl",
+        last(when(col("__on"), col("__pl")), ignoreNulls = true).over(prev))
+      .filter(isOffline)
+      .withColumn("status",
+        when(col("on_event_id").isNull, "no_session_start")
+          .when(get_json_object(col("__pl"), "$.session_id").isNull ||
+            get_json_object(col("__on_pl"), "$.session_id").isNull,
+            "error_merging_event")
+          .otherwise("merged"))
+      .withColumn("dur_s",
+        when(col("status") === "merged", col("sec") - col("__on_sec")))
+      .withColumn("off_event_id", order)
+      .select(user.as("user_id"), col("on_event_id"), col("off_event_id"),
+        col("dur_s"), col("status"))
+  }
+
   /** Gap-based session index per user (online/offline semantics):
     * lag + cumulative sum over ONE shuffle on the user column. Adds
     * `session_idx` (1-based per user) and `sec` (epoch seconds). */

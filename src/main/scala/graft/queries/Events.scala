@@ -784,7 +784,10 @@ object Events {
     * payload; a deterministic subset (%17) arrives without one, and the
     * counter is derived from ACTUAL JSON parsing of the synthesized
     * payload while the oracle replays the corruption arithmetic.
-    * error_merging_event is a pure transport stand-in (%19).
+    * error_merging_event (r13, same real-parse pattern): the offline
+    * merge attempt's session payload fails an actual JSON parse —
+    * [[Synthetics.mergeFailed]]; the full session-aware attempt
+    * ladder is [[evtSessionMerge]].
     * empty_history is fully REAL: a merge-time read finds empty stored
     * history iff the event is its user's first in (ts, event_id) order
     * — row_number over the user partition, one extra window shuffle.
@@ -803,11 +806,34 @@ object Events {
           .as("interface_used_read"),
         sum(when(col("offline") && col("reason").isNull, 1L).otherwise(0L))
           .as("missing_disconnect_payload"),
-        sum(when(Synthetics.mergeError, 1L).otherwise(0L))
+        sum(when(Synthetics.mergeFailed, 1L).otherwise(0L))
           .as("error_merging_event"),
         sum(when(col("hist_rank") === 1, 1L).otherwise(0L))
           .as("empty_history"))
   }
+
+  /** #27c Session-record assembly by online/offline merge
+    * ([[graft.operators.Sessionize.mergeEvents]]; tags.go:53
+    * EventMergeError, :57 NoSessionStartError): each offline event
+    * merges with its user's most recent preceding online event; no
+    * online in history → no_session_start, a REAL JSON parse failure
+    * of either side's session payload → error_merging_event, else a
+    * merged session record with its duration. Rolled up per status.
+    * The corruption is synthesized ([[Synthetics.sessionPayload]]'s
+    * %19 truncation, which the oracle replays arithmetically); the
+    * parse, the history lookup, and the precedence ladder are real.
+    * One user_id shuffle; the three ignore-nulls windows share it. */
+  def evtSessionMerge(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.mergeEvents(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        col("user_id"), col("ts"), col("event_id"),
+        Synthetics.destSubtype === "online", Synthetics.offlineEvent,
+        Synthetics.sessionPayload)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(coalesce(col("dur_s"), lit(0L))).as("total_dur_s"))
 
   /** #27 The metrics endpoint: one (metric, value) row per tags.go
     * event counter the reference's analytics reads, so every metric
@@ -969,6 +995,7 @@ object Events {
     "evt_shard" -> (evtShard _),
     "evt_failover" -> (evtFailover _),
     "evt_delivery_drops" -> (evtDeliveryDrops _),
+    "evt_session_merge" -> (evtSessionMerge _),
     "evt_old_future" -> (evtOldFuture _),
     "evt_dest_class" -> (evtDestClass _),
     "evt_interface" -> (evtInterface _),
@@ -1154,6 +1181,34 @@ object Events {
         |  FROM events) t
         |GROUP BY 1""".stripMargin,
     "evt_delivery_drops" -> deliveryDropsOracle,
+    "evt_session_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id % 6 = 0 AS is_on, event_id % 6 = 1 AS is_off,
+        |    event_id % 19 = 0 AS corrupt
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, sec, is_off, corrupt,
+        |    last_value(CASE WHEN is_on THEN event_id END IGNORE NULLS)
+        |      OVER w AS on_id,
+        |    last_value(CASE WHEN is_on THEN sec END IGNORE NULLS)
+        |      OVER w AS on_sec,
+        |    last_value(CASE WHEN is_on THEN corrupt END IGNORE NULLS)
+        |      OVER w AS on_corrupt
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT user_id,
+        |    CASE WHEN on_id IS NULL THEN 'no_session_start'
+        |         WHEN corrupt OR on_corrupt THEN 'error_merging_event'
+        |         ELSE 'merged' END AS status,
+        |    CASE WHEN on_id IS NOT NULL AND NOT (corrupt OR on_corrupt)
+        |         THEN sec - on_sec ELSE 0 END AS dur
+        |  FROM m WHERE is_off)
+        |SELECT status, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(dur) AS BIGINT) AS total_dur_s
+        |FROM a GROUP BY 1""".stripMargin,
     "evt_old_future" ->
       """SELECT event_type,
         |  CASE WHEN ts < TIMESTAMP '2024-01-05' THEN 'old'
@@ -1479,8 +1534,8 @@ object Events {
         |    AS interface_used_read,
         |  CAST(SUM(CASE WHEN event_id % 6 = 1 AND event_id % 17 = 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS missing_disconnect_payload,
-        |  CAST(SUM(CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS error_merging_event,
+        |  CAST(SUM(CASE WHEN event_id % 6 = 1 AND event_id % 19 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS error_merging_event,
         |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS empty_history
         |FROM (SELECT event_type, event_id, props,

@@ -54,9 +54,31 @@ object Synthetics {
     * (reference internal/metrics/tags.go:49 NoDisconnectPayload). */
   val missingDisconnectPayload: Column = pmod(col("event_id"), lit(17)) === 0
 
-  /** merging the incoming event into stored history failed
+  /** The corruption subset for session payloads — kept as the %19
+    * arithmetic the ORACLE replays; the queries themselves now count
+    * merge errors from the ACTUAL parse of [[sessionPayload]]
     * (reference internal/metrics/tags.go:53 EventMergeError). */
   val mergeError: Column = pmod(col("event_id"), lit(19)) === 0
+
+  /** The session-state payload a merge attempt actually parses:
+    * well-formed JSON carrying the session id, TRUNCATED (unterminated
+    * string, no closing brace) on the [[mergeError]] subset so a real
+    * JSON parse fails — the corruption is synthesized, the failure is
+    * not. */
+  def sessionPayload: Column =
+    when(mergeError,
+      concat(lit("{\"session_id\": \"s-"), col("event_id")))
+      .otherwise(concat(
+        lit("{\"session_id\": \"s-"), col("event_id"), lit("\"}")))
+
+  /** Real merge-failure flag: the offline (disconnect) merge attempt's
+    * own payload fails to parse. Stateless, shared by the batch
+    * evt_merge_errors and the streaming mergeErrorFlags so the twins
+    * cannot drift; the session-aware attempt ladder (no_session_start
+    * precedence, both-sides parse) lives in
+    * [[graft.operators.Sessionize.mergeEvents]]. */
+  def mergeFailed: Column = offlineEvent &&
+    get_json_object(sessionPayload, "$.session_id").isNull
 
   /** The 13-label drop-reason vocabulary, in declaration order
     * (reference internal/event/metrics.go:47-63 — the error ladder a

@@ -300,7 +300,7 @@ object EventStream {
       .withColumn("missing_disc",
         graft.queries.Synthetics.offlineEvent &&
           graft.queries.Synthetics.disconnectReason.isNull)
-      .withColumn("merge_err", graft.queries.Synthetics.mergeError)
+      .withColumn("merge_err", graft.queries.Synthetics.mergeFailed)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
