@@ -139,19 +139,58 @@ object TextDedup {
     * sessions and across a cluster. Consumers opt in by setting
     * `graft.dedup.pairGraphPath` (see graft.queries.Docs.minedPairs);
     * PairGraphSpec pins the round trip and the prebuilt-graph
-    * products to the mined ones. */
-  def writePairGraph(pairs: DataFrame, path: String): Unit =
+    * products to the mined ones. The mining parameters are stamped
+    * into a `_graft_pair_graph.json` sidecar INSIDE the parquet dir
+    * (underscore-prefixed, so scans ignore it; travels with the
+    * artifact on any filesystem) — readers fail fast on a parameter
+    * mismatch instead of silently feeding every downstream dedup
+    * product pairs mined under a different n/tau (ADVICE r12). */
+  def writePairGraph(pairs: DataFrame, path: String, n: Int = 3,
+      tau: Double = 0.5): Unit = {
     pairs.write.mode("overwrite").parquet(path)
+    val metaPath =
+      new org.apache.hadoop.fs.Path(path, "_graft_pair_graph.json")
+    val fs = metaPath.getFileSystem(
+      pairs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"kind": "jaccard_pair_graph", "n": $n, "tau": $tau}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Read a [[writePairGraph]] artifact, failing fast if the path does
-    * not hold a pair graph (the two id columns are what every
-    * consumer joins on). */
+    * not hold a pair graph (the two id columns are what every consumer
+    * joins on) or was mined under different parameters than the
+    * consumer expects (the sidecar check). */
   def readPairGraph(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, expectN: Int = 3, expectTau: Double = 0.5): DataFrame = {
     val g = spark.read.parquet(path)
     require(Seq("doc_a", "doc_b").forall(g.columns.contains),
       s"readPairGraph: $path is not a pair graph artifact " +
         s"(columns ${g.columns.mkString(", ")} lack doc_a/doc_b)")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_pair_graph.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"readPairGraph: $path carries no _graft_pair_graph.json sidecar " +
+        "(pre-r13 artifact or not written by writePairGraph) - re-mine " +
+        "with writePairGraph to stamp the mining parameters")
+    val meta = {
+      val in = fs.open(metaPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var read = in.read(chunk)
+        while (read > 0) { buf.write(chunk, 0, read); read = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    def field(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(meta).map(_.group(1))
+    val (gotN, gotTau) = (field("n").map(_.toDouble), field("tau").map(_.toDouble))
+    require(gotN.contains(expectN.toDouble) && gotTau.contains(expectTau),
+      s"readPairGraph: $path mined with n=${gotN.orNull} tau=${gotTau.orNull}, " +
+        s"consumer expects n=$expectN tau=$expectTau - refusing a " +
+        "parameter-mismatched pair graph")
     g
   }
 

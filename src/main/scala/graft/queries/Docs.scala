@@ -73,7 +73,8 @@ object Docs {
     QueryMemo.cached(s,
       s"jaccard_pairs:n=3:tau=0.5:$d:${src.getOrElse("mined")}")(
       src match {
-        case Some(path) => graft.operators.TextDedup.readPairGraph(s, path)
+        case Some(path) => graft.operators.TextDedup.readPairGraph(
+          s, path, expectN = 3, expectTau = 0.5)
         case None => graft.operators.TextDedup.ngramJaccardPairs(
           Tables.documents(s, d), n = 3, tau = 0.5)
       })

@@ -36,6 +36,18 @@ class PairGraphSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(bad)
     intercept[IllegalArgumentException](TextDedup.readPairGraph(spark, bad))
 
+    // a graph mined under different parameters fails fast instead of
+    // silently feeding every downstream product wrong pairs (the
+    // sidecar check, ADVICE r12)
+    val other = java.nio.file.Files.createTempDirectory("graft_othertau").toString
+    TextDedup.writePairGraph(mined, other, n = 3, tau = 0.7)
+    intercept[IllegalArgumentException](
+      TextDedup.readPairGraph(spark, other, expectN = 3, expectTau = 0.5))
+    // ... and a sidecar-less parquet of the right shape also fails
+    val bare = java.nio.file.Files.createTempDirectory("graft_bare").toString
+    mined.write.mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException](TextDedup.readPairGraph(spark, bare))
+
     def products(): (Set[String], Set[String], Set[String]) = {
       val q = SparkEntry.queries
       try (
