@@ -159,4 +159,48 @@ object Batching {
       .withColumn("batch_id", dense_rank().over(wb).cast(LongType))
       .drop("__gap", "__sess", "__sub")
   }
+
+  /** EXACT free-running-ticker flush (queue.go:155-173): `Start`
+    * creates the BatchTimeLimitSeconds ticker once per queue and
+    * re-creates it only after it fires — never on arrivals or size
+    * flushes — so ticks are strictly periodic at the queue's start
+    * phase: t0 + k·tickSec. A pending batch therefore never survives a
+    * tick boundary (the tick flushes whatever accumulated, an empty
+    * flush is a no-op), and within one tick window only size flushes
+    * occur. That collapses the whole state machine into arithmetic:
+    * tick window = floor((sec − t0)/tickSec), sub-batch = row_number
+    * within the window ÷ batchSize. This is the faithful model of the
+    * regime the gap-based [[assignTimeOrSize]] approximates (ADVICE
+    * r12): under a steady sub-limit trickle the ticker flushes ~1-event
+    * batches every tick, and so does this operator. Deterministic
+    * anchors: t0 = the partition's first arrival second (the queue
+    * start instant is not in the data; first-arrival phase is the one
+    * deterministic choice, and a replay disagrees with the wall ticker
+    * only by the constant start→first-arrival offset); an event landing
+    * exactly ON a tick second joins the NEW window (Go's select makes
+    * the race nondeterministic — the replay must pick a side, and
+    * floor() picks tick-first). Adds `batch_id` (1-based dense per
+    * (stream, bucket) in arrival order), `tick_close_s` (the window-end
+    * tick that would flush this event's batch if size doesn't), and
+    * `sec`. Three windows, ONE hash exchange: the unordered min shares
+    * the (stream, bucket) keys, the row_number refines them with
+    * `__tick` (subset rule), the dense_rank reuses them with a re-sort.
+    * The bucket column bounds every partition, as in [[assign]]. */
+  def assignPeriodic(df: DataFrame, stream: Column, bucket: Column,
+      ts: Column, order: Column, batchSize: Int, tickSec: Long): DataFrame = {
+    val part = Window.partitionBy(stream, bucket)
+    df.withColumn("sec", unix_timestamp(ts))
+      .withColumn("__t0", min(col("sec")).over(part))
+      .withColumn("__tick",
+        floor((col("sec") - col("__t0")) / tickSec).cast(LongType))
+      .withColumn("__sub",
+        floor((row_number().over(Window.partitionBy(stream, bucket,
+          col("__tick")).orderBy(order)) - 1) / batchSize).cast(LongType))
+      .withColumn("batch_id",
+        dense_rank().over(part.orderBy(col("__tick"), col("__sub")))
+          .cast(LongType))
+      .withColumn("tick_close_s",
+        col("__t0") + (col("__tick") + 1L) * tickSec)
+      .drop("__t0", "__tick", "__sub")
+  }
 }

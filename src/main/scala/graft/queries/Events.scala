@@ -268,6 +268,35 @@ object Events {
       .withColumn("closed_by",
         when(col("n_events") === 10, "size").otherwise("idle_drain"))
 
+  /** #9d EXACT periodic-ticker flush (queue.go:155-173): the
+    * free-running BatchTimeLimitSeconds ticker modeled faithfully —
+    * ticks at first-arrival + k·7200 per (stream, day), a batch closes
+    * on size (n = 5, at its last event) or at its tick-window end
+    * ([[graft.operators.Batching.assignPeriodic]]). This is the model
+    * whose steady-trickle regime the gap-based [[evtBatchTime]]
+    * deliberately approximates (fidelity note there): under one event
+    * per sub-limit gap the ticker emits short batches every tick, and
+    * so does this query. Rollup per batch with the close reason and
+    * close second (size → last arrival, tick → window end). Streaming
+    * twin: [[graft.streaming.EventStream.batchFlushPeriodic]]
+    * (BatchFlushParitySpec). */
+  def evtBatchPeriodic(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.assignPeriodic(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("ts"), col("event_id"),
+        batchSize = 5, tickSec = 7200)
+      .groupBy(col("event_type").as("stream"), to_date(col("day")).as("day"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"),
+        max("sec").as("last_s"), max("tick_close_s").as("tick_s"))
+      .withColumn("closed_by",
+        when(col("n_events") === 5, "size").otherwise("tick"))
+      .withColumn("close_s",
+        when(col("closed_by") === "size", col("last_s"))
+          .otherwise(col("tick_s")))
+      .drop("last_s", "tick_s")
+
   /** #10 Bounded-queue drop-on-overflow accounting (queue.go:135-142,
     * DroppedItems metric): capacity per stream per hour; arrival rank
     * beyond capacity ⇒ dropped, counted by stream. */
@@ -990,6 +1019,7 @@ object Events {
     "evt_batch" -> (evtBatch _),
     "evt_batch_time" -> (evtBatchTime _),
     "evt_batch_idle" -> (evtBatchIdle _),
+    "evt_batch_periodic" -> (evtBatchPeriodic _),
     "evt_queue_latency" -> (evtQueueLatency _),
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
@@ -1148,6 +1178,31 @@ object Events {
         |SELECT stream, CAST(day AS DATE) AS day, batch_id, COUNT(*) AS n_events,
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
         |  CASE WHEN COUNT(*) = 10 THEN 'size' ELSE 'idle_drain' END AS closed_by
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    "evt_batch_periodic" ->
+      """WITH e AS (
+        |  SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |t AS (
+        |  SELECT *, MIN(sec) OVER (PARTITION BY stream, day) AS t0
+        |  FROM e),
+        |w AS (
+        |  SELECT *, CAST(floor((sec - t0) / 7200) AS BIGINT) AS tick
+        |  FROM t),
+        |b AS (
+        |  SELECT *, CAST(floor((ROW_NUMBER() OVER (PARTITION BY stream, day, tick
+        |      ORDER BY event_id) - 1) / 5) AS BIGINT) AS sub
+        |  FROM w),
+        |r AS (
+        |  SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY stream, day
+        |      ORDER BY tick, sub) AS BIGINT) AS batch_id
+        |  FROM b)
+        |SELECT stream, CAST(day AS DATE) AS day, batch_id, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+        |  CASE WHEN COUNT(*) = 5 THEN 'size' ELSE 'tick' END AS closed_by,
+        |  CASE WHEN COUNT(*) = 5 THEN MAX(sec)
+        |       ELSE MAX(t0 + (tick + 1) * 7200) END AS close_s
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "evt_queue_latency" -> queueLatencyOracle,
     "evt_dropped" ->

@@ -25,6 +25,18 @@ case class BatchState(n: Int, first_id: Long, last_id: Long,
 case class ClosedBatch(stream: String, batch_id: Long, n_events: Int,
     first_event: Long, last_event: Long, span_sec: Long, closed_by: String)
 
+/** Open periodic-ticker batch ([[EventStream.batchFlushPeriodic]]):
+  * `t0` anchors the stream's tick phase at its first arrival second;
+  * `w` is the window holding the pending batch. Constant-size state. */
+case class PeriodicState(t0: Long, w: Long, n: Int, first_id: Long,
+    last_id: Long, last_s: Long, batches_closed: Long)
+
+/** A ticker-model flushed batch (closed_by: "size" | "tick"; close_s =
+  * last arrival second for size, window-end tick second for tick). */
+case class ClosedPeriodicBatch(stream: String, batch_id: Long,
+    n_events: Int, first_event: Long, last_event: Long, closed_by: String,
+    close_s: Long)
+
 /** Open batch state for the latency twin: the pending events' arrival
   * seconds, newest first (bounded by batchSize, so state stays a few
   * dozen bytes per stream). */
@@ -239,6 +251,52 @@ object EventStream {
                   other.map(_.batches_closed).getOrElse(0L)))
             }
             st = st.map(s => if (s.n >= batchSize) close(s, "size") else s)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** #9d-streaming EXACT periodic-ticker flush — the live twin of the
+    * batch `evt_batch_periodic`
+    * ([[graft.operators.Batching.assignPeriodic]], queue.go:155-173):
+    * ticks run free at the stream's first-arrival phase (t0 + k·tick),
+    * so a pending batch closes on size the moment it fills, or as
+    * "tick" when a later event lands in a later tick window (the first
+    * tick after the pending window flushed it; later ticks were empty
+    * no-ops). Unlike [[batchFlush]]'s gap approximation this emits the
+    * short batches a steady sub-limit trickle produces. Same
+    * in-order-across-micro-batches contract as [[batchFlush]]; state is
+    * constant-size per stream. BatchFlushParitySpec pins stream output
+    * == batch assignment minus each stream's open tail. */
+  def batchFlushPeriodic(events: Dataset[Evt], batchSize: Int,
+      tickSec: Long): Dataset[ClosedPeriodicBatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PeriodicState, ClosedPeriodicBatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: String, batch: Iterator[Evt], state: GroupState[PeriodicState]) =>
+          val out = List.newBuilder[ClosedPeriodicBatch]
+          var st = state.getOption
+          def close(s: PeriodicState, reason: String): PeriodicState = {
+            val closeS =
+              if (reason == "size") s.last_s else s.t0 + (s.w + 1) * tickSec
+            out += ClosedPeriodicBatch(stream, s.batches_closed + 1, s.n,
+              s.first_id, s.last_id, reason, closeS)
+            s.copy(n = 0, batches_closed = s.batches_closed + 1)
+          }
+          batch.toSeq.sortBy(_.event_id).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            var s = st.getOrElse(PeriodicState(sec, 0L, 0, 0L, 0L, sec, 0L))
+            val w = (sec - s.t0) / tickSec
+            if (s.n > 0 && w > s.w) s = close(s, "tick")
+            s =
+              if (s.n == 0) s.copy(w = w, n = 1, first_id = e.event_id,
+                last_id = e.event_id, last_s = sec)
+              else s.copy(n = s.n + 1, last_id = e.event_id, last_s = sec)
+            if (s.n >= batchSize) s = close(s, "size")
+            st = Some(s)
           }
           st.foreach(state.update)
           out.result().iterator

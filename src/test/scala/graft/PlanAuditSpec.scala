@@ -131,6 +131,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 1, p)
   }
 
+  test("evt_batch_periodic: one exchange feeds the ticker-window cascade") {
+    // unordered per-partition min (t0), tick-refined row_number and the
+    // batch dense_rank all run off ONE hash exchange: (stream, day)
+    // partitioning satisfies the (stream, day, __tick) clustering
+    // (subset rule). 2 = that one + the rollup's.
+    val p = planOf("evt_batch_periodic")
+    assert(occurrences(p, "Exchange") == 2,
+      s"ticker cascade re-shuffles (expected 2 exchanges):\n$p")
+    assert(occurrences(p, "FileScan") == 1, p)
+  }
+
   test("evt_queue_latency: the close-time window rides the same cascade exchange") {
     // five windows (gap-lag, session cumsum, in-session row_number,
     // batch dense_rank, per-batch close-time max) off ONE hash
