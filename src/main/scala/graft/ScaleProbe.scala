@@ -78,14 +78,40 @@ object ScaleProbe {
   private final class RowsListener
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // STREAMBENCH v2 (VERDICT r12 #7): per-micro-batch processing time
+    // and state-store size from StreamingQueryProgress, so streaming
+    // regressions in LATENCY or state growth diff round over round, not
+    // just throughput. Only batches that processed rows count toward
+    // the percentiles — idle ticks would read as spurious sub-ms wins.
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var stateRows: Long = 0L
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-      rows.addAndGet(e.progress.numInputRows); ()
+      val p = e.progress
+      rows.addAndGet(p.numInputRows)
+      if (p.numInputRows > 0) {
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        batchMs.synchronized { batchMs += ms }
+        stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      }
     }
     override def onQueryTerminated(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    /** Nearest-rank percentiles + state size, as STREAMBENCH fields. */
+    def stats: Map[String, Any] = batchMs.synchronized {
+      if (batchMs.isEmpty) Map.empty
+      else {
+        val s = batchMs.sorted
+        def pct(p: Double): Long =
+          s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+        Map("n_batches" -> s.length, "batch_ms_p50" -> pct(0.50),
+          "batch_ms_p99" -> pct(0.99), "batch_ms_max" -> s.last,
+          "state_rows" -> stateRows)
+      }
+    }
   }
 
   /** Runs `df` to a noop sink until >= target input rows have been
@@ -93,7 +119,7 @@ object ScaleProbe {
     * removed afterwards (stop the query BEFORE deleting it, or the
     * active query races the delete). */
   private def runStreamToTarget(spark: SparkSession, df: DataFrame,
-      target: Long, what: String): (Long, Double) = {
+      target: Long, what: String): (Long, Double, Map[String, Any]) = {
     val ckptPath = java.nio.file.Files.createTempDirectory(s"probe_${what}_ckpt")
     val listener = new RowsListener
     spark.streams.addListener(listener)
@@ -112,7 +138,7 @@ object ScaleProbe {
       }
       qq.stop()
       ((System.nanoTime() - t1) / 1e9) match {
-        case secs => (done, secs)
+        case secs => (done, secs, listener.stats)
       }
     } finally {
       spark.streams.removeListener(listener)
@@ -169,15 +195,14 @@ object ScaleProbe {
       docs, n = 3, k = 16, bands = 4, tau = 0.5).toDF()
   }
 
-  private def batchFlushStreamDf(spark: SparkSession): DataFrame = {
-    // the r12 stateful time-OR-size batch flusher: synthetic events with
-    // monotone per-type timestamps (1 type-second per 500 rows → both
-    // size and gap flushes fire), keyed state per event_type
+  private def syntheticEvts(spark: SparkSession): org.apache.spark.sql.Dataset[graft.streaming.Evt] = {
+    // synthetic events with monotone per-type timestamps (1 type-second
+    // per 500 rows → size, gap and tick flushes all fire)
     import spark.implicits._
     val src = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", 100000L)
       .option("numPartitions", 32).load()
-    val evts = src.selectExpr(
+    src.selectExpr(
         "value % 5000 AS user_id",
         """cast(timestamp '2024-01-01 00:00:00'
           |  + make_dt_interval(0, 0, 0, cast(value / 500 as double)
@@ -189,15 +214,26 @@ object ScaleProbe {
         "value AS event_id",
         "CAST(1.5 AS DOUBLE) AS value")
       .as[graft.streaming.Evt]
-    graft.streaming.EventStream
-      .batchFlush(evts, batchSize = 100, timeLimitSec = 600).toDF()
   }
 
-  /** The committed streaming-regression record (VERDICT r11 #7): run
-    * the three pipelines to a row target each and write ONE
-    * driver-parseable STREAMBENCH.json — per-probe rows, wall secs and
-    * rows/sec — so round-over-round streaming comparisons are diffable
-    * exactly like the batch BENCH files (anchors in BASELINE.md). */
+  private def batchFlushStreamDf(spark: SparkSession): DataFrame =
+    // the r12 stateful time-OR-size batch flusher, keyed state per type
+    graft.streaming.EventStream
+      .batchFlush(syntheticEvts(spark), batchSize = 100, timeLimitSec = 600).toDF()
+
+  private def batchFlushPeriodicStreamDf(spark: SparkSession): DataFrame =
+    // the r13 exact free-running-ticker flusher over the same synthetic
+    // arrivals — suite twin so the two state machines diff side by side
+    graft.streaming.EventStream
+      .batchFlushPeriodic(syntheticEvts(spark), batchSize = 100, tickSec = 600).toDF()
+
+  /** The committed streaming-regression record (VERDICT r11 #7, v2 per
+    * r12 #7): run the suite pipelines to a row target each and write
+    * ONE driver-parseable STREAMBENCH.json — per-probe rows, wall secs,
+    * rows/sec, and since v2 the per-micro-batch processing-time
+    * percentiles (p50/p99/max over row-processing batches) plus the
+    * final state-store row count, so latency and state-growth
+    * regressions diff round over round like the batch BENCH files. */
   private def streamSuite(spark: SparkSession, target: Long): (Long, Map[String, Any]) = {
     val probes = Seq(
       // docs and the stateful flusher are an order slower per row than
@@ -205,13 +241,15 @@ object ScaleProbe {
       // minutes, not hours, while every probe still spans many batches
       ("events_route", () => routeStreamDf(spark), target),
       ("events_batch_flush", () => batchFlushStreamDf(spark), target / 5),
+      ("events_batch_periodic", () => batchFlushPeriodicStreamDf(spark), target / 5),
       ("docs_neardup", () => docStreamDf(spark), target / 10))
     val recs = probes.map { case (name, mk, tgt) =>
-      val (done, secs) = runStreamToTarget(spark, mk(), tgt, name)
-      println(f"[probe] $name%-20s ${done / secs}%.0f rows/s ($done rows in $secs%.1f s)")
-      name -> Map[String, Any]("rows" -> done,
+      val (done, secs, stats) = runStreamToTarget(spark, mk(), tgt, name)
+      println(f"[probe] $name%-20s ${done / secs}%.0f rows/s ($done rows in $secs%.1f s) $stats")
+      name -> (Map[String, Any]("rows" -> done,
         "secs" -> math.rint(secs * 1000) / 1000,
-        "rows_per_s" -> math.rint(done / secs))
+        "rows_per_s" -> math.rint(done / secs)) ++
+        scala.collection.immutable.TreeMap(stats.toSeq: _*))
     }
     import org.json4s.DefaultFormats
     import org.json4s.jackson.Serialization
@@ -384,21 +422,72 @@ object ScaleProbe {
         case Array("docstream", total) =>
           // streaming near-dup suppression throughput → noop sink;
           // prints docs/sec (pipeline in [[docStreamDf]])
-          val (done, secs) =
+          val (done, secs, stats) =
             runStreamToTarget(spark, docStreamDf(spark), total.toLong, "docstream")
           println(f"[probe] docstream throughput: ${done / secs}%.0f docs/s ($done docs in $secs%.1f s)")
-          (done, Map("docs_per_s" -> math.rint(done / secs)))
+          (done, Map[String, Any]("docs_per_s" -> math.rint(done / secs)) ++ stats)
         case Array("stream", total) =>
           // end-to-end streaming ingest throughput → noop sink; prints
           // events/sec over >= `total` rows — the number to hold against
           // the reference service's single-node ingest (pipeline in
           // [[routeStreamDf]])
-          val (done, secs) =
+          val (done, secs, stats) =
             runStreamToTarget(spark, routeStreamDf(spark), total.toLong, "stream")
           println(f"[probe] stream throughput: ${done / secs}%.0f events/s ($done rows in $secs%.1f s)")
-          (done, Map("events_per_s" -> math.rint(done / secs)))
+          (done, Map[String, Any]("events_per_s" -> math.rint(done / secs)) ++ stats)
         case Array("streamsuite", rest @ _*) =>
           streamSuite(spark, rest.headOption.map(_.toLong).getOrElse(500000L))
+        case Array("ivfcurve", k) =>
+          // VERDICT r12 #6: recall/latency curve against the PERSISTED
+          // index — build once, reload, sweep nprobe, score each sweep
+          // point against the brute-force exact top-k. Driver-side
+          // collects are harness-only: nQ*k id pairs, never corpus rows.
+          import org.apache.spark.sql.expressions.Window
+          val kk = k.toInt
+          val nQ = 50
+          val isQuery = col("vec_id") < nQ
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = true))
+          val idxDir = java.nio.file.Files.createTempDirectory("ivfcurve")
+          val tb = System.nanoTime()
+          graft.operators.Similarity.ivfIndex(v)
+            .write.mode("overwrite").parquet(s"$idxDir/index")
+          val buildSecs = (System.nanoTime() - tb) / 1e9
+          val cent = spark.read.parquet(s"$idxDir/index")
+          val nCells = cent.count().toInt
+          val dotc = graft.functions.DotProduct.column _
+          val qside = broadcast(v.filter(isQuery)
+            .select(col("vec_id").as("query_id"), col("e").as("qe"),
+              col("norm").as("qnorm")))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+          val exact = v
+            .select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
+            .crossJoin(qside)
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .withColumn("cos",
+              dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= kk)
+            .select("query_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val sweep = Seq(1, 2, 4, 8).filter(_ < nCells) :+ nCells
+          val curve = sweep.map { np =>
+            val t1 = System.nanoTime()
+            val got = graft.operators.Similarity
+              .ivfSearch(v, cent, isQuery, kk, np)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val s = (System.nanoTime() - t1) / 1e9
+            val recall = got.count(exact.contains).toDouble / exact.size
+            println(f"[probe] ivfcurve nprobe=$np%-3d recall=$recall%.4f  $s%6.2f s")
+            Map[String, Any]("nprobe" -> np,
+              "recall" -> math.rint(recall * 10000) / 10000,
+              "secs" -> math.rint(s * 1000) / 1000)
+          }
+          (exact.size.toLong, Map[String, Any](
+            "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+            "n_cells" -> nCells, "k" -> kk, "n_queries" -> nQ,
+            "curve" -> curve))
         case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
       val secs = (System.nanoTime() - t0) / 1e9
