@@ -235,6 +235,14 @@ object Events {
         col("event_type"), col("day"), col("ts"), col("event_id"),
         batchSize = 10, timeLimitSec = 1800)
       .withColumn("latency_s", max("sec").over(wb) - col("sec"))
+    latencyMelt(lat)
+  }
+
+  /** Shared prometheus-style melt for the latency-histogram family:
+    * per stream, cumulative count per `le` bound, "+Inf" = observation
+    * count, "sum" = total latency seconds. Conditional sums (map-side
+    * partial) over a frame carrying (event_type, latency_s). */
+  private def latencyMelt(lat: DataFrame): DataFrame = {
     val aggs = latencyBounds.map(b =>
       sum(when(col("latency_s") <= b, 1L).otherwise(0L)).as(s"le_$b")) ++
       Seq(count(lit(1)).as("le_inf"), sum("latency_s").as("lat_sum"))
@@ -244,6 +252,31 @@ object Events {
       (latencyBounds.flatMap(b => Seq(lit(b.toString), col(s"le_$b"))) ++
         Seq(lit("+Inf"), col("le_inf"), lit("sum"), col("lat_sum"))): _*))
       .as(Seq("le", "n")))
+  }
+
+  /** #27c' Queue-latency histogram under the EXACT ticker model
+    * ([[evtBatchPeriodic]]'s replay): a size-closed batch flushes at
+    * its filling arrival, a tick-closed batch at its window-end tick —
+    * the TRUE flush instant, where the gap model's last-arrival close
+    * time is only a lower bound (a partial batch sits in the queue
+    * until the ticker fires, and the histogram is supposed to see that
+    * wait). Same ladder/melt as [[evtQueueLatency]]; the per-batch
+    * count and max windows refine assignPeriodic's keys, so the whole
+    * cascade still rides ONE hash exchange. Streaming twin:
+    * [[graft.streaming.EventStream.queueLatencyPeriodic]]
+    * (QueueLatencyParitySpec). */
+  def evtQueueLatencyPeriodic(s: SparkSession, d: String): DataFrame = {
+    val wb = Window.partitionBy(col("event_type"), col("day"), col("batch_id"))
+    val lat = graft.operators.Batching.assignPeriodic(
+        Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        col("event_type"), col("day"), col("ts"), col("event_id"),
+        batchSize = 5, tickSec = 7200)
+      .withColumn("__n", count(lit(1)).over(wb))
+      .withColumn("close_s",
+        when(col("__n") === 5, max("sec").over(wb))
+          .otherwise(col("tick_close_s")))
+      .withColumn("latency_s", col("close_s") - col("sec"))
+    latencyMelt(lat)
   }
 
   /** #9c SubmitOnEmptyQueue (queue.go:209-216): the submit-early knob
@@ -949,6 +982,51 @@ object Events {
   /** evt_queue_latency oracle — generated from [[latencyBounds]] so
     * the ladder cannot drift from the Spark twin; the batch CTE is
     * evt_batch_time's replay verbatim. */
+  /** evt_queue_latency_periodic oracle — the evt_batch_periodic replay
+    * plus the exact close instant (size → filling arrival, tick →
+    * window end); ladder generated from [[latencyBounds]]. */
+  private val queueLatencyPeriodicOracle: String = {
+    val condSums = latencyBounds.map(b =>
+      s"CAST(SUM(CASE WHEN l <= $b THEN 1 ELSE 0 END) AS BIGINT) AS le_$b")
+      .mkString(",\n    ")
+    val unions = (latencyBounds.map(b =>
+      s"SELECT stream, '$b' AS le, le_$b AS n FROM agg") ++ Seq(
+      "SELECT stream, '+Inf' AS le, le_inf AS n FROM agg",
+      "SELECT stream, 'sum' AS le, lat_sum AS n FROM agg"))
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT event_type AS stream, date_trunc('day', ts) AS day, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |t AS (
+       |  SELECT *, MIN(sec) OVER (PARTITION BY stream, day) AS t0
+       |  FROM e),
+       |w AS (
+       |  SELECT *, CAST(floor((sec - t0) / 7200) AS BIGINT) AS tick
+       |  FROM t),
+       |b AS (
+       |  SELECT *, CAST(floor((ROW_NUMBER() OVER (PARTITION BY stream, day, tick
+       |      ORDER BY event_id) - 1) / 5) AS BIGINT) AS sub
+       |  FROM w),
+       |r AS (
+       |  SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY stream, day
+       |      ORDER BY tick, sub) AS BIGINT) AS batch_id
+       |  FROM b),
+       |lat AS (
+       |  SELECT stream,
+       |    (CASE WHEN COUNT(*) OVER pb = 5 THEN MAX(sec) OVER pb
+       |          ELSE t0 + (tick + 1) * 7200 END) - sec AS l
+       |  FROM r
+       |  WINDOW pb AS (PARTITION BY stream, day, batch_id)),
+       |agg AS (
+       |  SELECT stream,
+       |    $condSums,
+       |    CAST(COUNT(*) AS BIGINT) AS le_inf,
+       |    CAST(SUM(l) AS BIGINT) AS lat_sum
+       |  FROM lat GROUP BY 1)
+       |$unions""".stripMargin
+  }
+
   private val queueLatencyOracle: String = {
     val condSums = latencyBounds.map(b =>
       s"CAST(SUM(CASE WHEN l <= $b THEN 1 ELSE 0 END) AS BIGINT) AS le_$b")
@@ -1020,6 +1098,7 @@ object Events {
     "evt_batch_time" -> (evtBatchTime _),
     "evt_batch_idle" -> (evtBatchIdle _),
     "evt_batch_periodic" -> (evtBatchPeriodic _),
+    "evt_queue_latency_periodic" -> (evtQueueLatencyPeriodic _),
     "evt_queue_latency" -> (evtQueueLatency _),
     "evt_dropped" -> (evtDropped _),
     "evt_shard" -> (evtShard _),
@@ -1205,6 +1284,7 @@ object Events {
         |       ELSE MAX(t0 + (tick + 1) * 7200) END AS close_s
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "evt_queue_latency" -> queueLatencyOracle,
+    "evt_queue_latency_periodic" -> queueLatencyPeriodicOracle,
     "evt_dropped" ->
       """SELECT event_type,
         |  CAST(SUM(CASE WHEN arrival > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

@@ -42,6 +42,12 @@ case class ClosedPeriodicBatch(stream: String, batch_id: Long,
   * dozen bytes per stream). */
 case class LatencyState(secs: List[Long], batches_closed: Long)
 
+/** Latency-twin state for the periodic-ticker model: the tick anchor,
+  * the pending batch's window, and its arrival seconds (newest first,
+  * bounded by batchSize). */
+case class PeriodicLatencyState(t0: Long, w: Long, secs: List[Long],
+    batches_closed: Long)
+
 /** One per-event queue-latency observation, emitted when its batch
   * closes (latency_s = batch close second − arrival second). */
 case class LatencyObs(stream: String, batch_id: Long, latency_s: Long)
@@ -340,6 +346,44 @@ object EventStream {
             if (st.secs.size >= batchSize) st = close(st)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** #27c'-streaming Queue-latency observations under the EXACT ticker
+    * model — the live twin of `evt_queue_latency_periodic`: the
+    * [[batchFlushPeriodic]] state machine with per-event arrival
+    * seconds in state (bounded by batchSize), emitting close − arrival
+    * per member; a size close flushes at the filling arrival, a tick
+    * close at the pending window's end tick (the true flush instant).
+    * Same in-order contract; QueueLatencyParitySpec pins stream ==
+    * batch minus open tails. */
+  def queueLatencyPeriodic(events: Dataset[Evt], batchSize: Int,
+      tickSec: Long): Dataset[LatencyObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PeriodicLatencyState, LatencyObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stream: String, batch: Iterator[Evt], state: GroupState[PeriodicLatencyState]) =>
+          val out = List.newBuilder[LatencyObs]
+          var st = state.getOption
+          def close(s: PeriodicLatencyState, closeS: Long): PeriodicLatencyState = {
+            s.secs.reverseIterator.foreach(a =>
+              out += LatencyObs(stream, s.batches_closed + 1, closeS - a))
+            s.copy(secs = Nil, batches_closed = s.batches_closed + 1)
+          }
+          batch.toSeq.sortBy(_.event_id).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            var s = st.getOrElse(PeriodicLatencyState(sec, 0L, Nil, 0L))
+            val w = (sec - s.t0) / tickSec
+            if (s.secs.nonEmpty && w > s.w)
+              s = close(s, s.t0 + (s.w + 1) * tickSec)
+            s = s.copy(w = w, secs = sec :: s.secs)
+            if (s.secs.size >= batchSize) s = close(s, sec)
+            st = Some(s)
+          }
+          st.foreach(state.update)
           out.result().iterator
       }
   }

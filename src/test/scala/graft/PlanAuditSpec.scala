@@ -152,6 +152,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 1, p)
   }
 
+  test("evt_queue_latency_periodic: count/max/close windows ride the ticker exchange") {
+    // t0 min, tick row_number, batch dense_rank, per-batch count and
+    // max all share the (stream, day)-rooted exchange; 2 = that one +
+    // the histogram rollup's.
+    val p = planOf("evt_queue_latency_periodic")
+    assert(occurrences(p, "Exchange") == 2,
+      s"periodic latency window re-shuffles (expected 2 exchanges):\n$p")
+    assert(occurrences(p, "FileScan") == 1, p)
+  }
+
   test("q21_null_safe_join joins pre-aggregated sides (no pair materialization)") {
     // the r12 rewrite: each side folds to <=5 rows BEFORE the null-safe
     // join. A Join whose input is a raw relation would re-introduce the
