@@ -194,6 +194,53 @@ object TextDedup {
     g
   }
 
+  /** MinHash+LSH pairs over the md5 hash family — the ORACLE-REPLAYABLE
+    * sibling of [[minhashLshPairs]]: signature j is
+    * min(md5(j || ':' || shingle)) under the LEXICOGRAPHIC order of hex
+    * strings (a monotone bijection of a uniform 128-bit value, so the
+    * MinHash estimator is unchanged), bands are '|'-joined signature
+    * slices, candidates pair on band equality and similarity is the
+    * signature-agreement estimator. ~10x the per-row hash cost of the
+    * murmur3 production path — use it where a DuckDB replay must
+    * reproduce every byte (the md5 correctness twins, the scale-safe
+    * e2e pipeline). Same shuffle shape as the production path: only
+    * (doc_id, k-wide signature) and band keys ever shuffle, never text.
+    * Output: (doc_a, doc_b, est_jaccard), filtered at `tau`. */
+  def minhashMd5Pairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rpb = k / bands
+    val sh = graft.CacheScope.persistTracked(
+      shingleArrays(docs, n)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    val sigCols = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
+    val sigs = graft.CacheScope.persistTracked(
+      sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      // when k is a power of two, agree/k is an exact binary fraction —
+      // bit-identical across engines
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+  }
+
   /** MinHash signatures (k seeded murmur3 minima over the shingle
     * posting list) banded into `bands` buckets; candidates pair on any
     * shared band bucket and similarity is ESTIMATED from signature

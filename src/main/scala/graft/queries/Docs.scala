@@ -212,38 +212,11 @@ object Docs {
     * ~10x the per-row cost of the murmur3 production path (#38), which
     * is why it exists as a correctness twin, not a replacement: it
     * converts the rows-only #38 family into hash-matched evidence. */
-  def docMinhashMd5(s: SparkSession, d: String): DataFrame = {
-    val k = 16; val bands = 4; val rpb = k / bands
-    val sh = graft.CacheScope.persistTracked(
-      graft.operators.TextDedup.shingleArrays(Tables.documents(s, d), 3)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle")))
-    val sigCols = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
-    val sigs = graft.CacheScope.persistTracked(
-      sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
-    val bandRows = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
-        .as(Seq("band_idx", "band_key")))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until k)
-      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
-      // k = 16 is a power of two, so agree/k is an exact binary
-      // fraction — bit-identical across engines
-      .select(col("doc_a"), col("doc_b"),
-        (agree.cast("double") / k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-  }
+  def docMinhashMd5(s: SparkSession, d: String): DataFrame =
+    // k = 16 is a power of two, so agree/k is an exact binary fraction
+    // — bit-identical across engines
+    graft.operators.TextDedup.minhashMd5Pairs(
+      Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5)
 
   /** #39b SimHash, md5 family — the ORACLE-REPLAYABLE twin of
     * [[docSimhash]]: 64-bit fingerprint from the first 16 hex chars of
