@@ -35,11 +35,11 @@ object Bench {
     // threshold the demo-pinned configs are auto-excluded (documented
     // Spark-side walls) and listed in the record; an explicit
     // SPARK_GRAFT_ONLY naming always wins. Checked once, untimed.
-    val above = ScaleClasses.aboveThreshold(spark, sfDir)
     val excluded: Seq[String] =
-      if (above && only.isEmpty) ScaleClasses.demo.keys.toSeq.sorted else Nil
+      if (only.isEmpty) ScaleClasses.exclusions(spark, sfDir).keys.toSeq.sorted
+      else Nil
     excluded.foreach(n =>
-      System.err.println(s"[bench] excluding demo-class $n above scale threshold"))
+      System.err.println(s"[bench] excluding scale-classed $n above its threshold"))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filterNot { case (n, _) => excluded.contains(n) }

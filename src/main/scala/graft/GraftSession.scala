@@ -20,8 +20,10 @@ import org.apache.spark.sql.SparkSession
   *   audits the plan shape).
   * - Dynamic partition overwrite: idempotent batch replays (the
   *   streaming failover sink depends on per-partition overwrite).
-  * - Nanosecond parquet timestamps surfaced as LONG (the events table
-  *   is TIMESTAMP(NANOS); see Tables.events).
+  * - Nanosecond parquet timestamps surfaced as LONG, for corpus
+  *   generations whose events table is TIMESTAMP(NANOS) — the loader
+  *   adapts to whatever `ts` physical type the footer carries (see
+  *   Tables.events).
   */
 object GraftSession {
 

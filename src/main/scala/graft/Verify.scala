@@ -27,12 +27,13 @@ object Verify {
     // the filter arg, which always wins. The classification ships with
     // the output so the gate artifact declares its own exclusions.
     val above = ScaleClasses.aboveThreshold(spark, sfDir)
+    val excludedMap = ScaleClasses.exclusions(spark, sfDir)
     Files.writeString(Paths.get(s"$outDir/scale_classes.json"),
-      ScaleClasses.declarationJson(above))
+      ScaleClasses.declarationJson(above, excludedMap))
     def autoExcluded(name: String): Boolean =
-      above && ScaleClasses.demo.contains(name) && only.isEmpty
-    if (above && only.isEmpty) ScaleClasses.demo.keys.foreach { n =>
-      System.err.println(s"[verify] excluding demo-class $n above scale threshold")
+      excludedMap.contains(name) && only.isEmpty
+    if (only.isEmpty) excludedMap.keys.toSeq.sorted.foreach { n =>
+      System.err.println(s"[verify] excluding scale-classed $n above its threshold")
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -205,9 +205,22 @@ object TextDedup {
     * reproduce every byte (the md5 correctness twins, the scale-safe
     * e2e pipeline). Same shuffle shape as the production path: only
     * (doc_id, k-wide signature) and band keys ever shuffle, never text.
-    * Output: (doc_a, doc_b, est_jaccard), filtered at `tau`. */
+    * Output: (doc_a, doc_b, est_jaccard), filtered at `tau`.
+    *
+    * '''Bit-identical replay requires `k` to be a power of two.''' The
+    * similarity column is `agree / k`; when k is a power of two that is
+    * an exact binary fraction, so DuckDB and Spark produce the same
+    * double for every pair. For any other k (e.g. 12) the division
+    * rounds, and replay holds only to 1-ulp float tolerance — the
+    * function enforces power-of-two k so a parameterized caller cannot
+    * silently weaken the guarantee this md5 family exists to provide.
+    * (Need a non-power-of-two k? Use the murmur3 production path
+    * [[minhashLshPairs]], whose verification is rows-only by design.) */
   def minhashMd5Pairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    require(k > 0 && (k & (k - 1)) == 0,
+      s"k=$k must be a power of two: est_jaccard = agree/k is only " +
+        "bit-identical across engines for exact binary fractions")
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rpb = k / bands
     val sh = graft.CacheScope.persistTracked(

@@ -479,7 +479,34 @@ object Docs {
     * deterministic 50% sample → per-source token accounting. Every
     * stage is an operator verified on its own elsewhere; this query
     * pins the COMPOSITION against a single DuckDB CTE chain. */
-  def docPipelineE2e(s: SparkSession, d: String): DataFrame = {
+  def docPipelineE2e(s: SparkSession, d: String): DataFrame =
+    curationPipeline(s, d,
+      docNgramJaccard(s, d).select(col("doc_b")).distinct())
+
+  /** #55b Scale-safe e2e curation (VERDICT r13 item 1) — the SAME
+    * composition as [[docPipelineE2e]] with the near-dup stage swapped
+    * from the exact all-pairs Jaccard miner to MinHash/LSH banding
+    * ([[graft.operators.TextDedup.minhashMd5Pairs]], md5 family so the
+    * DuckDB oracle replays it byte-for-byte). This is the variant a
+    * 100 TB pipeline actually composes: the exact miner's pair graph is
+    * quadratic on adversarially dense corpora (BASELINE.md sf10),
+    * while LSH's shuffle is bounded by band-bucket collisions — only
+    * (doc_id, 16-wide signature) and band keys ever shuffle, never
+    * text. The exact-miner variant stays as the small-corpus
+    * verification pin, scale-classed out above 200k docs
+    * (ScaleClasses.minerScale). */
+  def docPipelineScale(s: SparkSession, d: String): DataFrame =
+    curationPipeline(s, d,
+      graft.operators.TextDedup.minhashMd5Pairs(
+          Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5)
+        .select(col("doc_b")).distinct())
+
+  /** Shared body of the two e2e variants: quality gate → language gate
+    * → exact dedup keep-first → near-dup victim anti join (the one
+    * stage the variants differ on) → deterministic 50% sample →
+    * per-source token accounting, all one declarative plan. */
+  private def curationPipeline(s: SparkSession, d: String,
+      victims: DataFrame): DataFrame = {
     val t = col("text")
     val nWords = size(split(t, " "))
     val en = regexp_count(t, lit("\\b(the|a|of|and|is)\\b"))
@@ -492,7 +519,6 @@ object Docs {
     val w = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
     val exact = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    val victims = docNgramJaccard(s, d).select(col("doc_b")).distinct()
     val sampled = exact
       .join(victims, col("doc_id") === col("doc_b"), "left_anti")
       .filter(((col("doc_id") % lit(1597334677L)) * lit(2654435761L))
@@ -535,6 +561,7 @@ object Docs {
     "doc_dedup_canon" -> (docDedupCanon _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_pipeline_e2e" -> (docPipelineE2e _),
+    "doc_pipeline_scale" -> (docPipelineScale _),
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_pack" -> (docPack _),
     "doc_mixture" -> (docMixture _))
@@ -552,9 +579,12 @@ object Docs {
       |           ' ' || string_split(text,' ')[i+2])) AS shingle
       |    FROM documents) t""".stripMargin
 
-  /** doc_minhash_md5 oracle: generated so k/bands stay in lockstep with
-    * the Spark twin (k=16, 4 bands of 4). */
-  private val minhashMd5Oracle: String = {
+  /** The generated MinHash-md5 CTE chain (sh → sig → bands → cand →
+    * est), shared by the doc_minhash_md5 oracle and the
+    * doc_pipeline_scale oracle so k/bands stay in lockstep with the
+    * Spark twin (k=16, 4 bands of 4) in both. Already stripMargin'd —
+    * safe to interpolate into another template (no line starts '|'). */
+  private val minhashMd5Ctes: String = {
     val k = 16; val bands = 4; val rpb = k / bands
     val sigCols = (0 until k)
       .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n    ")
@@ -565,7 +595,7 @@ object Docs {
     val agree = (0 until k)
       .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  $shingleCte),
        |sig AS (SELECT doc_id,
        |    $sigCols
@@ -581,9 +611,43 @@ object Docs {
        |  SELECT doc_a, doc_b, CAST($agree AS DOUBLE) / $k AS est_jaccard
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = doc_a
-       |  JOIN sig sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+       |  JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  private val minhashMd5Oracle: String =
+    s"WITH $minhashMd5Ctes\nSELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"
+
+  /** doc_pipeline_scale oracle: the e2e gate/dedup/sample CTEs composed
+    * with the SAME generated MinHash chain as doc_minhash_md5 (raw
+    * interpolator: the regex \b must stay a literal backslash-b). */
+  private val pipelineScaleOracle: String =
+    raw"""WITH gated AS (
+         |  SELECT doc_id, text, source, n_chars FROM (
+         |    SELECT doc_id, text, source, n_chars,
+         |      len(string_split(text, ' ')) AS n_words,
+         |      len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS en,
+         |      len(regexp_extract_all(text, '\b(el|la|los|las|es|y)\b')) AS es,
+         |      len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+         |      len(regexp_extract_all(text, '\b(le|les|des|et|est)\b')) AS fr
+         |    FROM documents) q
+         |  WHERE n_words >= 15 AND CAST(en AS DOUBLE) / n_words >= 0.02
+         |    AND en >= es AND en >= de AND en >= fr AND en > 0),
+         |exact AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, text, source, n_chars,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) e WHERE rn = 1),
+         |$minhashMd5Ctes,
+         |victims AS (
+         |  SELECT DISTINCT doc_b FROM est WHERE est_jaccard >= 0.5),
+         |sampled AS (
+         |  SELECT * FROM exact
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM victims)
+         |    AND ((doc_id % 1597334677) * 2654435761) % 4294967296 % 100 < 50)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM sampled GROUP BY 1""".stripMargin
 
   /** doc_simhash_md5 oracle: 64 '0'/'1' chars per doc, majority vote per
     * bit of md5's first 16 hex digits, banded candidates, differing-char
@@ -628,6 +692,7 @@ object Docs {
   val oracles: Map[String, String] = Map(
     "doc_minhash_md5" -> minhashMd5Oracle,
     "doc_simhash_md5" -> simhashMd5Oracle,
+    "doc_pipeline_scale" -> pipelineScaleOracle,
     "doc_dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM (

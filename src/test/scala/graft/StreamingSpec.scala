@@ -331,15 +331,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("#14-streaming batch/stream parity: throttle flags over the events table agree") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
     val streamed = EventStream.throttle(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet("/root/testdata/sf0.001")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+      Tables.eventsStream(spark, "/root/testdata/sf0.001"),
       perHour = 2)
       .select(col("hour_start").cast("long"), col("user_id"), col("n_in_hour"))
     val q = streamed.writeStream.format("memory").queryName("throttle_parity")
@@ -361,15 +354,7 @@ class StreamingSpec extends AnyFunSuite {
   test("batch/stream parity: windowed counts over the events table agree") {
     // the same aggregation, once through readStream over the real
     // parquet and once as a batch plan — results must be identical
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    def withTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val streamed = withTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001"))
+    val streamed = Tables.eventsStream(spark, "/root/testdata/sf0.001")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("day_s"),
@@ -393,15 +378,8 @@ class StreamingSpec extends AnyFunSuite {
   test("#24-streaming batch/stream parity: queue-depth gauge over the events table agrees") {
     // the live gauge and the batch evt_queue_depth query must agree on
     // every closed stream-hour (closed-form arithmetic vs row_number)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
     val streamed = EventStream.queueDepthGauge(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet("/root/testdata/sf0.001")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      Tables.eventsStream(spark, "/root/testdata/sf0.001"))
       .select("stream", "hour_epoch", "n_arrivals", "n_batches",
         "max_depth", "sum_depth")
     val q = streamed.writeStream.format("memory").queryName("qdepth_parity")
@@ -514,14 +492,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val d = "/root/testdata/sf0.001"
     // stateless flags: readStream over the parquet, complete mode
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    val flags = EventStream.mergeErrorFlags(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val flags = EventStream.mergeErrorFlags(Tables.eventsStream(spark, d))
     val qF = flags.writeStream.format("memory").queryName("me_flags")
       .outputMode("complete").start()
     try qF.processAllAvailable() finally qF.stop()
