@@ -63,33 +63,51 @@ object Sessionize {
     * Emits one row per merge attempt (offline event): user, online /
     * offline event ids, dur_s (null unless merged), status. Three
     * ignore-nulls `last` windows carry the online side's id/second/
-    * payload — all on ONE hash exchange of the user column; nothing
-    * wider than the payload string crosses the wire. */
+    * session_id — all on ONE hash exchange of the user column. The
+    * payload JSON is REALLY parsed (`$.session_id`; corruption is
+    * synthesized upstream, the parse failure is not) but BEFORE the
+    * window, map-side: only the extracted id rides the window sort and
+    * its state, never the payload string — at 100× with real payloads
+    * the sort would otherwise carry payload bytes per row
+    * (PlanAuditSpec pins the window input width). */
   def mergeEvents(df: DataFrame, user: Column, ts: Column, order: Column,
       isOnline: Column, isOffline: Column, payload: Column): DataFrame = {
-    val w = Window.partitionBy(user).orderBy(ts, order)
-    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("sec", unix_timestamp(ts))
+    // the projection below is the narrow-before-the-shuffle step:
+    // every caller expression (incl. the payload parse) is evaluated
+    // map-side, and the window operates on the 7 narrow columns only
+    val narrow = df
+      .withColumn("sec", unix_timestamp(ts))
       .withColumn("__on", isOnline)
-      .withColumn("__pl", payload)
+      .withColumn("__sid", get_json_object(payload, "$.session_id"))
+      .select(user.as("__user"), ts.as("__ts"), order.as("__ord"),
+        isOffline.as("__off"), col("sec"), col("__on"), col("__sid"))
+    val w = Window.partitionBy(col("__user"))
+      .orderBy(col("__ts"), col("__ord"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    narrow
       .withColumn("on_event_id",
-        last(when(col("__on"), order), ignoreNulls = true).over(prev))
+        last(when(col("__on"), col("__ord")), ignoreNulls = true).over(prev))
       .withColumn("__on_sec",
         last(when(col("__on"), col("sec")), ignoreNulls = true).over(prev))
-      .withColumn("__on_pl",
-        last(when(col("__on"), col("__pl")), ignoreNulls = true).over(prev))
-      .filter(isOffline)
+      // struct-wrapped so ignoreNulls keys on "was there an online
+      // event", not "did its payload parse": an online event with a
+      // corrupt payload (null __sid inside a NON-null struct) must
+      // still be the merge partner — and then fail the merge — not be
+      // skipped in favor of an older parseable one
+      .withColumn("__on_sid",
+        last(when(col("__on"), struct(col("__sid").as("v"))),
+          ignoreNulls = true).over(prev).getField("v"))
+      .filter(col("__off"))
       .withColumn("status",
         when(col("on_event_id").isNull, "no_session_start")
-          .when(get_json_object(col("__pl"), "$.session_id").isNull ||
-            get_json_object(col("__on_pl"), "$.session_id").isNull,
+          .when(col("__sid").isNull || col("__on_sid").isNull,
             "error_merging_event")
           .otherwise("merged"))
       .withColumn("dur_s",
         when(col("status") === "merged", col("sec") - col("__on_sec")))
-      .withColumn("off_event_id", order)
-      .select(user.as("user_id"), col("on_event_id"), col("off_event_id"),
-        col("dur_s"), col("status"))
+      .withColumn("off_event_id", col("__ord"))
+      .select(col("__user").as("user_id"), col("on_event_id"),
+        col("off_event_id"), col("dur_s"), col("status"))
   }
 
   /** Gap-based session index per user (online/offline semantics):

@@ -120,6 +120,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 2, p) // train + bench slices
   }
 
+  test("evt_session_merge: only the parsed session id rides the window state") {
+    // the payload JSON parse (get_json_object $.session_id) must happen
+    // map-side BELOW the window's exchange: the window input carries the
+    // extracted id (__sid), never the payload string — at 100x with real
+    // payloads the window sort would otherwise move payload bytes per row
+    val lp = QueryMemo.disabled(
+      SparkEntry.queries("evt_session_merge")(spark, d)
+        .queryExecution.optimizedPlan)
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, lp.toString)
+    wins.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(names.contains("__sid"),
+        s"window input lacks the pre-parsed session id: $names")
+      assert(!names.exists(_.contains("__pl")),
+        s"payload column crosses the window exchange: $names")
+      // every string column entering a window must be the parsed id (or
+      // its windowed alias _w*/__on_sid) — never a payload-width string
+      val strings = w.child.output
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name)
+      assert(strings.forall(n =>
+        n == "__sid" || n == "__on_sid" || n.startsWith("_w")),
+        s"unexpected string column in window input: $strings")
+      // and the parse itself must not be a window-side expression
+      assert(!w.windowExpressions.mkString.contains("get_json_object"),
+        w.windowExpressions.mkString)
+    }
+  }
+
   test("evt_batch_time: one exchange feeds the whole window cascade") {
     // gap-lag, session cumsum, in-session row_number and batch dense_rank
     // all run off ONE hash exchange: (stream, day) partitioning satisfies
