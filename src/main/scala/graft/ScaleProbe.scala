@@ -227,6 +227,15 @@ object ScaleProbe {
     graft.streaming.EventStream
       .batchFlushPeriodic(syntheticEvts(spark), batchSize = 100, tickSec = 600).toDF()
 
+  private def queueLatencyStreamDf(spark: SparkSession): DataFrame =
+    // the r13 queue-latency observer (gap model): per-event arrival
+    // seconds in bounded state, one LatencyObs per member at close —
+    // heavier per row than the flushers (it EMITS one row per input
+    // row), so its state growth + batch latency need their own probe
+    graft.streaming.EventStream
+      .queueLatency(syntheticEvts(spark), batchSize = 100,
+        timeLimitSec = 600).toDF()
+
   /** The committed streaming-regression record (VERDICT r11 #7, v2 per
     * r12 #7): run the suite pipelines to a row target each and write
     * ONE driver-parseable STREAMBENCH.json — per-probe rows, wall secs,
@@ -242,6 +251,7 @@ object ScaleProbe {
       ("events_route", () => routeStreamDf(spark), target),
       ("events_batch_flush", () => batchFlushStreamDf(spark), target / 5),
       ("events_batch_periodic", () => batchFlushPeriodicStreamDf(spark), target / 5),
+      ("events_queue_latency", () => queueLatencyStreamDf(spark), target / 5),
       ("docs_neardup", () => docStreamDf(spark), target / 10))
     val recs = probes.map { case (name, mk, tgt) =>
       val (done, secs, stats) = runStreamToTarget(spark, mk(), tgt, name)

@@ -213,10 +213,19 @@ object Docs {
     * is why it exists as a correctness twin, not a replacement: it
     * converts the rows-only #38 family into hash-matched evidence. */
   def docMinhashMd5(s: SparkSession, d: String): DataFrame =
-    // k = 16 is a power of two, so agree/k is an exact binary fraction
-    // — bit-identical across engines
-    graft.operators.TextDedup.minhashMd5Pairs(
-      Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5)
+    md5Pairs(s, d)
+
+  /** The md5-family MinHash/LSH pair graph, memoized per session: its
+    * two consumers (the #38b correctness twin and the #55b scale
+    * pipeline's victim stage) must not each pay the 16-hash signature
+    * build in one Verify/Bench pass. Same QueryMemo discipline as
+    * [[minedPairs]]; O(pairs) rows of ids, cheap to pin.
+    * k = 16 is a power of two, so agree/k is an exact binary fraction
+    * — bit-identical across engines (enforced in minhashMd5Pairs). */
+  private def md5Pairs(s: SparkSession, d: String): DataFrame =
+    QueryMemo.cached(s, s"minhash_md5_pairs:n=3:k=16:b=4:tau=0.5:$d")(
+      graft.operators.TextDedup.minhashMd5Pairs(
+        Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5))
 
   /** #39b SimHash, md5 family — the ORACLE-REPLAYABLE twin of
     * [[docSimhash]]: 64-bit fingerprint from the first 16 hex chars of
@@ -496,10 +505,7 @@ object Docs {
     * verification pin, scale-classed out above 200k docs
     * (ScaleClasses.minerScale). */
   def docPipelineScale(s: SparkSession, d: String): DataFrame =
-    curationPipeline(s, d,
-      graft.operators.TextDedup.minhashMd5Pairs(
-          Tables.documents(s, d), n = 3, k = 16, bands = 4, tau = 0.5)
-        .select(col("doc_b")).distinct())
+    curationPipeline(s, d, md5Pairs(s, d).select(col("doc_b")).distinct())
 
   /** Shared body of the two e2e variants: quality gate → language gate
     * → exact dedup keep-first → near-dup victim anti join (the one
