@@ -133,9 +133,13 @@ def gen(sf, out):
     base_ns = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
     gaps = rng.exponential(30 * 86_400e9 / n_evt, n_evt)
     ts = base_ns + np.cumsum(gaps).astype(np.int64)
+    # the driver testdata switched ts from TIMESTAMP(NANOS) to plain
+    # TIMESTAMP(MICROS) at r14; mirror it (same ns draw, truncated) so
+    # scale gates exercise the same Tables.events loader path as the
+    # round gate. Value change vs <=r13 corpora: sub-µs truncation only.
     write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_evt, dtype=np.int64)),
-        "ts": pa.array(ts, type=pa.timestamp("ns")),
+        "ts": pa.array(ts // 1000, type=pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_user, n_evt).astype(np.int64)),
         "event_type": pa.array(np.array(
             ["click", "view", "purchase", "signup", "error"])[rng.integers(0, 5, n_evt)]),

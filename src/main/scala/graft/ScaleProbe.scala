@@ -447,16 +447,38 @@ object ScaleProbe {
           (done, Map[String, Any]("events_per_s" -> math.rint(done / secs)) ++ stats)
         case Array("streamsuite", rest @ _*) =>
           streamSuite(spark, rest.headOption.map(_.toLong).getOrElse(500000L))
-        case Array("ivfcurve", k) =>
+        case Array("ivfcurve", k, cellsSpec @ _*) =>
           // VERDICT r12 #6: recall/latency curve against the PERSISTED
           // index — build once, reload, sweep nprobe, score each sweep
           // point against the brute-force exact top-k. Driver-side
           // collects are harness-only: nQ*k id pairs, never corpus rows.
+          // Optional cells arg (r13 #6, `ivfcurve:k:C`): instead of the
+          // label column, assign cells by a REAL one-iteration Lloyd
+          // pass — C seed centroids (lowest vec_ids), every vector
+          // joined to its nearest seed (broadcast, C rows) — so the
+          // cell count becomes the sweepable knob that bounds in-cell
+          // candidates at scale.
           import org.apache.spark.sql.expressions.Window
           val kk = k.toInt
           val nQ = 50
           val isQuery = col("vec_id") < nQ
-          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = true))
+          val v = CacheScope.persistTracked(cellsSpec.headOption match {
+            case None => vecs(spark, dir, withLabel = true)
+            case Some(c) =>
+              val base = vecs(spark, dir, withLabel = false)
+              val seeds = broadcast(base.filter(col("vec_id") < c.toInt)
+                .select(col("vec_id").as("seed"), col("e").as("se"),
+                  col("norm").as("snorm")))
+              val wA = Window.partitionBy("vec_id")
+                .orderBy(col("sim").desc, col("seed").asc)
+              base.crossJoin(seeds)
+                .withColumn("sim", graft.functions.DotProduct.column(
+                  col("e"), col("se")) / (col("norm") * col("snorm")))
+                .withColumn("r", row_number().over(wA))
+                .filter(col("r") === 1)
+                .select(col("vec_id"), col("seed").as("cluster_by"),
+                  col("e"), col("norm"))
+          })
           val idxDir = java.nio.file.Files.createTempDirectory("ivfcurve")
           val tb = System.nanoTime()
           graft.operators.Similarity.ivfIndex(v)

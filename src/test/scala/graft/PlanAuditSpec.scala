@@ -52,6 +52,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_pipeline_scale: banded candidates, text never enters the pair join") {
+    // the scale pipeline's near-dup stage must stay an equi join on
+    // (band_idx, band_key) — a cartesian or an unconditioned BNLJ here
+    // is exactly the blowup the variant exists to avoid — and no join
+    // side may carry the document text (only ids, signatures, band keys
+    // shuffle; the text is read again only by the final gate/rollup)
+    val lp = QueryMemo.disabled(
+      SparkEntry.queries("doc_pipeline_scale")(spark, d)
+        .queryExecution.optimizedPlan)
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val bandJoins = joins.filter(
+      _.condition.exists(_.toString.contains("band_key")))
+    assert(bandJoins.nonEmpty, "no band-key equi join in the plan")
+    bandJoins.foreach { j =>
+      assert(j.condition.isDefined && j.condition.get.toString.contains("band_idx"))
+      Seq(j.left, j.right).foreach(side =>
+        assert(!side.output.exists(_.name == "text"),
+          s"text on a pair-join side: ${side.output.map(_.name)}"))
+    }
+    val p = planOf("doc_pipeline_scale")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("emb_neardup (bucketed) has no cartesian / unconditioned BNLJ") {
     val p = planOf("emb_neardup")
     assert(!p.contains("CartesianProduct"), p)
