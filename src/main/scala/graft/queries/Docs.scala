@@ -547,7 +547,119 @@ object Docs {
         countDistinct(col("fp")).as("n_unique"),
         countDistinct(col("fp64")).as("n_unique64"))
 
+  /** #44b Gopher-style document-level quality rules (re-expressed from
+    * the published Gopher heuristics, Rae et al. 2021 — word-count
+    * bounds, mean-word-length band, symbol/bullet/ellipsis caps,
+    * alphabetic-word floor, required-stopword minimum) with per-rule
+    * verdicts and the overall keep bit. The standard pre-training
+    * filter a curation pipeline runs before any dedup — pure map-side
+    * scan, zero exchanges, every metric an exact integer count with
+    * double division only at the ratio boundary (the doc_quality
+    * pattern).
+    *
+    * The alpha/bullet/ellipsis line filters are interpreted HOFs
+    * (`filter` over the split arrays); per-row cost is O(words) with
+    * the split re-inlined by CollapseProject — accepted for a scan-only
+    * query with no shuffle to feed (same adjudication as embQuantize's
+    * element_at; the hot-path shingle kernels use native expressions
+    * instead). Thresholds follow the paper where the synthetic corpus
+    * can express them; the stopword set is the repo-standard 5-word
+    * list (doc_quality, doc_langid) so rule 7 stays discriminative on a
+    * 31-word vocabulary. */
+  def docGopher(s: SparkSession, d: String): DataFrame =
+    gopherMetrics(Tables.documents(s, d))
+
+  /** Library form of #44b over any (doc_id, text) frame. */
+  def gopherMetrics(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = split(t, " ")
+    val lines = split(t, "\n")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val meanWordLen = length(regexp_replace(t, " ", "")).cast("double") / nWords
+    val symbolRatio = regexp_count(t, lit("#|\\.\\.\\.")).cast("double") / nWords
+    val bulletFrac = size(filter(lines, l => l.rlike("^[-*•]")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val stopHits = Seq("the", "a", "of", "and", "is")
+      .map(wd => when(regexp_count(t, lit(s"\\b$wd\\b")) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 && col("alpha_frac") > 0.8 &&
+          col("stop_hits") >= 2)
+  }
+
+  /** #51b BM25 top-k retrieval (Robertson/Lucene `ln(1 + (N-df+0.5)/
+    * (df+0.5))` idf, k1=1.2, b=0.75) for a fixed query-term set over
+    * the whitespace tokenizer — the retrieval sibling of doc_tfidf and
+    * what a decontamination/search stage actually ranks with. Plan:
+    * one (doc,term) partial-agg shuffle builds tf, reused for dl; the
+    * 3-row df side and the 1-row (N, avgdl) side broadcast; top-10 via
+    * TakeOrdered (distributed heap, no global sort — scale-safe where
+    * a rank window over all docs is not).
+    *
+    * Cross-engine exactness: every count is exact; avgdl is one double
+    * division of exact longs; the per-doc score sum folds
+    * left-to-right over the TERM-SORTED score list in both engines
+    * (sort_array+aggregate here, list_sum over list(sc ORDER BY term)
+    * there — the IVF-centroid precedent), so the only inexactness is
+    * libm `ln` (1-ulp class, inside the checker's 1e-12 float
+    * tolerance; a top-10 boundary flip would need two distinct
+    * (tf, dl) configs within ~1e-16 relative score — not observed at
+    * any gated scale). */
+  def docBm25(s: SparkSession, d: String): DataFrame =
+    bm25Rank(Tables.documents(s, d), Seq("vector", "stream", "merge"), 10)
+
+  /** Library form of #51b: BM25 top-`k` of `docs` for `qterms`.
+    *
+    * The (doc, term) tf index is built ONCE and persisted; document
+    * length, corpus stats, and per-term df all derive from it (dl =
+    * sum of tf — exact), so the plan reads and tokenizes the corpus a
+    * single time where the naive four-branch self-reuse would scan it
+    * four times (each branch re-paying the explode at 100 TB). */
+  def bm25Rank(docs: DataFrame, qterms: Seq[String], k: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = graft.CacheScope.persistTracked(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    val dfq = tf.filter(col("term").isin(qterms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("term").isin(qterms: _*))
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+      .withColumn("idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("sc",
+        col("idf") * (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0), (acc, x) => acc + x.getField("sc")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "n_terms", "score")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_gopher" -> (docGopher _),
+    "doc_bm25" -> (docBm25 _),
     "doc_dedup_exact" -> (docDedupExact _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
     "doc_dedup_near" -> (docDedupNear _),
@@ -696,6 +808,57 @@ object Docs {
     * hash-matched evidence). Shingles are built with list_transform over
     * range — same sequence as the Spark expression. */
   val oracles: Map[String, String] = Map(
+    "doc_gopher" ->
+      """SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+        |    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+        |    AND stop_hits >= 2) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS symbol_ratio,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+        |      / len(string_split(text, chr(10))) AS bullet_frac,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+        |      / len(string_split(text, chr(10))) AS ellipsis_frac,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS alpha_frac,
+        |    (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bis\b') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM documents) t""".stripMargin,
+    "doc_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlq AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dlq),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tfq
+        |  WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN nn)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  list_sum(list(sc ORDER BY term)) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "doc_minhash_md5" -> minhashMd5Oracle,
     "doc_simhash_md5" -> simhashMd5Oracle,
     "doc_pipeline_scale" -> pipelineScaleOracle,

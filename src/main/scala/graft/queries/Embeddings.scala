@@ -258,7 +258,61 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
   }
 
+  /** #41c Int8 scalar quantization (SQ8) round-trip error accounting:
+    * per-vector grid params and exact reconstruction error (sse,
+    * max_abs_err) from the one-pass native [[graft.functions.Sq8Stats]]
+    * kernel. The quantization every large vector store applies before
+    * anything else (4× memory/bandwidth vs float32); this query is the
+    * error audit that justifies it — max_abs_err is bounded by the grid
+    * step (mx-mn)/255, which a spec pins. Map-side only: zero
+    * exchanges, zero joins; the stats array is computed once per row
+    * and field-extracted (element_at of a 4-wide array — the ~256
+    * flops/row recompute after CollapseProject inlining is accepted;
+    * there is no shuffle to amortize against). */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val st = graft.functions.Sq8.statsColumn(toDouble(col("embedding")))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), st.as("st"))
+      .select(col("vec_id"),
+        element_at(col("st"), 1).as("mn"),
+        element_at(col("st"), 2).as("mx"),
+        element_at(col("st"), 3).as("sse"),
+        element_at(col("st"), 4).as("max_abs_err"))
+  }
+
+  /** #41d ANN over SQ8-quantized vectors: the emb_cosine_topk probe
+    * with every vector routed through the
+    * [[graft.functions.Sq8Roundtrip]] grid first — exactly the
+    * arithmetic a uint8-code-resident index serves, so rank agreement
+    * vs the exact baseline (spec-measured) is the real recall of the
+    * compressed index, not a simulation. Same plan shape as the exact
+    * probe: query side broadcast, corpus side never shuffles,
+    * one window over the 5×N scored pairs. Quantized cosines tie more
+    * often than exact ones (grid collisions), so the rank orders by
+    * (qcos DESC, neighbor_id ASC) — deterministic and replayed by the
+    * oracle bit-for-bit. */
+  def embAnnSq(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.Sq8.roundtripColumn(toDouble(col("embedding"))).as("dq"))
+      .withColumn("norm", sqrt(dot(col("dq"), col("dq"))))
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dq").as("qe"),
+        col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    v.select(col("vec_id").as("neighbor_id"), col("dq"), col("norm"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos", dot(col("dq"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize" -> (embQuantize _),
+    "emb_ann_sq" -> (embAnnSq _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -301,6 +355,46 @@ object Embeddings {
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
   val oracles: Map[String, String] = Map(
+    // the SQ8 grid replays exactly: mn/mx are order-independent, and
+    // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
+    // IEEE double sequence as the native kernel (Sq8.dequantized);
+    // list_dot_product(err, err) is the same left-to-right err² sum as
+    // the kernel's sse accumulator
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+        |r AS (SELECT vec_id, mn, mx, (mx - mn) / 255.0 AS scale, e FROM p),
+        |er AS (SELECT vec_id, mn, mx,
+        |  list_transform(e, x -> x - (mn +
+        |    (CASE WHEN scale = 0 THEN 0.0
+        |          ELSE least(floor((x - mn) / scale), 255.0) END) * scale)) AS err
+        |  FROM r)
+        |SELECT vec_id, mn, mx, list_dot_product(err, err) AS sse,
+        |  list_max(list_transform(err, x -> abs(x))) AS max_abs_err
+        |FROM er""".stripMargin,
+    "emb_ann_sq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, e, list_min(e) AS mn,
+        |  (list_max(e) - list_min(e)) / 255.0 AS scale FROM v),
+        |r AS (SELECT vec_id,
+        |  list_transform(e, x -> mn +
+        |    (CASE WHEN scale = 0 THEN 0.0
+        |          ELSE least(floor((x - mn) / scale), 255.0) END) * scale) AS dq
+        |  FROM p),
+        |n AS (SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) AS norm FROM r)
+        |SELECT query_id, neighbor_id, rnk, qcos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(c.dq, q.dq) / (c.norm * q.norm) AS qcos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(c.dq, q.dq) / (c.norm * q.norm) DESC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin,
     "emb_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
