@@ -237,6 +237,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_quantize / doc_gopher: map-side scans — zero exchanges, pruned read schema") {
+    val pq = planOf("emb_quantize")
+    assert(occurrences(pq, "Exchange") == 0, pq)
+    assert(occurrences(pq, "FileScan") == 1, pq)
+    assert(pq.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), pq)
+    val pg = planOf("doc_gopher")
+    assert(occurrences(pg, "Exchange") == 0, pg)
+    assert(occurrences(pg, "FileScan") == 1, pg)
+    assert(pg.contains("ReadSchema: struct<doc_id:bigint,text:string>"), pg)
+  }
+
+  test("emb_ann_sq: broadcast query side + top-k pushed below the window exchange") {
+    val p = planOf("emb_ann_sq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(occurrences(p, "FileScan") == 2, p) // corpus + query slice
+  }
+
+  test("doc_bm25: the tf index is built once (single tokenize+scan) and reused everywhere") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    try {
+      val lp = QueryMemo.disabled(
+        SparkEntry.queries("doc_bm25")(spark, d).queryExecution.optimizedPlan)
+      val caches = lp.collect { case c: InMemoryRelation => c }
+      assert(caches.size >= 3,
+        s"tf cache must feed the scored/dl/df branches, found ${caches.size}:\n$lp")
+      val rawScans = lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rawScans.isEmpty,
+        s"every corpus read must go through the cached tf index:\n$lp")
+      // the cached subplan itself is ONE scan + ONE tokenizer explode
+      // (string-counted: the cached plan is an AdaptiveSparkPlanExec
+      // wrapper whose tree is not visible to collect)
+      val cached = caches.head.cachedPlan.toString
+      assert(occurrences(cached, "Generate") == 1, cached)
+      assert(occurrences(cached, "FileScan") == 1, cached)
+    } finally CacheScope.releaseAll()
+  }
+
   test("no query plans a CartesianProduct (all-pairs baselines are bounded BNLJ crosses)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = planOf(q)
