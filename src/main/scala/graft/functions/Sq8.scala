@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
 
 /** Int8 scalar quantization (SQ8) of an embedding vector as native
   * codegen'd Catalyst expressions — the standard first compression step
@@ -95,6 +95,74 @@ case class Sq8Stats(child: Expression) extends Sq8Expr {
     copy(child = newChild)
 }
 
+/** Encode to storable int8 codes: array<double> → array<byte> where
+  * byte = code − 128 (the uint8 grid code shifted into signed-byte
+  * range — 4× smaller than float32 at rest and on the wire). The grid
+  * params ride alongside as plain columns (see Similarity.sq8Index);
+  * [[Sq8Decode]] inverts exactly. */
+case class Sq8Codes(child: Expression) extends Sq8Expr {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "sq8_codes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (Sq8.isInvalid(x)) null else Sq8.codes(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |if (graft.functions.Sq8.isInvalid($a)) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.Sq8.codes($a);
+      |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Codes =
+    copy(child = newChild)
+}
+
+/** Decode stored codes back to grid values:
+  * (codes: array<byte>, mn: double, scale: double) → array<double>,
+  * x̂_i = mn + (byte_i + 128) · scale. With (mn, scale) taken from the
+  * same vector's grid, `Sq8Decode(Sq8Codes(e), mn, scale)` equals
+  * `Sq8Roundtrip(e)` bit-for-bit (spec-pinned) — the decode a
+  * code-resident index performs per candidate at search time. */
+case class Sq8Decode(codes: Expression, mn: Expression, scale: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = codes
+  override def second: Expression = mn
+  override def third: Expression = scale
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, mn.dataType, scale.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, m, s) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_decode requires (array<tinyint>, double, double), got " +
+          s"(${c.catalogString}, ${m.catalogString}, ${s.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_decode"
+
+  override protected def nullSafeEval(c: Any, m: Any, s: Any): Any = {
+    val x = c.asInstanceOf[ArrayData]
+    if (Sq8.hasNullElement(x)) null
+    else Sq8.decode(x, m.asInstanceOf[Double], s.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, m, s) => s"""
+      |if (graft.functions.Sq8.hasNullElement($c)) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.Sq8.decode($c, $m, $s);
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Sq8Decode =
+    copy(codes = newFirst, mn = newSecond, scale = newThird)
+}
+
 object Sq8 {
   /** Empty array or any null element ⇒ NULL (strict). */
   def isInvalid(a: ArrayData): Boolean = {
@@ -161,6 +229,46 @@ object Sq8 {
     new GenericArrayData(Array(mn, mx, sse, mae))
   }
 
+  /** Null elements ⇒ NULL (decode input; empty arrays are legal here —
+    * an empty code list decodes to an empty vector). */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def codes(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    val (mn, mx) = minMax(x)
+    val scale = (mx - mn) / 255.0
+    val out = new Array[Byte](x.length)
+    var i = 0
+    while (i < x.length) {
+      val code = if (scale == 0.0) 0.0
+        else math.min(math.floor((x(i) - mn) / scale), 255.0)
+      out(i) = (code.toInt - 128).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def decode(c: ArrayData, mn: Double, scale: Double): ArrayData = {
+    val n = c.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mn + (c.getByte(i) + 128).toDouble * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def roundtripColumn(a: Column): Column =
     org.apache.spark.sql.graft.Shims.column(
       Sq8Roundtrip(org.apache.spark.sql.graft.Shims.expression(a)))
@@ -168,4 +276,14 @@ object Sq8 {
   def statsColumn(a: Column): Column =
     org.apache.spark.sql.graft.Shims.column(
       Sq8Stats(org.apache.spark.sql.graft.Shims.expression(a)))
+
+  def codesColumn(a: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      Sq8Codes(org.apache.spark.sql.graft.Shims.expression(a)))
+
+  def decodeColumn(codes: Column, mn: Column, scale: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      Sq8Decode(org.apache.spark.sql.graft.Shims.expression(codes),
+        org.apache.spark.sql.graft.Shims.expression(mn),
+        org.apache.spark.sql.graft.Shims.expression(scale)))
 }

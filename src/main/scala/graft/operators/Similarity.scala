@@ -161,6 +161,55 @@ object Similarity {
     semDedupWithin(assigned, "cluster", tau)
   }
 
+  /** SQ8-compressed vector index — the memory-bound ANN artifact: each
+    * vector stored as uint8 grid codes (array<tinyint>, 4× smaller than
+    * float32 at rest and on the wire) plus its grid params and the
+    * decoded-vector norm, computed ONCE at build time. A plain
+    * DataFrame: write to parquet, read back, search (Sq8Spec pins a
+    * round-tripped index to search-identical results — the IvfAnnSpec
+    * contract). `v` carries (vec_id, e: array<double>).
+    *
+    * scale is derived `(mx - mn) / 255.0` from the [[graft.functions.Sq8Stats]]
+    * grid — the identical double op the encode kernel performs, so
+    * decode(codes, mn, scale) reproduces `Sq8Roundtrip(e)` bit-for-bit. */
+  def sq8Index(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      graft.functions.Sq8.statsColumn(col("e")).as("st"),
+      graft.functions.Sq8.codesColumn(col("e")).as("codes"))
+      .select(col("vec_id"),
+        element_at(col("st"), 1).as("mn"),
+        ((element_at(col("st"), 2) - element_at(col("st"), 1)) / 255.0)
+          .as("scale"),
+        col("codes"))
+      .withColumn("dq",
+        graft.functions.Sq8.decodeColumn(col("codes"), col("mn"), col("scale")))
+      .withColumn("dnorm", sqrt(dot(col("dq"), col("dq"))))
+      .drop("dq")
+
+  /** Top-k cosine search against a prebuilt [[sq8Index]]. Each corpus
+    * row decodes ONCE (below the join) via the codegen'd
+    * [[graft.functions.Sq8Decode]] kernel; `queries` is a broadcastable
+    * (query_id, qe: array<double>, qnorm) table — pass raw query
+    * vectors for the standard asymmetric (ADC) search, or pre-decoded
+    * ones for the fully symmetric mode (which Sq8Spec pins equal to
+    * the emb_ann_sq query). Plan shape matches the exact probe:
+    * corpus side never shuffles, top-k rides WindowGroupLimit. */
+  def sq8Search(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    index.select(col("vec_id").as("neighbor_id"),
+      graft.functions.Sq8.decodeColumn(col("codes"), col("mn"), col("scale"))
+        .as("dq"),
+      col("dnorm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos", dot(col("dq"), col("qe")) / (col("dnorm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
   /** Near-dup pairs with cosine ≥ tau from a vector table carrying
     * (vec_id, e: array<double>, norm) plus any `carry` columns, which
     * come back suffixed `_a`/`_b` on each side of every pair. */

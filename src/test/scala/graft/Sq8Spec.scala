@@ -72,6 +72,46 @@ class Sq8Spec extends AnyFunSuite {
     assert(out(3L) == ((true, true)), "null array must be NULL")
   }
 
+  test("decode∘codes equals the roundtrip kernel bit-for-bit") {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val viol = v.select(
+      Sq8.roundtripColumn(col("e")).as("rt"),
+      Sq8.decodeColumn(Sq8.codesColumn(col("e")),
+        element_at(Sq8.statsColumn(col("e")), 1),
+        (element_at(Sq8.statsColumn(col("e")), 2) -
+          element_at(Sq8.statsColumn(col("e")), 1)) / 255.0).as("dc"))
+      .filter(col("rt") =!= col("dc")).count()
+    assert(viol == 0, s"$viol vectors decode differently from the roundtrip")
+  }
+
+  test("sq8Index parquet round trip searches identically; symmetric mode equals emb_ann_sq") {
+    import graft.operators.Similarity
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val idx = Similarity.sq8Index(v)
+    // codes really are int8 at rest
+    assert(idx.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // symmetric mode: decoded queries == the emb_ann_sq query twin
+    def decodedQueries(i: org.apache.spark.sql.DataFrame) =
+      i.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+        Sq8.decodeColumn(col("codes"), col("mn"), col("scale")).as("qe"),
+        col("dnorm").as("qnorm"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val fresh = rows(Similarity.sq8Search(idx, decodedQueries(idx), 5))
+    val rt = rows(Similarity.sq8Search(reloaded, decodedQueries(reloaded), 5))
+    val twin = rows(graft.queries.Embeddings.embAnnSq(spark, d))
+    assert(fresh == rt, "parquet round trip changed search results")
+    assert(fresh == twin, "symmetric sq8Search diverges from emb_ann_sq")
+  }
+
   test("quantized ANN agrees with the exact cosine probe on most of top-5") {
     val exact = graft.queries.Embeddings.embCosineTopk(spark, d)
       .select(col("query_id"), col("neighbor_id")).collect()
