@@ -101,21 +101,40 @@ object GraftFunctions {
     RepetitionStats(exprs(0), v.asInstanceOf[Number].intValue())
   }
 
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n, s"$name requires exactly $n argument(s)")
+      f(exprs)
+    }
+
+  /** (name, docs class, builder) for every SQL-callable graft function —
+    * single source for both the session-level registry and the
+    * extensions injection path. */
+  private[functions] val sqlFunctions: Seq[
+      (String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("simhash64", classOf[SimHash64],
+      arity("simhash64", 1)(e => SimHash64(e.head))),
+    ("array_eq_count", classOf[ArrayEqCount],
+      arity("array_eq_count", 2)(e => ArrayEqCount(e(0), e(1)))),
+    ("repetition_stats", classOf[RepetitionStats],
+      repetitionStatsFromSql _),
+    ("sq8_roundtrip", classOf[Sq8Roundtrip],
+      arity("sq8_roundtrip", 1)(e => Sq8Roundtrip(e.head))),
+    ("sq8_stats", classOf[Sq8Stats],
+      arity("sq8_stats", 1)(e => Sq8Stats(e.head))),
+    ("sq8_codes", classOf[Sq8Codes],
+      arity("sq8_codes", 1)(e => Sq8Codes(e.head))),
+    ("sq8_decode", classOf[Sq8Decode],
+      arity("sq8_decode", 3)(e => Sq8Decode(e(0), e(1), e(2)))))
+
   /** Register graft functions on a session (SQL-callable). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("array_eq_count"),
-      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
-      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (exprs: Seq[Expression]) => repetitionStatsFromSql(exprs))
-  }
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder)
+    }
 }
 
 /** SparkSessionExtensions hook — the library-consumer path:
@@ -123,19 +142,10 @@ object GraftFunctions {
   * SQL functions and injects the HOF-dot-product optimizer rewrite. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("array_eq_count"),
-      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
-      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (exprs: Seq[Expression]) =>
-        GraftFunctions.repetitionStatsFromSql(exprs)))
+    GraftFunctions.sqlFunctions.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

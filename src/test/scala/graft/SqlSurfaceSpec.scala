@@ -36,5 +36,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()
     assert(sigs.length == spark.table("docs").count() &&
       sigs.map(_.getLong(1)).distinct.length > 1)
+
+    // the SQ8 kernel family from SQL: decode(codes, mn, scale) must
+    // reproduce the roundtrip grid bit-for-bit, arity errors are
+    // analysis-time
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb")
+    val badRt = spark.sql(
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT sq8_roundtrip(e) AS rt,
+        |    sq8_decode(sq8_codes(e), sq8_stats(e)[0],
+        |      (sq8_stats(e)[1] - sq8_stats(e)[0]) / 255.0) AS dc
+        |  FROM (SELECT CAST(embedding AS array<double>) AS e FROM emb))
+        |WHERE rt <> dc""".stripMargin).head().getLong(0)
+    assert(badRt == 0, s"$badRt SQL sq8 decodes diverge from the roundtrip")
+    val arityErr = intercept[Exception](spark.sql("SELECT sq8_codes(1, 2)"))
+    assert(arityErr.getMessage.contains("sq8_codes requires exactly 1"))
   }
 }
