@@ -80,6 +80,33 @@ class GopherBm25Spec extends AnyFunSuite {
       s"score must stay below the idf*(k1+1) asymptote ($tf)"))
   }
 
+  test("gopher rules run unchanged on a stream: micro-batched replay equals batch") {
+    // gopherMetrics is a stateless projection, so it applies to a
+    // streaming frame as-is — the on-arrival quality gate a streaming
+    // curation pipeline runs before admitting a doc. Parity with the
+    // batch pass over the same corpus is by construction; this pins it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Docs.gopherMetrics(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gopher_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+    val batch = Docs.docGopher(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+    assert(streamed == batch)
+  }
+
   test("bm25 multi-term: per-doc score is the sum over matched terms") {
     // doc contains both terms once; singles contain one each
     val out = Docs.bm25Rank(mkDocs(Seq(
