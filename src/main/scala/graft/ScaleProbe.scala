@@ -284,6 +284,37 @@ object ScaleProbe {
       graft.functions.DotProduct.column(col("e"), col("e"))))
   }
 
+  /** Brute-force exact cosine top-k id pairs for the first `nQ`
+    * vec_ids — the SHARED recall baseline of the ivfcurve and sq8
+    * probes (one definition so the two probes can never measure recall
+    * against different baselines). Harness-side collect of nQ·k id
+    * pairs only, never corpus rows. */
+  private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val dotc = graft.functions.DotProduct.column _
+    val qside = broadcast(v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    v.select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
+      .crossJoin(qside)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val spark = SparkSession.builder().master("local[32]")
@@ -486,22 +517,7 @@ object ScaleProbe {
           val buildSecs = (System.nanoTime() - tb) / 1e9
           val cent = spark.read.parquet(s"$idxDir/index")
           val nCells = cent.count().toInt
-          val dotc = graft.functions.DotProduct.column _
-          val qside = broadcast(v.filter(isQuery)
-            .select(col("vec_id").as("query_id"), col("e").as("qe"),
-              col("norm").as("qnorm")))
-          val w = Window.partitionBy("query_id")
-            .orderBy(col("cos").desc, col("neighbor_id").asc)
-          val exact = v
-            .select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
-            .crossJoin(qside)
-            .filter(col("neighbor_id") =!= col("query_id"))
-            .withColumn("cos",
-              dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
-            .withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") <= kk)
-            .select("query_id", "neighbor_id")
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val exact = exactTopK(v, nQ, kk)
           val sweep = Seq(1, 2, 4, 8).filter(_ < nCells) :+ nCells
           val curve = sweep.map { np =>
             val t1 = System.nanoTime()
@@ -523,62 +539,51 @@ object ScaleProbe {
         case Array("sq8", k) =>
           // r15: the SQ8 compressed-index path at probe scale — build
           // the int8-code artifact, persist, reload, ADC-search with
-          // raw queries, score recall against brute-force exact top-k,
-          // and account the on-disk compression vs a float32 dump of
-          // the same vectors. Driver-side collects are harness-only
-          // (nQ*k id pairs).
-          import org.apache.spark.sql.expressions.Window
+          // raw queries, score recall against the shared exact-top-k
+          // baseline, and account the on-disk compression vs a float32
+          // dump of the same vectors (deleted afterward — it exists
+          // only for the byte ratio).
           val kk = k.toInt
           val nQ = 50
-          val isQuery = col("vec_id") < nQ
           val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
           val idxDir = java.nio.file.Files.createTempDirectory("sq8probe")
-          val tb = System.nanoTime()
-          graft.operators.Similarity.sq8Index(v)
-            .write.mode("overwrite").parquet(s"$idxDir/index")
-          val buildSecs = (System.nanoTime() - tb) / 1e9
-          val idx = spark.read.parquet(s"$idxDir/index")
-          v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
-            .write.mode("overwrite").parquet(s"$idxDir/raw32")
-          def dirBytes(p: String): Long = {
-            val base = java.nio.file.Paths.get(p)
-            val s = java.nio.file.Files.walk(base)
-            try s.filter(java.nio.file.Files.isRegularFile(_))
-              .mapToLong(java.nio.file.Files.size(_)).sum()
-            finally s.close()
-          }
-          val dotc = graft.functions.DotProduct.column _
-          val qside = broadcast(v.filter(isQuery)
-            .select(col("vec_id").as("query_id"), col("e").as("qe"),
-              col("norm").as("qnorm")))
-          val w = Window.partitionBy("query_id")
-            .orderBy(col("cos").desc, col("neighbor_id").asc)
-          val exact = v
-            .select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
-            .crossJoin(qside)
-            .filter(col("neighbor_id") =!= col("query_id"))
-            .withColumn("cos",
-              dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
-            .withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") <= kk)
-            .select("query_id", "neighbor_id")
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          val t1 = System.nanoTime()
-          val got = graft.operators.Similarity.sq8Search(idx, qside, kk)
-            .select("query_id", "neighbor_id")
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          val searchSecs = (System.nanoTime() - t1) / 1e9
-          val recall = got.count(exact.contains).toDouble / exact.size
-          val ib = dirBytes(s"$idxDir/index"); val rb = dirBytes(s"$idxDir/raw32")
-          println(f"[probe] sq8 k=$kk recall=$recall%.4f search=$searchSecs%.2f s " +
-            f"index=${ib / 1024}%d KiB raw32=${rb / 1024}%d KiB")
-          (exact.size.toLong, Map[String, Any](
-            "build_secs" -> math.rint(buildSecs * 1000) / 1000,
-            "search_secs" -> math.rint(searchSecs * 1000) / 1000,
-            "recall" -> math.rint(recall * 10000) / 10000,
-            "k" -> kk, "n_queries" -> nQ,
-            "index_bytes" -> ib, "raw32_bytes" -> rb,
-            "bytes_ratio" -> math.rint(rb.toDouble / ib * 100) / 100))
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.sq8Index(v)
+              .write.mode("overwrite").parquet(s"$idxDir/index")
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = spark.read.parquet(s"$idxDir/index")
+            v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+              .write.mode("overwrite").parquet(s"$idxDir/raw32")
+            def dirBytes(p: String): Long = {
+              val base = java.nio.file.Paths.get(p)
+              val s = java.nio.file.Files.walk(base)
+              try s.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              finally s.close()
+            }
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val t1 = System.nanoTime()
+            val got = graft.operators.Similarity.sq8Search(idx, qside, kk)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val searchSecs = (System.nanoTime() - t1) / 1e9
+            val recall = got.count(exact.contains).toDouble / exact.size
+            val ib = dirBytes(s"$idxDir/index")
+            val rb = dirBytes(s"$idxDir/raw32")
+            println(f"[probe] sq8 k=$kk recall=$recall%.4f search=$searchSecs%.2f s " +
+              f"index=${ib / 1024}%d KiB raw32=${rb / 1024}%d KiB")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "search_secs" -> math.rint(searchSecs * 1000) / 1000,
+              "recall" -> math.rint(recall * 10000) / 10000,
+              "k" -> kk, "n_queries" -> nQ,
+              "index_bytes" -> ib, "raw32_bytes" -> rb,
+              "bytes_ratio" -> math.rint(rb.toDouble / ib * 100) / 100))
+          } finally deleteRecursively(idxDir)
         case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
   * primitive loops inside whole-stage codegen; the min/max pass runs
   * once per vector.
   *
-  * Null semantics: NULL on empty arrays or any null element (strict,
-  * like [[DotProduct]]).
+  * Null semantics: NULL on empty arrays, any null element, or any
+  * non-finite element (strict, like [[DotProduct]] — see
+  * [[Sq8.isInvalid]] for why NaN/Inf are refused rather than coded).
   */
 private[functions] sealed trait Sq8Expr extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -164,13 +165,20 @@ case class Sq8Decode(codes: Expression, mn: Expression, scale: Expression)
 }
 
 object Sq8 {
-  /** Empty array or any null element ⇒ NULL (strict). */
+  /** Empty array, any null element, or any NON-FINITE element ⇒ NULL
+    * (strict). Non-finite values have no grid code: the roundtrip
+    * would propagate NaN while the int8 code path would have to invent
+    * a finite byte for it — a silent mn-substitution on decode. A
+    * vector with NaN/Inf dimensions is corrupt input; refusing it
+    * keeps decode∘codes ≡ roundtrip an identity on every accepted
+    * vector. */
   def isInvalid(a: ArrayData): Boolean = {
     val n = a.numElements()
     if (n == 0) return true
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i)) return true
+      if (a.isNullAt(i) || !java.lang.Double.isFinite(a.getDouble(i)))
+        return true
       i += 1
     }
     false
@@ -191,11 +199,16 @@ object Sq8 {
     (mn, mx)
   }
 
-  private def dequantized(x: Double, mn: Double, scale: Double): Double = {
-    val code = if (scale == 0.0) 0.0
-      else math.min(math.floor((x - mn) / scale), 255.0)
-    mn + code * scale
-  }
+  /** The grid code as a double in [0, 255] — single definition shared
+    * by the roundtrip, stats, and int8-code paths so they can never
+    * diverge. Inputs are pre-validated finite (isInvalid), so the code
+    * is always an exact small integer. */
+  private def codeOf(x: Double, mn: Double, scale: Double): Double =
+    if (scale == 0.0) 0.0
+    else math.min(math.floor((x - mn) / scale), 255.0)
+
+  private def dequantized(x: Double, mn: Double, scale: Double): Double =
+    mn + codeOf(x, mn, scale) * scale
 
   /** Shared by interpreted eval and generated code. */
   def roundtrip(a: ArrayData): ArrayData = {
@@ -249,9 +262,7 @@ object Sq8 {
     val out = new Array[Byte](x.length)
     var i = 0
     while (i < x.length) {
-      val code = if (scale == 0.0) 0.0
-        else math.min(math.floor((x(i) - mn) / scale), 255.0)
-      out(i) = (code.toInt - 128).toByte
+      out(i) = (codeOf(x(i), mn, scale).toInt - 128).toByte
       i += 1
     }
     new GenericArrayData(out)

@@ -584,8 +584,11 @@ object Docs {
       .cast("double") / nLines
     val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]")))
       .cast("double") / nWords
+    // rlike, not regexp_count(...) > 0: presence is the question, and
+    // rlike short-circuits at the first match instead of scanning the
+    // whole document for every occurrence of all five stopwords
     val stopHits = Seq("the", "a", "of", "and", "is")
-      .map(wd => when(regexp_count(t, lit(s"\\b$wd\\b")) > 0, 1).otherwise(0))
+      .map(wd => when(t.rlike(s"\\b$wd\\b"), 1).otherwise(0))
       .reduce(_ + _)
     docs
       .select(col("doc_id"), nWords.as("n_words"),

@@ -72,6 +72,26 @@ class Sq8Spec extends AnyFunSuite {
     assert(out(3L) == ((true, true)), "null array must be NULL")
   }
 
+  test("non-finite elements are refused (NULL), never silently coded") {
+    // NaN has no grid code: the roundtrip would propagate NaN while the
+    // int8 path would have to invent a byte (decoding to mn — a silent
+    // value substitution). All kernels refuse the vector instead.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0, Double.NaN, 1.0)),
+      (2L, Array(0.0, Double.PositiveInfinity)),
+      (3L, Array(0.0, 0.5, 1.0))).toDF("id", "e")
+    val out = df.select(col("id"),
+      Sq8.roundtripColumn(col("e")).as("rt"),
+      Sq8.statsColumn(col("e")).as("st"),
+      Sq8.codesColumn(col("e")).as("c")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))
+      .toMap
+    assert(out(1L) == ((true, true, true)), "NaN element must be NULL")
+    assert(out(2L) == ((true, true, true)), "Inf element must be NULL")
+    assert(out(3L) == ((false, false, false)), "finite vector must pass")
+  }
+
   test("decode∘codes equals the roundtrip kernel bit-for-bit") {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
