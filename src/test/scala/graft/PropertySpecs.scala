@@ -74,3 +74,59 @@ object TopKProps extends Properties("TopKLongs") {
       }
     }
 }
+
+object Sq8Props extends Properties("Sq8") {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val genVec: Gen[Array[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).map(_.toArray)
+
+  private def arr(x: Array[Double]): ArrayData = new GenericArrayData(x)
+
+  /** decode(codes(x), mn, scale) must equal roundtrip(x) bit-for-bit —
+    * the identity Similarity.sq8Index/sq8Search rests on, here over
+    * adversarial random vectors instead of the corpus. */
+  property("decode of codes equals roundtrip") =
+    Prop.forAll(genVec) { x =>
+      val mn = x.min
+      val scale = (x.max - x.min) / 255.0
+      val rt = graft.functions.Sq8.roundtrip(arr(x)).toDoubleArray().toSeq
+      val dc = graft.functions.Sq8.decode(
+        graft.functions.Sq8.codes(arr(x)), mn, scale).toDoubleArray().toSeq
+      rt == dc
+    }
+
+  /** Per-element reconstruction error is bounded by ~one grid step and
+    * every grid value stays inside [mn, mx] up to 1-ulp rounding. */
+  property("error bounded by the grid step; grid values inside [mn, mx]") =
+    Prop.forAll(genVec) { x =>
+      val mn = x.min; val mx = x.max
+      val step = (mx - mn) / 255.0
+      val rt = graft.functions.Sq8.roundtrip(arr(x)).toDoubleArray()
+      val eps = math.max(step, math.ulp(math.max(math.abs(mn), math.abs(mx))))
+      x.indices.forall { i =>
+        math.abs(x(i) - rt(i)) <= eps * 1.0000001 &&
+          rt(i) >= mn - eps * 1e-6 && rt(i) <= mx + eps * 1e-6
+      }
+    }
+
+  // NOTE deliberately NOT a property: roundtrip is NOT idempotent. A
+  // second roundtrip re-derives the grid from the decoded values — its
+  // mx is the top OCCUPIED grid point (and fp rounding of mn + k·scale
+  // shifts cell boundaries), so values can move by up to one step
+  // (falsified empirically at seed ~10). This is inherent to per-vector
+  // re-derived grids; a code-resident index therefore keeps (mn, scale)
+  // FIXED and never re-encodes decoded vectors — the contract
+  // Similarity.sq8Index implements by storing the grid params alongside
+  // the codes. The guaranteed identity is decode∘codes ≡ roundtrip
+  // (property above); re-encoded drift stays within one step by the
+  // error-bound property applied to the decoded vector as input.
+
+  property("non-finite and empty inputs are invalid") =
+    Prop.forAll(genVec) { x =>
+      val withNaN = x :+ Double.NaN
+      graft.functions.Sq8.isInvalid(arr(withNaN)) &&
+        graft.functions.Sq8.isInvalid(arr(Array.empty[Double])) &&
+        !graft.functions.Sq8.isInvalid(arr(x))
+    }
+}
