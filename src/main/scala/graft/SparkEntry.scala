@@ -17,13 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++ graft.queries.Events.all ++
-      graft.queries.Docs.all ++ graft.queries.Embeddings.all ++
-      graft.queries.Mm.all
+      graft.queries.Docs.all ++ graft.queries.Scoring.all ++
+      graft.queries.Embeddings.all ++ graft.queries.Mm.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Events.oracles ++
-      graft.queries.Docs.oracles ++ graft.queries.Embeddings.oracles ++
-      graft.queries.Mm.oracles
+      graft.queries.Docs.oracles ++ graft.queries.Scoring.oracles ++
+      graft.queries.Embeddings.oracles ++ graft.queries.Mm.oracles
 }

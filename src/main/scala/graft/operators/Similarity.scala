@@ -115,6 +115,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
   }
 
+  /** Distributed Lloyd's k-means over (vec_id, e: array<double>) — the
+    * PRODUCTION clustering path (label-free sibling of [[ivfIndex]]'s
+    * label-seeded coarse index, and the standard way to get the
+    * cluster column SemDeDup/IVF need when none exists).
+    *
+    * Seeds are the k lowest vec_ids (deterministic — no RNG in the
+    * plan); each round assigns every vector to its nearest centroid
+    * via ONE broadcast of the k-row centroid table (squared distance
+    * see − 2·dot + scc from per-row/per-centroid cached norms — the
+    * corpus never shuffles for assignment) and recomputes centroids
+    * with the MERGEABLE avg aggregate over (cluster, pos): partial
+    * means combine map-side, nothing ever collects a per-group value
+    * list. The working set (vec_id, e, see) is persisted once and
+    * reused by every round — the iterative-algorithm standard.
+    * Clusters that lose all members drop out (k can only shrink),
+    * matching the oracle twin's semantics.
+    *
+    * Returns the final (vec_id, cluster, d2) assignment. The
+    * bit-exact-replay query twin is
+    * [[graft.queries.Embeddings.kmeansSeqFold]]; KmeansSpec pins both
+    * to identical assignments and Lloyd's non-increasing objective. */
+  def kmeans(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters must be >= 1")
+    val vv = graft.CacheScope.persistTracked(
+      v.select(col("vec_id"), col("e"))
+        .withColumn("see", dot(col("e"), col("e"))))
+    var cent = vv.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+      .withColumn("scc", dot(col("ce"), col("ce")))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      // the k centroids fold into ONE array row, broadcast; assignment
+      // is then a pure map-side argmin fold per vector — the corpus
+      // NEVER shuffles for assignment (a crossJoin + groupBy(vec_id)
+      // formulation would re-shuffle every vector per round). The fold
+      // computes the lexicographic min over (d2, cluster), so the
+      // collect_list order doesn't matter.
+      val centArr = broadcast(cent.agg(
+        collect_list(struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
+      assigned = vv.crossJoin(centArr)
+        .withColumn("best", aggregate(col("cs"),
+          struct(lit(Int.MaxValue).as("cluster"),
+            lit(Double.MaxValue).as("d2")),
+          (acc, c) => {
+            val d2 = col("see") -
+              lit(2.0) * dot(col("e"), c.getField("ce")) + c.getField("scc")
+            when(d2 < acc.getField("d2") ||
+                (d2 === acc.getField("d2") &&
+                  c.getField("cluster") < acc.getField("cluster")),
+              struct(c.getField("cluster").as("cluster"), d2.as("d2")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.d2").as("d2"), col("e"))
+      if (it < iters)
+        cent = assigned
+          .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(avg("x").as("cx"))
+          .groupBy("cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cx")))),
+            t => t.getField("cx")).as("ce"))
+          .withColumn("scc", dot(col("ce"), col("ce")))
+    }
+    assigned.select("vec_id", "cluster", "d2")
+  }
+
   /** Within-cluster SemDeDup pruning core (Abbas et al. 2023 — the
     * standard semantic-dedup curation pass): pairs at cosine ≥ tau
     * inside one cluster are duplicates, the greedy pass keeps the

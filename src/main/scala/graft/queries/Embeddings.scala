@@ -310,7 +310,112 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "qcos")
   }
 
+  /** #41e Distributed Lloyd's k-means (k=8, 3 assignment rounds,
+    * seeds = the k lowest vec_ids): the clustering primitive under
+    * IVF/SemDeDup when no label column exists — this query twin is
+    * label-free where [[embAnnIvf]]'s coarse index is label-seeded.
+    * Output is the final (vec_id, cluster, d2) assignment.
+    *
+    * Cross-engine exactness: squared distance is
+    * see − 2·dot(e,ce) + scc with every dot a sequential
+    * left-to-right double sum (the DotProduct/list_dot_product pair)
+    * and see/scc computed ONCE per row/centroid, so both engines run
+    * the identical operation sequence; centroid updates are
+    * vec_id-ordered sequential folds (the [[seqFoldAssigned]]
+    * precedent); argmin tie-breaks on the lower cluster id. No sqrt,
+    * no ln — the replay is bit-exact, not merely within tolerance.
+    *
+    * Scale shape (100 TB): per iteration ONE broadcast of the k-row
+    * centroid table (KBs) against the persisted (vec_id, e, see)
+    * working set — the corpus never shuffles for assignment — and one
+    * (cluster, pos) partial-agg shuffle for the update. The
+    * sequential folds here exist solely for oracle replay; the
+    * production path is [[graft.operators.Similarity.kmeans]], whose
+    * centroid update is the MERGEABLE avg aggregate (map-side partial
+    * means, no per-group value lists) — KmeansSpec pins the two to
+    * identical assignments. */
+  def embKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansSeqFold(vecs(s, d).select(col("vec_id"), col("e")),
+      k = 8, iters = 3)
+
+  private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val v = graft.CacheScope.persistTracked(
+      v0.withColumn("see", dot(col("e"), col("e"))))
+    val seqMean = aggregate(
+      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / count(lit(1))
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+      .withColumn("scc", dot(col("ce"), col("ce")))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = v.crossJoin(broadcast(cent))
+        .withColumn("d2",
+          col("see") - lit(2.0) * dot(col("e"), col("ce")) + col("scc"))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cluster"), struct(-col("d2"), -col("cluster")))
+            .as("cluster"),
+          min(col("d2")).as("d2"),
+          first(col("e")).as("e"))
+      if (it < iters)
+        cent = assigned
+          .select(col("cluster"), col("vec_id"),
+            posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(seqMean.as("cx"))
+          .groupBy("cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cx")))),
+            t => t.getField("cx")).as("ce"))
+          .withColumn("scc", dot(col("ce"), col("ce")))
+    }
+    assigned.select("vec_id", "cluster", "d2")
+  }
+
+  /** Unrolled DuckDB replay of [[kmeansSeqFold]]: c0 = seeds, then per
+    * iteration an argmin-assignment CTE (rn=1 over d2 ASC, cluster
+    * ASC) and — before every non-final round — the vec_id-ordered
+    * fold centroid update. Same generator-not-handwritten pattern as
+    * the MinHash-md5 CTE chain so k/iters stay in lockstep with the
+    * Spark twin. */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, list_dot_product(e, e) AS see FROM v),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, e AS ce,
+      |  list_dot_product(e, e) AS scc FROM n WHERE vec_id < $k),""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s"""
+        |a$it AS (
+        |  SELECT vec_id, e, cluster, d2 FROM (
+        |    SELECT n.vec_id, n.e, c.cluster,
+        |      n.see - 2.0 * list_dot_product(n.e, c.ce) + c.scc AS d2,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY n.see - 2.0 * list_dot_product(n.e, c.ce) + c.scc ASC,
+        |                 c.cluster ASC) AS rn
+        |    FROM n CROSS JOIN c${it - 1} c) t
+        |  WHERE rn = 1),""".stripMargin
+      if (it < iters) sb ++= s"""
+        |ex$it AS (SELECT cluster, vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  e[CAST(i AS INTEGER)] AS x FROM a$it, range(1, ${dim + 1}) t(i)),
+        |cx$it AS (SELECT cluster, pos,
+        |  list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS cx
+        |  FROM ex$it GROUP BY 1, 2),
+        |c$it AS (SELECT cluster, ce, list_dot_product(ce, ce) AS scc FROM (
+        |  SELECT cluster, list(cx ORDER BY pos) AS ce
+        |  FROM cx$it GROUP BY 1) t),""".stripMargin
+    }
+    sb.setLength(sb.length - 1) // trailing comma of the last CTE
+    sb ++= s"\nSELECT vec_id, cluster, d2 FROM a$iters"
+    sb.toString
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans _),
     "emb_quantize" -> (embQuantize _),
     "emb_ann_sq" -> (embAnnSq _),
     "emb_cosine_topk" -> (embCosineTopk _),
@@ -355,6 +460,7 @@ object Embeddings {
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

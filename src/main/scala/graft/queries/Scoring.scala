@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level scoring + selection operators for an LLM training-data
+  * pipeline (SURVEY.md §2c, "beyond the reference" tier): the
+  * CCNet-style n-gram LM quality score, DSIR importance resampling,
+  * and per-domain frequency capping. All three are oracle-verified
+  * end-to-end (DuckDB twins below).
+  *
+  * Cross-engine exactness follows the repo-standard discipline: every
+  * count is exact; per-group float sums fold LEFT-TO-RIGHT over a
+  * key-sorted value list in both engines (sort_array+aggregate here,
+  * list_sum(list(x ORDER BY k)) there — the BM25/IVF-centroid
+  * precedent), so the only inexactness is libm `ln` (1-ulp class,
+  * inside the checker's 1e-12 float tolerance).
+  */
+object Scoring {
+
+  private def seqSum(key: Column, x: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(key, x.as("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** #59 CCNet-style bigram-LM quality score (Wenzek et al. 2020:
+    * score each document under a language model, bucket the corpus
+    * into head/middle/tail). The model here is trained on the corpus
+    * itself — an add-one-smoothed bigram LM (no external model ships
+    * in this container) — which keeps the operator's data flow
+    * identical to the real thing: train token statistics once, score
+    * every document against them, cut at corpus-relative quantiles.
+    *
+    * nll is the per-bigram negative log likelihood
+    * -Σ tf·ln((c12+1)/(c1+V)) / Σ tf, so lower = more typical of the
+    * corpus; buckets are head/middle/tail at the exact nll tertiles.
+    *
+    * Scale shape (100 TB): the (doc, bigram) index is built in ONE
+    * pass over the text (native NGramInstances kernel, partial-agg
+    * shuffle on (doc_id, bigram)) and persisted; the model counts
+    * (c12 by bigram, c1 by first word) derive from the index, not
+    * from re-reading the corpus. The model join keys on the bigram —
+    * a plain shuffle hash join that co-partitions index and model
+    * (the model is corpus-vocabulary-sized, NOT broadcastable at
+    * scale); the per-doc rollup is one more partial-agg shuffle on
+    * doc_id. The tertile cutoffs here are the EXACT percentile
+    * aggregate for oracle replay; at 100× the swap is
+    * approx_percentile (mergeable sketch) with everything else
+    * unchanged. */
+  def docLmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(Tables.documents(s, d))
+
+  /** Library form of #59 over any (doc_id, text) frame. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    // one text scan → (doc_id, bigram, tfb), persisted and reused by
+    // the model-count branches and the per-doc scoring branch
+    val tfb = graft.CacheScope.persistTracked(
+      docs.select(col("doc_id"),
+          explode(graft.functions.NGramInstances.column(
+            split(col("text"), " "), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("tfb")))
+    val c12 = tfb.groupBy("bg").agg(sum("tfb").as("c12"))
+    val c1 = tfb
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .groupBy("w1").agg(sum("tfb").as("c1"))
+    // unigram vocabulary size: the one quantity bigrams cannot supply
+    // (they miss each document's final token) — a second, cheap,
+    // single-column scan
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val model = c12
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+      .select("bg", "logp")
+    val perDoc = tfb.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(sum("tfb").as("n_bigrams"),
+        seqSum(col("bg"), col("tfb") * col("logp")).as("ll"))
+      .withColumn("nll", -col("ll") / col("n_bigrams").cast("double"))
+      .select("doc_id", "n_bigrams", "nll")
+    val scored = graft.CacheScope.persistTracked(perDoc)
+    val cuts = scored.agg(
+      percentile(col("nll"), lit(1.0) / lit(3.0)).as("c_head"),
+      percentile(col("nll"), lit(2.0) / lit(3.0)).as("c_mid"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= col("c_head"), "head")
+          .when(col("nll") <= col("c_mid"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "n_bigrams", "nll", "bucket")
+  }
+
+  /** #60 DSIR importance resampling (Xie et al. 2023: select raw
+    * documents whose hashed n-gram feature distribution looks like a
+    * target domain). Features are unigrams hashed into 256 buckets by
+    * the first md5 hex byte (md5 is the repo's cross-engine hash
+    * family); the target here is the corpus's English slice. Per-doc
+    * importance weight = Σ_b tf_b · λ_b with
+    * λ_b = ln((tc_b+1)/(tt+256)) − ln((rc_b+1)/(rt+256)), ranked per
+    * token (weight/n_tokens) so length doesn't dominate; output is
+    * the top-50 selection.
+    *
+    * Scale shape (100 TB): ONE pass builds the (doc, bucket, tf)
+    * index (partial-agg shuffle); target/raw bucket marginals reduce
+    * from the index; λ is a ≤256-row broadcast, so scoring is
+    * map-side over the index and the top-k is TakeOrdered (distributed
+    * heap, no global sort). */
+  def docDsir(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), col("lang") === "en", 50)
+
+  /** Library form of #60: top-`k` of `docs` by importance weight
+    * toward the `isTarget` slice. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    val tok = graft.CacheScope.persistTracked(
+      docs.select(col("doc_id"), isTarget.as("is_t"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", substring(md5(col("w")), 1, 2))
+        .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("tf")))
+    val raw = tok.groupBy("b").agg(sum("tf").as("rc"))
+    val tgt = tok.filter(col("is_t")).groupBy("b").agg(sum("tf").as("tc"))
+    val tot = tok.agg(
+      sum("tf").as("rt"),
+      sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("tt"))
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lam",
+        log((col("tc") + lit(1.0)) / (col("tt") + lit(256.0))) -
+          log((col("rc") + lit(1.0)) / (col("rt") + lit(256.0))))
+      .select("b", "lam")
+    tok.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        seqSum(col("b"), col("tf") * col("lam")).as("weight"))
+      .withColumn("wpt", col("weight") / col("n_tokens").cast("double"))
+      .orderBy(col("wpt").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "n_tokens", "weight", "wpt")
+  }
+
+  /** #61 Per-domain frequency cap (domain balancing): keep at most
+    * `cap` documents per source, preferring the longest (n_chars desc,
+    * doc_id tie-break — the canonical-selection ordering), and account
+    * kept/dropped per source. The standard web-corpus guard against a
+    * single domain flooding the training mix.
+    *
+    * Scale shape (100 TB): one shuffle on source; the rank window
+    * sorts only (source, n_chars, doc_id) — the text never moves. A
+    * heavy-hitter domain concentrates its rank sort on one partition;
+    * the production guard is the standard two-phase form (count per
+    * domain first, rank only domains whose count exceeds the cap —
+    * everyone else is kept wholesale), which this pinned corpus
+    * doesn't need. */
+  def docDomainCap(s: SparkSession, d: String): DataFrame =
+    domainCap(Tables.documents(s, d), 15)
+
+  /** Library form of #61 over any (doc_id, source, n_chars) frame. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.select("doc_id", "source", "n_chars")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") <= cap, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lm_score" -> (docLmScore _),
+    "doc_dsir" -> (docDsir _),
+    "doc_domain_cap" -> (docDomainCap _))
+
+  val oracles: Map[String, String] = Map(
+    "doc_lm_score" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM ws),
+        |tfb AS (SELECT doc_id, bg, COUNT(*) AS tfb FROM big GROUP BY 1, 2),
+        |c12 AS (SELECT bg, SUM(tfb) AS c12 FROM tfb GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(tfb) AS c1
+        |  FROM tfb GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t),
+        |model AS (
+        |  SELECT bg, ln((c12 + 1.0) / (c1 + v)) AS logp
+        |  FROM c12 JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1
+        |  CROSS JOIN voc),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
+        |    -list_sum(list(tfb * logp ORDER BY bg)) / CAST(SUM(tfb) AS BIGINT) AS nll
+        |  FROM tfb JOIN model USING (bg) GROUP BY 1),
+        |cuts AS (SELECT
+        |  quantile_cont(nll, CAST(1 AS DOUBLE) / 3) AS c_head,
+        |  quantile_cont(nll, CAST(2 AS DOUBLE) / 3) AS c_mid FROM perdoc)
+        |SELECT doc_id, n_bigrams, nll,
+        |  CASE WHEN nll <= c_head THEN 'head'
+        |       WHEN nll <= c_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM perdoc CROSS JOIN cuts""".stripMargin,
+    "doc_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, is_t, substr(md5(w), 1, 2) AS b, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, lang = 'en' AS is_t,
+        |          unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, SUM(tf) AS rc FROM tok GROUP BY 1),
+        |tgt AS (SELECT b, SUM(tf) AS tc FROM tok WHERE is_t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS rt,
+        |  CAST(SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS tt FROM tok),
+        |lam AS (
+        |  SELECT raw.b,
+        |    ln((COALESCE(tc, 0) + 1.0) / (tt + 256.0)) -
+        |    ln((rc + 1.0) / (rt + 256.0)) AS lam
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    list_sum(list(tf * lam ORDER BY b)) AS weight
+        |  FROM tok JOIN lam USING (b) GROUP BY 1)
+        |SELECT doc_id, n_tokens, weight, weight / n_tokens AS wpt
+        |FROM perdoc
+        |ORDER BY wpt DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "doc_domain_cap" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |GROUP BY 1""".stripMargin)
+}

@@ -277,6 +277,65 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("doc_domain_cap: one source exchange feeds window AND rollup; text never read") {
+    val p = planOf("doc_domain_cap")
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"), p)
+  }
+
+  test("doc_dsir: token index built once, lambda broadcast, top-k via TakeOrdered") {
+    try {
+      val qe = QueryMemo.disabled(
+        SparkEntry.queries("doc_dsir")(spark, d).queryExecution)
+      val lp = qe.optimizedPlan
+      val raw = lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(raw.isEmpty,
+        s"every corpus read must go through the cached (doc,bucket,tf) index:\n$lp")
+      val p = qe.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), p)
+      // the per-doc scoring join against the <=256-row lambda table
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("doc_lm_score: bigram index cached for all model branches; vocab is the " +
+    "only direct corpus read") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    try {
+      val lp = QueryMemo.disabled(
+        SparkEntry.queries("doc_lm_score")(spark, d).queryExecution.optimizedPlan)
+      // outer level: the per-doc scored cache feeds both the cutoff agg
+      // and the final bucket projection; no direct corpus scan up here
+      val caches = lp.collect { case c: InMemoryRelation => c }
+      assert(caches.size >= 2, s"scored cache must feed cuts AND output:\n$lp")
+      assert(lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty, s"no direct corpus scan above the scored cache:\n$lp")
+      // inside the scored cache: the (doc,bigram,tf) index is read by
+      // the c12/c1 model branches AND the per-doc scoring branch
+      val inner = caches.head.cachedPlan.toString
+      assert(occurrences(inner, "InMemoryTableScan") >= 3, inner)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("emb_kmeans: one centroid broadcast per round; corpus read once into " +
+    "the persisted working set") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    try {
+      val qe = QueryMemo.disabled(
+        SparkEntry.queries("emb_kmeans")(spark, d).queryExecution)
+      val lp = qe.optimizedPlan
+      assert(lp.collect { case c: InMemoryRelation => c }.nonEmpty, lp.toString)
+      assert(lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty, s"all vector reads must hit the persisted working set:\n$lp")
+      val p = qe.executedPlan.toString
+      assert(occurrences(p, "BroadcastNestedLoopJoin") == 3, p)
+    } finally CacheScope.releaseAll()
+  }
+
   test("no query plans a CartesianProduct (all-pairs baselines are bounded BNLJ crosses)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = planOf(q)
