@@ -97,6 +97,75 @@ object Scoring {
       .select("doc_id", "n_bigrams", "nll", "bucket")
   }
 
+  /** The bigram LM as a PERSISTABLE ARTIFACT (the ivfIndex/sq8Index
+    * pattern): three plain DataFrames — write each to parquet, read
+    * back, score — so "train once on the reference corpus, score every
+    * later batch/stream against the frozen model" is a first-class
+    * production path, not a re-train per query.
+    *
+    * `bigrams` = (bg, logp) for every observed bigram; `heads` =
+    * (w1, logp1) the add-one backoff for an unseen bigram with a seen
+    * first word, ln(1/(c1+V)); `vocab` = one row (v) for the fully
+    * unseen case ln(1/V) — the same add-one formula at c12=0, c1=0.
+    * All three derive from ONE corpus pass over bigram instances plus
+    * the cheap unigram-vocabulary scan. */
+  final case class LmModel(bigrams: DataFrame, heads: DataFrame,
+      vocab: DataFrame)
+
+  /** Train the add-one bigram model of [[lmScore]] as an [[LmModel]]
+    * artifact. Counting COUNT-over-instances here equals
+    * SUM-over-per-doc-tf there, and logp is the identical expression,
+    * so scoring a corpus against its own trained model reproduces
+    * lmScore's nll bit-for-bit (spec-pinned). */
+  def lmTrain(docs: DataFrame): LmModel = {
+    val inst = docs.select(
+      explode(graft.functions.NGramInstances.column(
+        split(col("text"), " "), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val instC = graft.CacheScope.persistTracked(
+      inst.groupBy("w1", "bg").agg(count(lit(1)).as("c12")))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val heads0 = instC.groupBy("w1").agg(sum("c12").as("c1"))
+    val bigrams = instC.join(heads0, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+      .select("bg", "logp")
+    val heads = heads0.crossJoin(broadcast(vocab))
+      .withColumn("logp1", log(lit(1.0) / (col("c1") + col("v"))))
+      .select("w1", "logp1")
+    LmModel(bigrams, heads, vocab)
+  }
+
+  /** Score any (doc_id, text) frame against a FROZEN [[LmModel]]:
+    * per-doc (doc_id, n_bigrams, nll) with full add-one backoff for
+    * bigrams/heads the model never saw. The model join keys on the
+    * bigram (shuffle hash join at model scale; for a micro-batch
+    * against a persisted model the batch side is the small one); the
+    * head-backoff join and the 1-row vocab are broadcast-friendly.
+    * Deterministic bigram-sorted fold, the lmScore discipline. Docs
+    * with fewer than two tokens have no bigrams and are absent from
+    * the output — same contract as lmScore. */
+  def scoreWithLm(docs: DataFrame, lm: LmModel): DataFrame = {
+    val tfb = docs.select(col("doc_id"),
+        explode(graft.functions.NGramInstances.column(
+          split(col("text"), " "), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tfb"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    tfb.join(lm.bigrams, Seq("bg"), "left")
+      .join(lm.heads, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .withColumn("lp",
+        coalesce(col("logp"), col("logp1"), log(lit(1.0) / col("v"))))
+      .groupBy("doc_id")
+      .agg(sum("tfb").as("n_bigrams"),
+        seqSum(col("bg"), col("tfb") * col("lp")).as("ll"))
+      .withColumn("nll", -col("ll") / col("n_bigrams").cast("double"))
+      .select("doc_id", "n_bigrams", "nll")
+  }
+
   /** #60 DSIR importance resampling (Xie et al. 2023: select raw
     * documents whose hashed n-gram feature distribution looks like a
     * target domain). Features are unigrams hashed into 256 buckets by

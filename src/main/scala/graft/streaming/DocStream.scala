@@ -31,6 +31,15 @@ case class BandDocTs(band_idx: Int, band_hash: Int, doc_id: Long,
   * should bump the checkpoint path on any state case-class change. */
 case class BucketState(docs: List[(Long, Seq[Int])], maxTs: Long = 0L)
 
+/** Per-source admission verdict: `seq` is the 1-based arrival rank
+  * within the source; admitted iff seq <= cap. */
+case class DomainAdmit(doc_id: Long, source: String, admitted: Boolean,
+    seq: Long)
+
+/** Running per-domain admission counter — one row of state per SOURCE
+  * (bounded by domain cardinality, never by document count). */
+case class DomainCount(n: Long)
+
 /** Streaming near-duplicate suppression for a document stream — the
   * incremental twin of `TextDedup.minhashLshPairs` (SURVEY §2c #38): a
   * training-data ingest pipeline must drop near-dups ON ARRIVAL, not in
@@ -287,6 +296,63 @@ object DocStream {
     }
     q
   }
+
+  /** Streaming per-domain admission cap (the incremental twin of
+    * `doc_domain_cap`, SURVEY §2c #61): at most `cap` documents per
+    * source are ADMITTED over the stream's lifetime; later arrivals
+    * from a saturated domain are rejected on arrival. This is what a
+    * live ingest gate actually enforces — arrival-order admission —
+    * where the batch query, which can see the whole corpus, prefers
+    * the longest docs. The parity contract is therefore against the
+    * batch ARRIVAL-ORDER rank (row_number over (source, doc_id) ≤ cap
+    * when docs arrive in id order), pinned by DomainCapStreamSpec.
+    *
+    * Shape: ONE stateful op keyed on source, state = a single running
+    * counter per domain (bounded by #domains, not #docs — state_rows
+    * in a STREAMBENCH probe stay flat); within a micro-batch the
+    * group's rows are doc_id-sorted so checkpoint replays make
+    * identical admit/reject decisions where raw iterator order is not
+    * observable. `seq` is the 1-based arrival rank within the source —
+    * admitted iff seq ≤ cap. */
+  def domainCapVerdicts(docs: DataFrame, cap: Int): Dataset[DomainAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DomainCount, DomainAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, batch: Iterator[(Long, String)],
+            state: GroupState[DomainCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = batch.map(_._1).toSeq.sorted.map { id =>
+            n += 1
+            DomainAdmit(id, source, n <= cap, n)
+          }
+          state.update(DomainCount(n))
+          out.iterator
+      }
+  }
+
+  /** Streaming LM quality scoring (the incremental twin of
+    * `doc_lm_score`'s scoring stage): every micro-batch is scored
+    * against a FROZEN [[graft.queries.Scoring.LmModel]] — the
+    * train-once / score-forever production contract, same pattern as
+    * [[decontaminateSink]]'s persisted bench index. Docs are scored
+    * independently of each other (the model is fixed), so the union
+    * of per-batch outputs IS the batch `scoreWithLm` over the full
+    * stream — parity by construction, pinned by DomainCapStreamSpec.
+    * Idempotent under micro-batch replay: each batch overwrites its
+    * own batch_id=N subtree. */
+  def lmScoreSink(docs: DataFrame, lm: graft.queries.Scoring.LmModel,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.Scoring.scoreWithLm(batch, lm)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /** Doc-level keep/drop decisions from per-band verdicts: a doc is a
     * dup iff ANY band flagged it; dup_of = the smallest flagged
