@@ -195,6 +195,19 @@ object ScaleProbe {
       docs, n = 3, k = 16, bands = 4, tau = 0.5).toDF()
   }
 
+  private def domainCapStreamDf(spark: SparkSession): DataFrame = {
+    // streaming per-domain admission cap: 2000 synthetic domains, so
+    // state stays a flat 2000 counter rows however many docs flow —
+    // the state_rows field is the probe's point
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100000L)
+      .option("numPartitions", 32).load()
+    val docs = src.selectExpr(
+      "value AS doc_id",
+      "concat('src', value % 2000) AS source")
+    graft.streaming.DocStream.domainCapVerdicts(docs, cap = 50).toDF()
+  }
+
   private def syntheticEvts(spark: SparkSession): org.apache.spark.sql.Dataset[graft.streaming.Evt] = {
     // synthetic events with monotone per-type timestamps (1 type-second
     // per 500 rows → size, gap and tick flushes all fire)
@@ -252,7 +265,8 @@ object ScaleProbe {
       ("events_batch_flush", () => batchFlushStreamDf(spark), target / 5),
       ("events_batch_periodic", () => batchFlushPeriodicStreamDf(spark), target / 5),
       ("events_queue_latency", () => queueLatencyStreamDf(spark), target / 5),
-      ("docs_neardup", () => docStreamDf(spark), target / 10))
+      ("docs_neardup", () => docStreamDf(spark), target / 10),
+      ("docs_domain_cap", () => domainCapStreamDf(spark), target))
     val recs = probes.map { case (name, mk, tgt) =>
       val (done, secs, stats) = runStreamToTarget(spark, mk(), tgt, name)
       println(f"[probe] $name%-20s ${done / secs}%.0f rows/s ($done rows in $secs%.1f s) $stats")
@@ -333,6 +347,21 @@ object ScaleProbe {
         case Array("ivf", k, np) =>
           (graft.operators.Similarity.ivfAnn(vecs(spark, dir, withLabel = true),
             col("vec_id") < 5, k.toInt, nprobe = np.toInt).count(), Map.empty)
+        case Array("kmeans", k, iters) =>
+          // r15: Lloyd's production path at probe scale — fit seconds,
+          // objective, and cluster balance (an empty/degenerate split
+          // would show up as max_cluster ~ n)
+          val fit = CacheScope.persistTracked(graft.operators.Similarity
+            .kmeans(vecs(spark, dir, withLabel = false), k.toInt, iters.toInt))
+          val sizes = fit.groupBy("cluster").count()
+            .agg(count(lit(1)), min("count"), max("count")).collect()(0)
+          val inertia = fit.agg(sum("d2")).collect()(0).getDouble(0)
+          (fit.count(), Map[String, Any](
+            "k" -> k.toInt, "iters" -> iters.toInt,
+            "clusters" -> sizes.getLong(0),
+            "min_cluster" -> sizes.getLong(1),
+            "max_cluster" -> sizes.getLong(2),
+            "inertia" -> math.rint(inertia * 100) / 100))
         case Array("minhash", k, bands, tau, rest @ _*) =>
           val docs = Tables.documents(spark, dir)
           val pairs = CacheScope.persistTracked(

@@ -256,7 +256,7 @@ object Scoring {
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |    i -> w[i] || ' ' || w[i+1])) AS bg
         |  FROM ws),
-        |tfb AS (SELECT doc_id, bg, COUNT(*) AS tfb FROM big GROUP BY 1, 2),
+        |tfb AS MATERIALIZED (SELECT doc_id, bg, COUNT(*) AS tfb FROM big GROUP BY 1, 2),
         |c12 AS (SELECT bg, SUM(tfb) AS c12 FROM tfb GROUP BY 1),
         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(tfb) AS c1
         |  FROM tfb GROUP BY 1),
@@ -266,7 +266,7 @@ object Scoring {
         |  SELECT bg, ln((c12 + 1.0) / (c1 + v)) AS logp
         |  FROM c12 JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1
         |  CROSS JOIN voc),
-        |perdoc AS (
+        |perdoc AS MATERIALIZED (
         |  SELECT doc_id, CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
         |    -list_sum(list(tfb * logp ORDER BY bg)) / CAST(SUM(tfb) AS BIGINT) AS nll
         |  FROM tfb JOIN model USING (bg) GROUP BY 1),
@@ -279,7 +279,7 @@ object Scoring {
         |       ELSE 'tail' END AS bucket
         |FROM perdoc CROSS JOIN cuts""".stripMargin,
     "doc_dsir" ->
-      """WITH tok AS (
+      """WITH tok AS MATERIALIZED (
         |  SELECT doc_id, is_t, substr(md5(w), 1, 2) AS b, COUNT(*) AS tf
         |  FROM (SELECT doc_id, lang = 'en' AS is_t,
         |          unnest(string_split(text, ' ')) AS w FROM documents) t
