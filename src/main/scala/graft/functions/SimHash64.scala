@@ -108,6 +108,21 @@ object GraftFunctions {
       f(exprs)
     }
 
+  /** Builder for the (array<string> tokens, int n) n-gram kernels —
+    * same literal-argument guard rationale as repetition_stats. */
+  private def literalN(name: String)(
+      f: (Expression, Int) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2,
+        s"$name requires exactly 2 arguments: (array<string> tokens, int n)")
+      require(exprs(1).foldable, s"$name: n must be a literal integer")
+      val v = exprs(1).eval()
+      require(v != null && v.isInstanceOf[Number],
+        s"$name: n must be a non-null integer literal, " +
+          s"got ${if (v == null) "NULL" else v.getClass.getSimpleName}")
+      f(exprs(0), v.asInstanceOf[Number].intValue())
+    }
+
   /** (name, docs class, builder) for every SQL-callable graft function —
     * single source for both the session-level registry and the
     * extensions injection path. */
@@ -119,6 +134,10 @@ object GraftFunctions {
       arity("array_eq_count", 2)(e => ArrayEqCount(e(0), e(1)))),
     ("repetition_stats", classOf[RepetitionStats],
       repetitionStatsFromSql _),
+    ("shingle_ngrams", classOf[ShingleNGrams],
+      literalN("shingle_ngrams")((e, n) => ShingleNGrams(e, n))),
+    ("ngram_instances", classOf[NGramInstances],
+      literalN("ngram_instances")((e, n) => NGramInstances(e, n))),
     ("sq8_roundtrip", classOf[Sq8Roundtrip],
       arity("sq8_roundtrip", 1)(e => Sq8Roundtrip(e.head))),
     ("sq8_stats", classOf[Sq8Stats],

@@ -52,5 +52,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(badRt == 0, s"$badRt SQL sq8 decodes diverge from the roundtrip")
     val arityErr = intercept[Exception](spark.sql("SELECT sq8_codes(1, 2)"))
     assert(arityErr.getMessage.contains("sq8_codes requires exactly 1"))
+
+    // the n-gram kernels from SQL: instances preserve multiplicity and
+    // order, shingles are their distinct set; n must be a literal
+    val grams = spark.sql(
+      """SELECT ngram_instances(split('a b a b', ' '), 2) AS inst,
+        |       shingle_ngrams(split('a b a b', ' '), 2) AS sh""".stripMargin)
+      .head()
+    assert(grams.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(grams.getSeq[String](1) == Seq("a b", "b a"))
+    val litErr = intercept[Exception](
+      spark.sql("SELECT ngram_instances(split('a b', ' '), doc_id) FROM docs"))
+    assert(litErr.getMessage.contains("literal"), litErr.getMessage)
   }
 }
