@@ -565,6 +565,52 @@ object ScaleProbe {
             "build_secs" -> math.rint(buildSecs * 1000) / 1000,
             "n_cells" -> nCells, "k" -> kk, "n_queries" -> nQ,
             "curve" -> curve))
+        case Array("pq", m, kc, topk) =>
+          // r15: the PQ compressed-index path at probe scale — fit the
+          // per-subspace codebooks, persist/reload the stamped
+          // artifact, ADC-search, recall vs the shared exact-top-k
+          // baseline, and the code-bytes compression vs a float32 dump
+          val kk = topk.toInt
+          val nQ = 50
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("pqprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.savePqIndex(graft.operators.Similarity.pqFit(
+              v, dim = 64, m = m.toInt, kc = kc.toInt, iters = 3), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadPqIndex(spark, idxDir.toString)
+            v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+              .write.mode("overwrite").parquet(s"$idxDir/raw32")
+            def dirBytes(p: String): Long = {
+              val base = java.nio.file.Paths.get(p)
+              val s = java.nio.file.Files.walk(base)
+              try s.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              finally s.close()
+            }
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val t1 = System.nanoTime()
+            val got = graft.operators.Similarity.pqSearch(idx, qside, kk)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val searchSecs = (System.nanoTime() - t1) / 1e9
+            val recall = got.count(exact.contains).toDouble / exact.size
+            val cb = dirBytes(s"$idxDir/codes")
+            val rb = dirBytes(s"$idxDir/raw32")
+            println(f"[probe] pq m=$m%s kc=$kc%s recall=$recall%.4f " +
+              f"search=$searchSecs%.2f s codes=${cb / 1024}%d KiB raw32=${rb / 1024}%d KiB")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "search_secs" -> math.rint(searchSecs * 1000) / 1000,
+              "recall" -> math.rint(recall * 10000) / 10000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "topk" -> kk, "n_queries" -> nQ,
+              "codes_bytes" -> cb, "raw32_bytes" -> rb,
+              "bytes_ratio" -> math.rint(rb.toDouble / cb * 100) / 100))
+          } finally deleteRecursively(idxDir)
         case Array("sq8", k) =>
           // r15: the SQ8 compressed-index path at probe scale — build
           // the int8-code artifact, persist, reload, ADC-search with

@@ -145,7 +145,9 @@ object GraftFunctions {
     ("sq8_codes", classOf[Sq8Codes],
       arity("sq8_codes", 1)(e => Sq8Codes(e.head))),
     ("sq8_decode", classOf[Sq8Decode],
-      arity("sq8_decode", 3)(e => Sq8Decode(e(0), e(1), e(2)))))
+      arity("sq8_decode", 3)(e => Sq8Decode(e(0), e(1), e(2)))),
+    ("nearest_code", classOf[NearestCode],
+      arity("nearest_code", 3)(e => NearestCode(e(0), e(1), e(2)))))
 
   /** Register graft functions on a session (SQL-callable). */
   def register(spark: SparkSession): Unit =

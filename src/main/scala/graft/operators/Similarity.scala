@@ -155,18 +155,7 @@ object Similarity {
       val centArr = broadcast(cent.agg(
         collect_list(struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
       assigned = vv.crossJoin(centArr)
-        .withColumn("best", aggregate(col("cs"),
-          struct(lit(Int.MaxValue).as("cluster"),
-            lit(Double.MaxValue).as("d2")),
-          (acc, c) => {
-            val d2 = col("see") -
-              lit(2.0) * dot(col("e"), c.getField("ce")) + c.getField("scc")
-            when(d2 < acc.getField("d2") ||
-                (d2 === acc.getField("d2") &&
-                  c.getField("cluster") < acc.getField("cluster")),
-              struct(c.getField("cluster").as("cluster"), d2.as("d2")))
-              .otherwise(acc)
-          }))
+        .withColumn("best", nearestFold(col("cs"), col("e"), col("see")))
         .select(col("vec_id"), col("best.cluster").as("cluster"),
           col("best.d2").as("d2"), col("e"))
       if (it < iters)
@@ -180,6 +169,171 @@ object Similarity {
           .withColumn("scc", dot(col("ce"), col("ce")))
     }
     assigned.select("vec_id", "cluster", "d2")
+  }
+
+  /** A product-quantization index (Jégou et al. 2011): `codebooks` =
+    * (s, code, ce, scc) — kc k-means centroids per subspace s —,
+    * `codes` = (vec_id, codes array<int>, dnorm) with dnorm the
+    * decoded-vector norm precomputed at build (query-independent, the
+    * sq8Index dnorm pattern), and `meta` = one row (m, dim, kc, iters)
+    * so a persisted index carries its own parameters (the pair-graph
+    * stamping rule: readers fail fast on mismatch instead of silently
+    * searching with the wrong slicing). All three are plain DataFrames
+    * — write to parquet, read back, search. */
+  final case class PqIndex(m: Int, dim: Int, kc: Int, codebooks: DataFrame,
+      codes: DataFrame, meta: DataFrame)
+
+  /** Map-side argmin over a centroid-struct array (fields cluster, ce,
+    * scc): the lexicographic min over (d2, cluster), order-independent
+    * in the scan, so a collect_list's nondeterministic order cannot
+    * change the winner. Shared by [[kmeans]] and [[pqFit]]. Delegates
+    * to the native [[graft.functions.NearestCode]] kernel — one tight
+    * primitive loop per row instead of an interpreted aggregate() fold
+    * frame per centroid (~50× on the pqFit assignment step), with
+    * bit-identical arithmetic (see the kernel scaladoc). */
+  private def nearestFold(cs: Column, e: Column, see: Column): Column =
+    graft.functions.NearestCode.column(cs, e, see)
+
+  /** Product quantization — the vector-compression tier beyond SQ8:
+    * split each `dim`-wide vector into `m` contiguous subvectors and
+    * k-means-quantize each subspace to `kc` codes (deterministic
+    * seeds: the kc lowest vec_ids, the [[kmeans]] convention), so a
+    * vector stores as m small ints — dim·4 bytes of float32 become
+    * m bytes at kc ≤ 256, a 4·dim/m× compression where SQ8 is fixed
+    * 4×.
+    *
+    * Scale shape: ALL m subspaces train in ONE plan — the working set
+    * is (vec_id, s, es, see), assignment is the map-side
+    * [[nearestFold]] against per-subspace centroid arrays (a ≤m-row
+    * broadcast join on s; the corpus never shuffles for assignment),
+    * updates are the mergeable avg over (s, code, pos). kc ≥ #distinct
+    * subvectors degenerates to exact reconstruction, which PqSpec pins
+    * to brute-force-identical search — the provably-exact endpoint,
+    * the nprobe=#cells precedent. */
+  def pqFit(v: DataFrame, dim: Int, m: Int, kc: Int, iters: Int): PqIndex = {
+    require(m >= 1 && dim % m == 0, s"pqFit: m=$m must divide dim=$dim")
+    require(kc >= 1 && iters >= 1, s"pqFit: kc=$kc iters=$iters must be >= 1")
+    val sub = dim / m
+    val work = graft.CacheScope.persistTracked(
+      v.select(col("vec_id"), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("e"), s * sub + 1, sub).as("es"))): _*)).as("w"))
+        .select(col("vec_id"), col("w.s").as("s"), col("w.es").as("es"))
+        .withColumn("see", dot(col("es"), col("es"))))
+    var cb = work.filter(col("vec_id") < kc)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("es").as("ce"))
+      .withColumn("scc", dot(col("ce"), col("ce")))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val cbArr = broadcast(cb.groupBy("s").agg(collect_list(
+        struct(col("code").as("cluster"), col("ce"), col("scc"))).as("cs")))
+      assigned = work.join(cbArr, "s")
+        .withColumn("best", nearestFold(col("cs"), col("es"), col("see")))
+        .select(col("vec_id"), col("s"), col("es"),
+          col("see"), col("best.cluster").as("code"))
+      if (it < iters)
+        cb = assigned
+          .select(col("s"), col("code"), posexplode(col("es")).as(Seq("pos", "x")))
+          .groupBy("s", "code", "pos").agg(avg("x").as("cx"))
+          .groupBy("s", "code")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cx")))),
+            t => t.getField("cx")).as("ce"))
+          .withColumn("scc", dot(col("ce"), col("ce")))
+    }
+    // decoded norm per vector = sqrt(Σ_s scc of its chosen code) —
+    // query-independent, computed once at build
+    val codes = assigned
+      .join(broadcast(cb.select(col("s"), col("code"), col("scc"))),
+        Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          t => t.getField("code")).as("codes"),
+        sqrt(aggregate(
+          transform(array_sort(collect_list(struct(col("s"), col("scc")))),
+            t => t.getField("scc")),
+          lit(0.0), (acc, x) => acc + x)).as("dnorm"))
+    import v.sparkSession.implicits._
+    val meta = Seq((m, dim, kc, iters)).toDF("m", "dim", "kc", "iters")
+    PqIndex(m, dim, kc, cb, codes, meta)
+  }
+
+  /** ADC top-k cosine search against a prebuilt [[pqFit]] index — the
+    * map-side formulation: per query, ONE dense m·kc-slot lookup array
+    * (dot of each query subvector with each centroid, slot s·kc+code,
+    * holes from empty clusters zero-filled — an assigned code always
+    * exists in the codebook, so a hole is never read) is built on the
+    * broadcast-tiny side; each corpus vector is then scored IN PLACE
+    * by m O(1) array lookups folded in subspace order (deterministic
+    * sum — bit-identical to the tdot sort-fold it replaces), never
+    * touching the original floats and never exploding the corpus: the
+    * scored set is n·nQ rows, not the n·m·nQ join rows of the
+    * relational formulation, and the only corpus shuffle is the top-k
+    * rank window. qcos = Σ_s dot(q_s, c_codes[s]) / (dnorm · qnorm).
+    * `queries` carries (query_id, qe: array<double>, qnorm). */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = index.m
+    val kc = index.kc
+    val sub = index.dim / m
+    val qsub = queries.select(col("query_id"), col("qnorm"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("qe"), s * sub + 1, sub).as("qs"))): _*)).as("w"))
+      .select(col("query_id"), col("qnorm"),
+        col("w.s").as("s"), col("w.qs").as("qs"))
+    val tdots = qsub.join(index.codebooks, "s")
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("qs"), col("ce")).as("tdot"))
+    // dense (query_id, s, code) grid so element_at is O(1) positional —
+    // left join fills empty-cluster holes with 0.0 (never looked up)
+    val grid = queries.sparkSession.range(m.toLong * kc).select(
+      (col("id") / kc).cast("int").as("s"),
+      (col("id") % kc).cast("int").as("code"))
+    val table = broadcast(
+      queries.select("query_id", "qnorm").crossJoin(grid)
+        .join(tdots, Seq("query_id", "s", "code"), "left")
+        .na.fill(0.0, Seq("tdot"))
+        .groupBy("query_id")
+        .agg(first(col("qnorm")).as("qnorm"),
+          transform(
+            array_sort(collect_list(struct(
+              (col("s") * kc + col("code")).as("slot"), col("tdot")))),
+            t => t.getField("tdot")).as("tarr")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    index.codes.crossJoin(table)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("tarr"), s * kc + c + lit(1))),
+          lit(0.0), (acc, x) => acc + x) /
+          (col("dnorm") * col("qnorm"))).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
+  /** Persist / reload a [[PqIndex]] (parquet artifact). Load validates
+    * the stamped meta row and re-derives m/dim from it — a caller can
+    * not accidentally search a reloaded index with the wrong slicing. */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.meta.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    val row = meta.select("m", "dim", "kc", "iters").collect()
+    require(row.length == 1, s"loadPqIndex: malformed meta at $dir/meta")
+    PqIndex(row(0).getInt(0), row(0).getInt(1), row(0).getInt(2),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"), meta)
   }
 
   /** Within-cluster SemDeDup pruning core (Abbas et al. 2023 — the

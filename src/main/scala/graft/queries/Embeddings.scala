@@ -338,6 +338,35 @@ object Embeddings {
     kmeansSeqFold(vecs(s, d).select(col("vec_id"), col("e")),
       k = 8, iters = 3)
 
+  /** #41f Product-quantization ANN (the real
+    * [[graft.operators.Similarity.pqFit]]/`pqSearch` path) verified at
+    * its provably-exact endpoint: corpus capped at vec_id < 500 with
+    * kc = 500 seed codes and iters = 1, so every subspace codebook
+    * contains every subvector, assignment reconstructs each vector
+    * bit-for-bit (d2 = see − 2·see + see = 0.0 exactly, ties between
+    * bit-identical subvectors are value-irrelevant), and ADC search ≡
+    * brute-force cosine — the nprobe=#cells / kc≥corpus precedent.
+    * Constant cost at every sf (the cap, not the corpus, is the input
+    * size), so no ScaleClasses tier is needed; lossy-regime recall and
+    * compression are measured by the `pq:m:kc:k` ScaleProbe and
+    * PqSpec, which this query's oracle cannot see.
+    *
+    * Cross-engine exactness: ADC sums SUBSPACE-PARTIAL dots (eight
+    * sequential 8-dim dots folded in subspace order), an association
+    * the oracle replays with list_slice + left-associative `+` — NOT
+    * the same bits as one sequential 64-dim dot. dnorm is the same
+    * partial association under sqrt; qnorm is the full sequential
+    * norm (the query side never quantizes in ADC). */
+  def embAnnPq(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).filter(col("vec_id") < 500)
+    val idx = graft.operators.Similarity.pqFit(
+      v.select(col("vec_id"), col("e")), dim = 64, m = 8, kc = 500, iters = 1)
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    graft.operators.Similarity.pqSearch(idx, q, 5)
+  }
+
   private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
       iters: Int): DataFrame = {
     val v = graft.CacheScope.persistTracked(
@@ -418,6 +447,7 @@ object Embeddings {
     "emb_kmeans" -> (embKmeans _),
     "emb_quantize" -> (embQuantize _),
     "emb_ann_sq" -> (embAnnSq _),
+    "emb_ann_pq" -> (embAnnPq _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -457,10 +487,46 @@ object Embeddings {
        |WHERE list_dot_product(a.e, b.e) / (a.norm * b.norm) >= $tau""".stripMargin
   }
 
+  /** ADC at the exact endpoint: Σ_s dot(q_s, c_s) with each 8-dim
+    * partial a sequential list_dot_product over a list_slice, partials
+    * summed left-associatively — the exact float association of
+    * [[graft.operators.Similarity.pqSearch]]'s zip_with fold (aggregate
+    * from 0.0 ⇒ 0.0+p0 = p0 bit-exactly). dn replays dnorm (sqrt of the
+    * same partial association); the query side keeps the full
+    * sequential norm, as ADC never quantizes queries. */
+  private def annPqOracle(dim: Int, m: Int, cap: Int, nQ: Int,
+      k: Int): String = {
+    val sub = dim / m
+    def partials(a: String, b: String): String =
+      (0 until m).map { s =>
+        s"list_dot_product(list_slice($a.e, ${s * sub + 1}, ${(s + 1) * sub}), " +
+          s"list_slice($b.e, ${s * sub + 1}, ${(s + 1) * sub}))"
+      }.mkString(" + ")
+    val selfP = (0 until m).map { s =>
+      s"list_dot_product(list_slice(e, ${s * sub + 1}, ${(s + 1) * sub}), " +
+        s"list_slice(e, ${s * sub + 1}, ${(s + 1) * sub}))"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id < $cap),
+       |n AS (SELECT vec_id, e, sqrt($selfP) AS dn,
+       |  sqrt(list_dot_product(e, e)) AS nrm FROM v)
+       |SELECT query_id, neighbor_id, rnk, qcos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (${partials("q", "c")}) / (c.dn * q.nrm) AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY (${partials("q", "c")}) / (c.dn * q.nrm) DESC,
+       |               c.vec_id ASC) AS rnk
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQ) t
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
   val oracles: Map[String, String] = Map(
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
+    "emb_ann_pq" -> annPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

@@ -336,6 +336,19 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("emb_ann_pq: map-side ADC — dense lookup table broadcast against the " +
+    "codes (never the reverse), scoring is the zip_with fold (no per-subspace " +
+    "explode of the corpus), rank pruned map-side before the window exchange") {
+    try {
+      val p = planOf("emb_ann_pq")
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+      assert(p.contains("zip_with"), p)
+      // WindowGroupLimit twice: partial (map-side, pre-exchange) + final —
+      // only ≤ k·nQ candidate rows cross the rank shuffle
+      assert(occurrences(p, "WindowGroupLimit") == 2, p)
+    } finally CacheScope.releaseAll()
+  }
+
   test("no query plans a CartesianProduct (all-pairs baselines are bounded BNLJ crosses)") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = planOf(q)

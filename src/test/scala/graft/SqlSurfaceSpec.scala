@@ -64,5 +64,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val litErr = intercept[Exception](
       spark.sql("SELECT ngram_instances(split('a b', ' '), doc_id) FROM docs"))
     assert(litErr.getMessage.contains("literal"), litErr.getMessage)
+
+    // the k-means/PQ assignment kernel from SQL: argmin by
+    // see − 2·dot + scc, ties toward the lower cluster id
+    val nc = spark.sql(
+      """SELECT nearest_code(
+        |  array(named_struct('cluster', 1, 'ce', array(0.0d, 0.0d), 'scc', 0.0d),
+        |        named_struct('cluster', 0, 'ce', array(1.0d, 0.0d), 'scc', 1.0d),
+        |        named_struct('cluster', 2, 'ce', array(1.0d, 0.0d), 'scc', 1.0d)),
+        |  array(1.0d, 0.0d), 1.0d) AS best""".stripMargin).head()
+      .getStruct(0)
+    assert(nc.getInt(0) == 0 && nc.getDouble(1) == 0.0, nc.toString)
+    val ncErr = intercept[Exception](spark.sql("SELECT nearest_code(1)"))
+    assert(ncErr.getMessage.contains("nearest_code requires exactly 3"))
   }
 }
