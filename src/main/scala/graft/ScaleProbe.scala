@@ -565,6 +565,60 @@ object ScaleProbe {
             "build_secs" -> math.rint(buildSecs * 1000) / 1000,
             "n_cells" -> nCells, "k" -> kk, "n_queries" -> nQ,
             "curve" -> curve))
+        case Array("ivfpq", m, kc, kCoarse, topk) =>
+          // r15: IVFADC at probe scale — coarse cells + PQ on
+          // residuals, persisted/reloaded artifact, nprobe recall
+          // sweep (the ivfcurve pattern) + code-bytes compression
+          val kk = topk.toInt
+          val nQ = 50
+          val nC = kCoarse.toInt
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("ivfpqprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = m.toInt, kc = kc.toInt, kCoarse = nC,
+                iters = 3), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
+              .write.mode("overwrite").parquet(s"$idxDir/raw32")
+            def dirBytes(p: String): Long = {
+              val base = java.nio.file.Paths.get(p)
+              val s = java.nio.file.Files.walk(base)
+              try s.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              finally s.close()
+            }
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val sweep = Seq(1, 2, 4, 8).filter(_ < nC) :+ nC
+            val curve = sweep.map { np =>
+              val t1 = System.nanoTime()
+              val got = graft.operators.Similarity
+                .ivfPqSearch(idx, qside, kk, np)
+                .select("query_id", "neighbor_id")
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+              val s = (System.nanoTime() - t1) / 1e9
+              val recall = got.count(exact.contains).toDouble / exact.size
+              println(f"[probe] ivfpq nprobe=$np%-3d recall=$recall%.4f  $s%6.2f s")
+              Map[String, Any]("nprobe" -> np,
+                "recall" -> math.rint(recall * 10000) / 10000,
+                "secs" -> math.rint(s * 1000) / 1000)
+            }
+            val cb = dirBytes(s"$idxDir/codes")
+            val rb = dirBytes(s"$idxDir/raw32")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> nC,
+              "topk" -> kk, "n_queries" -> nQ, "curve" -> curve,
+              "codes_bytes" -> cb, "raw32_bytes" -> rb,
+              "bytes_ratio" -> math.rint(rb.toDouble / cb * 100) / 100))
+          } finally deleteRecursively(idxDir)
         case Array("pq", m, kc, topk) =>
           // r15: the PQ compressed-index path at probe scale — fit the
           // per-subspace codebooks, persist/reload the stamped

@@ -277,45 +277,61 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = index.m
     val kc = index.kc
-    val sub = index.dim / m
+    val table = broadcast(
+      adcTable(queries, index.codebooks, index.dim, m, kc))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    index.codes.crossJoin(table)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcFold(col("codes"), col("tarr"), m, kc) /
+          (col("dnorm") * col("qnorm"))).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
+  /** Per-query dense ADC lookup table over a (s, code, ce) codebook
+    * set: (query_id, qnorm, tarr) with tarr[s·kc+code] =
+    * dot(q_s, ce). Dense via a generated (s, code) grid so element_at
+    * is O(1) positional; holes from empty clusters zero-fill (an
+    * assigned code always exists in the codebook, so a hole is never
+    * read). Tiny side — nQ·m·kc rows pre-agg. Shared by [[pqSearch]]
+    * and [[ivfPqSearch]]. */
+  private def adcTable(queries: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, kc: Int): DataFrame = {
+    val sub = dim / m
     val qsub = queries.select(col("query_id"), col("qnorm"),
         explode(array((0 until m).map(s =>
           struct(lit(s).as("s"),
             slice(col("qe"), s * sub + 1, sub).as("qs"))): _*)).as("w"))
       .select(col("query_id"), col("qnorm"),
         col("w.s").as("s"), col("w.qs").as("qs"))
-    val tdots = qsub.join(index.codebooks, "s")
+    val tdots = qsub.join(codebooks, "s")
       .select(col("query_id"), col("s"), col("code"),
         dot(col("qs"), col("ce")).as("tdot"))
-    // dense (query_id, s, code) grid so element_at is O(1) positional —
-    // left join fills empty-cluster holes with 0.0 (never looked up)
     val grid = queries.sparkSession.range(m.toLong * kc).select(
       (col("id") / kc).cast("int").as("s"),
       (col("id") % kc).cast("int").as("code"))
-    val table = broadcast(
-      queries.select("query_id", "qnorm").crossJoin(grid)
-        .join(tdots, Seq("query_id", "s", "code"), "left")
-        .na.fill(0.0, Seq("tdot"))
-        .groupBy("query_id")
-        .agg(first(col("qnorm")).as("qnorm"),
-          transform(
-            array_sort(collect_list(struct(
-              (col("s") * kc + col("code")).as("slot"), col("tdot")))),
-            t => t.getField("tdot")).as("tarr")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    index.codes.crossJoin(table)
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s) => element_at(col("tarr"), s * kc + c + lit(1))),
-          lit(0.0), (acc, x) => acc + x) /
-          (col("dnorm") * col("qnorm"))).as("qcos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "qcos")
+    queries.select("query_id", "qnorm").crossJoin(grid)
+      .join(tdots, Seq("query_id", "s", "code"), "left")
+      .na.fill(0.0, Seq("tdot"))
+      .groupBy("query_id")
+      .agg(first(col("qnorm")).as("qnorm"),
+        transform(
+          array_sort(collect_list(struct(
+            (col("s") * kc + col("code")).as("slot"), col("tdot")))),
+          t => t.getField("tdot")).as("tarr"))
   }
+
+  /** Σ_s tarr[s·kc + codes[s]] folded in subspace order from 0.0 —
+    * m O(1) lookups per row, deterministic association. */
+  private def adcFold(codes: Column, tarr: Column, m: Int,
+      kc: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(tarr, s * kc + c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Persist / reload a [[PqIndex]] (parquet artifact). Load validates
     * the stamped meta row and re-derives m/dim from it — a caller can
@@ -332,6 +348,179 @@ object Similarity {
     val row = meta.select("m", "dim", "kc", "iters").collect()
     require(row.length == 1, s"loadPqIndex: malformed meta at $dir/meta")
     PqIndex(row(0).getInt(0), row(0).getInt(1), row(0).getInt(2),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"), meta)
+  }
+
+  /** An IVFADC index (Jégou et al. 2011 §IV — the canonical
+    * billion-scale ANN architecture): `coarse` = (cluster, ce, scc)
+    * k-means cell centroids, `codebooks` = PQ codebooks trained on the
+    * RESIDUALS e − cell(e), `codes` = (vec_id, cluster, codes, dnorm)
+    * with dnorm the full decoded-vector norm |cc + r̂| precomputed at
+    * build (query-independent — the cell/code cross terms
+    * dot(cc_s, ce) are build-time constants), `meta` = one stamped row
+    * (m, dim, kc, k_coarse, iters). Four plain DataFrames — write to
+    * parquet, read back, search. */
+  final case class IvfPqIndex(m: Int, dim: Int, kc: Int, kCoarse: Int,
+      coarse: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      meta: DataFrame)
+
+  /** IVFADC fit: coarse-quantize with [[kmeans]], PQ-quantize the
+    * residuals with [[pqFit]], and precompute everything a search
+    * needs that does not depend on the query.
+    *
+    * Why residuals: within a cell the residual variance is a fraction
+    * of the corpus variance, so the same m·kc code budget quantizes
+    * residuals with less error than raw vectors — the reason IVFADC
+    * outperforms flat PQ at equal compression.
+    *
+    * Scale shape: coarse centroids are a ≤kCoarse-row broadcast
+    * everywhere they appear (re-assignment against FINAL centroids is
+    * the map-side [[nearestFold]] — consistent with what search
+    * probes); residual subtraction is a per-row zip_with against the
+    * broadcast cell centroid; the cell/code cross-term table
+    * (kCoarse·m·kc rows) and the dnorm correction are build-time
+    * joins of small tables against the code set. The only corpus-keyed
+    * shuffles are the one-time build joins on vec_id (attaching
+    * cluster to codes) — search never shuffles the corpus. */
+  def ivfPqFit(v: DataFrame, dim: Int, m: Int, kc: Int, kCoarse: Int,
+      iters: Int): IvfPqIndex = {
+    require(kCoarse >= 1, s"ivfPqFit: kCoarse=$kCoarse must be >= 1")
+    val vv = graft.CacheScope.persistTracked(
+      v.select(col("vec_id"), col("e"))
+        .withColumn("see", dot(col("e"), col("e"))))
+    // converge centroids with the production kmeans, then take FINAL
+    // cell means (mergeable avg) — search probes these exact
+    // centroids, so the re-assignment inside ivfPqFitWithCoarse does too
+    val asg = kmeans(vv, kCoarse, iters)
+    val coarse = asg.join(vv, "vec_id")
+      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg("x").as("cx"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .withColumn("scc", dot(col("ce"), col("ce")))
+    ivfPqFitWithCoarse(vv, coarse, dim, m, kc, kCoarse, iters)
+  }
+
+  /** [[ivfPqFit]] with a caller-supplied coarse table (cluster, ce,
+    * scc) — the oracle-twin hook: `emb_ann_ivfpq` injects a
+    * vec_id-ordered seqfold mean (replayable in SQL where the
+    * mergeable avg is not) and everything downstream of the coarse
+    * step runs the SAME production path the kmeans-seeded fit uses. */
+  def ivfPqFitWithCoarse(v: DataFrame, coarse: DataFrame, dim: Int,
+      m: Int, kc: Int, kCoarse: Int, iters: Int): IvfPqIndex = {
+    val vv = v.select(col("vec_id"), col("e"))
+      .withColumn("see", dot(col("e"), col("e")))
+    val coarseArr = broadcast(coarse.agg(collect_list(
+      struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
+    val assigned = vv.crossJoin(coarseArr)
+      .withColumn("cluster",
+        nearestFold(col("cs"), col("e"), col("see")).getField("cluster"))
+      .join(broadcast(coarse.select(col("cluster"), col("ce").as("cc"))),
+        "cluster")
+      .withColumn("r", zip_with(col("e"), col("cc"), (a, b) => a - b))
+    val pq = pqFit(assigned.select(col("vec_id"), col("r").as("e")),
+      dim, m, kc, iters)
+    // cross terms dot(cc_s, ce) per (cluster, s, code): with them the
+    // decoded norm |cc + r̂| is a build-time fold —
+    // dnorm² = (scc + 2·Σ_s xterm) + Σ_s scc_code, associated exactly
+    // as written (the oracle twin replays this order)
+    val sub = dim / m
+    val ccSub = coarse.select(col("cluster"), col("scc"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("ce"), s * sub + 1, sub).as("ccs"))): _*)).as("w"))
+      .select(col("cluster"), col("scc"),
+        col("w.s").as("s"), col("w.ccs").as("ccs"))
+    val xterm = ccSub.join(pq.codebooks.select(col("s"), col("code"),
+        col("ce"), col("scc").as("rcc")), "s")
+      .select(col("cluster"), col("s"), col("code"),
+        dot(col("ccs"), col("ce")).as("xt"), col("rcc"))
+    val codes = pq.codes.drop("dnorm")
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"),
+        col("codes"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(xterm), Seq("cluster", "s", "code"))
+      .join(broadcast(coarse.select(col("cluster"), col("scc"))), "cluster")
+      .groupBy("vec_id")
+      .agg(first(col("cluster")).as("cluster"),
+        first(col("codes")).as("codes"),
+        sqrt((first(col("scc")) + lit(2.0) * aggregate(
+          transform(array_sort(collect_list(struct(col("s"), col("xt")))),
+            t => t.getField("xt")),
+          lit(0.0), (acc, x) => acc + x)) + aggregate(
+          transform(array_sort(collect_list(struct(col("s"), col("rcc")))),
+            t => t.getField("rcc")),
+          lit(0.0), (acc, x) => acc + x)).as("dnorm"))
+    import v.sparkSession.implicits._
+    val meta = Seq((m, dim, kc, kCoarse, iters))
+      .toDF("m", "dim", "kc", "k_coarse", "iters")
+    IvfPqIndex(m, dim, kc, kCoarse, coarse, pq.codebooks, codes, meta)
+  }
+
+  /** IVFADC top-k cosine search: each query ranks the coarse cells by
+    * cosine (tie toward the lower cluster id — the [[ivfSearch]]
+    * convention), probes its `nprobe` nearest, and scores ONLY the
+    * vectors of those cells: the (query_id, cluster, qdotcc) probe
+    * rows carry the per-query dense residual ADC table and broadcast
+    * into a hash join on cluster, so the corpus never shuffles and
+    * never decodes —
+    * qcos = (dot(q, cc) + Σ_s tarr[s·kc+codes[s]]) / (dnorm·qnorm).
+    * nprobe = kCoarse scores every vector (the recall-1.0 endpoint of
+    * the cell selection; reconstruction error is then the only
+    * approximation — and with kc ≥ corpus that is exact residual
+    * reconstruction, the IvfPqSpec differential pin). */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"ivfPqSearch: nprobe must be >= 1, got $nprobe")
+    val m = index.m
+    val kc = index.kc
+    val cw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cluster").asc)
+    val probes = queries
+      .crossJoin(broadcast(index.coarse))
+      .withColumn("qdotcc", dot(col("qe"), col("ce")))
+      .withColumn("csim",
+        col("qdotcc") / (col("qnorm") * sqrt(col("scc"))))
+      .withColumn("crnk", row_number().over(cw))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("cluster"), col("qdotcc"))
+    val table = broadcast(probes
+      .join(adcTable(queries, index.codebooks, index.dim, m, kc),
+        "query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    index.codes.join(table, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cluster"),
+        ((col("qdotcc") + adcFold(col("codes"), col("tarr"), m, kc)) /
+          (col("dnorm") * col("qnorm"))).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos", "cluster")
+  }
+
+  /** Persist / reload an [[IvfPqIndex]] (parquet artifact, stamped
+    * meta — the [[loadPqIndex]] fail-fast convention). */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    index.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.meta.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    val row = meta.select("m", "dim", "kc", "k_coarse", "iters").collect()
+    require(row.length == 1, s"loadIvfPqIndex: malformed meta at $dir/meta")
+    IvfPqIndex(row(0).getInt(0), row(0).getInt(1), row(0).getInt(2),
+      row(0).getInt(3),
+      spark.read.parquet(s"$dir/coarse"),
       spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"), meta)
   }

@@ -367,6 +367,41 @@ object Embeddings {
     graft.operators.Similarity.pqSearch(idx, q, 5)
   }
 
+  /** #41g IVFADC (IVF coarse cells + PQ on residuals — the canonical
+    * billion-scale ANN architecture) at its provably-exact endpoint:
+    * ONE coarse cell whose centroid is the vec_id-ordered seqfold mean
+    * (replayable in SQL where the production mergeable avg is not —
+    * the `ivfPqFitWithCoarse` hook; everything downstream of the
+    * coarse step IS the production fit/search path), kc = 500 ≥ corpus
+    * and iters = 1 so the PQ stage reconstructs every RESIDUAL
+    * bit-for-bit. The decoded vector is cc + (e − cc) — NOT bit-equal
+    * to e (IEEE a + (b − a) ≠ b) — so the oracle replays the
+    * decomposition itself: qcos =
+    * (dot(q,cc) + Σ_s dot(q_s, r_s)) / (|cc+r̂|·|q|) with every fold
+    * association preserved (subspace partials left-associated, dnorm²
+    * = (scc + 2·ΣX) + ΣR as built). Constant cost at every sf. */
+  def embAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).filter(col("vec_id") < 500)
+    val seqMean = aggregate(
+      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / count(lit(1))
+    val cc = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(seqMean.as("cx"))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .select(lit(0).as("cluster"), col("ce"),
+        dot(col("ce"), col("ce")).as("scc"))
+    val idx = graft.operators.Similarity.ivfPqFitWithCoarse(
+      v.select(col("vec_id"), col("e")), cc,
+      dim = 64, m = 8, kc = 500, kCoarse = 1, iters = 1)
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    graft.operators.Similarity.ivfPqSearch(idx, q, 5, nprobe = 1)
+  }
+
   private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
       iters: Int): DataFrame = {
     val v = graft.CacheScope.persistTracked(
@@ -448,6 +483,7 @@ object Embeddings {
     "emb_quantize" -> (embQuantize _),
     "emb_ann_sq" -> (embAnnSq _),
     "emb_ann_pq" -> (embAnnPq _),
+    "emb_ann_ivfpq" -> (embAnnIvfPq _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -522,11 +558,63 @@ object Embeddings {
        |WHERE rnk <= $k""".stripMargin
   }
 
+  /** IVFADC at the exact endpoint with one seqfold-mean cell: replay
+    * cc (per-pos vec_id-ordered sequential mean), the residual
+    * r = e − cc element-wise, the build-time norm
+    * dn = sqrt((scc + 2·(x0+…)) + (r0+…)) and the numerator
+    * qd + (t0+…+t7) with the parenthesization [[embAnnIvfPq]]'s plan
+    * evaluates — each partial a sequential list_dot_product over a
+    * list_slice. */
+  private def annIvfPqOracle(dim: Int, m: Int, cap: Int, nQ: Int,
+      k: Int): String = {
+    val sub = dim / m
+    def partials(f: Int => String): String =
+      (0 until m).map(f).mkString(" + ")
+    def sl(a: String, s: Int): String =
+      s"list_slice($a, ${s * sub + 1}, ${(s + 1) * sub})"
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id < $cap),
+       |ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+       |  e[CAST(i AS INTEGER)] AS x FROM v, range(1, ${dim + 1}) t(i)),
+       |ccp AS (SELECT pos, list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS cx
+       |  FROM ex GROUP BY 1),
+       |cc AS (SELECT list(cx ORDER BY pos) AS ce,
+       |  list_dot_product(list(cx ORDER BY pos),
+       |                   list(cx ORDER BY pos)) AS scc FROM ccp),
+       |r AS (SELECT ex.vec_id, list(ex.x - ccp.cx ORDER BY ex.pos) AS re
+       |  FROM ex JOIN ccp USING (pos) GROUP BY ex.vec_id),
+       |n AS (SELECT r.vec_id, r.re,
+       |  sqrt((cc.scc + 2.0 * (${partials(s =>
+            s"list_dot_product(${sl("cc.ce", s)}, ${sl("r.re", s)})")}))
+       |    + (${partials(s =>
+            s"list_dot_product(${sl("r.re", s)}, ${sl("r.re", s)})")})) AS dn
+       |  FROM r CROSS JOIN cc),
+       |q AS (SELECT v.vec_id, v.e,
+       |  sqrt(list_dot_product(v.e, v.e)) AS nrm,
+       |  list_dot_product(v.e, cc.ce) AS qd
+       |  FROM v CROSS JOIN cc WHERE v.vec_id < $nQ)
+       |SELECT query_id, neighbor_id, rnk, qcos, 0 AS cluster FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (q.qd + (${partials(s =>
+            s"list_dot_product(${sl("q.e", s)}, ${sl("c.re", s)})")}))
+       |      / (n.dn * q.nrm) AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY (q.qd + (${partials(s =>
+            s"list_dot_product(${sl("q.e", s)}, ${sl("c.re", s)})")}))
+       |        / (n.dn * q.nrm) DESC, c.vec_id ASC) AS rnk
+       |  FROM q JOIN r c ON c.vec_id <> q.vec_id
+       |    JOIN n ON n.vec_id = c.vec_id) t
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
   val oracles: Map[String, String] = Map(
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
     "emb_ann_pq" -> annPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
+    "emb_ann_ivfpq" ->
+      annIvfPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

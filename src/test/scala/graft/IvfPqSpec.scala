@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVFADC: every vector lands in exactly one cell with in-range codes
+  * and a finite decoded norm; probing all cells at the PQ-exact
+  * setting recovers the brute-force neighbor sets (cell selection
+  * exact + residual reconstruction exact); nprobe trades recall
+  * monotonically; the 4-DataFrame artifact survives a parquet round
+  * trip search-identically with stamped parameters. */
+class IvfPqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def vecs: DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private def queries(v: DataFrame, nQ: Int): DataFrame =
+    broadcast(v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .withColumn("qnorm",
+        sqrt(graft.functions.DotProduct.column(col("qe"), col("qe")))))
+
+  private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] = {
+    val dotc = graft.functions.DotProduct.column _
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    v.select(col("vec_id").as("neighbor_id"), col("e"),
+        sqrt(dotc(col("e"), col("e"))).as("norm"))
+      .crossJoin(queries(v, nQ))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def searchPairs(idx: Similarity.IvfPqIndex, v: DataFrame,
+      nQ: Int, k: Int, nprobe: Int): Set[(Long, Long)] =
+    Similarity.ivfPqSearch(idx, queries(v, nQ), k, nprobe)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("codes are well-formed: one cell per vector, m in-range codes, " +
+    "finite positive dnorm") {
+    try {
+      val idx = Similarity.ivfPqFit(vecs, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 2)
+      val codes = idx.codes.cache()
+      assert(codes.count() == 500)
+      assert(codes.select("vec_id").distinct().count() == 500)
+      val bad = codes.filter(size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16) ||
+        col("cluster") < 0 || col("cluster") >= 4 ||
+        col("dnorm").isNull || isnan(col("dnorm")) ||
+        col("dnorm") <= 0.0).count()
+      assert(bad == 0)
+      codes.unpersist()
+    } finally CacheScope.releaseAll()
+  }
+
+  test("PQ-exact setting + nprobe = kCoarse recovers the brute-force " +
+    "neighbor sets (cell selection exhaustive, residuals exact)") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+        kCoarse = 4, iters = 2)
+      assert(searchPairs(idx, v, nQ = 5, k = 5, nprobe = 4) ==
+        exactTopK(v, 5, 5))
+    } finally CacheScope.releaseAll()
+  }
+
+  test("nprobe is the recall knob: monotone up to the exhaustive endpoint") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+        kCoarse = 4, iters = 2)
+      val exact = exactTopK(v, 5, 5)
+      val r1 = searchPairs(idx, v, 5, 5, nprobe = 1)
+        .count(exact.contains).toDouble / exact.size
+      val r4 = searchPairs(idx, v, 5, 5, nprobe = 4)
+        .count(exact.contains).toDouble / exact.size
+      info(f"ivfpq recall@5 nprobe=1: $r1%.3f nprobe=4: $r4%.3f")
+      assert(r1 <= r4 && r4 == 1.0)
+      assert(r1 > 0.0, "single-cell probe found nothing")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("search against a persisted index never shuffles the codes: " +
+    "probe table broadcasts into a hash join on cluster, rank pruned " +
+    "map-side before the one window exchange") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
+      Similarity.saveIvfPqIndex(idx, dir)
+      CacheScope.releaseAll()
+      val re = Similarity.loadIvfPqIndex(spark, dir)
+      val p = Similarity.ivfPqSearch(re, queries(v, 5), 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      // corpus segment = everything above the scoring hash join (the
+      // broadcast probe side prints below it): exactly the rank
+      // window's partial+final WindowGroupLimit pair and its ONE
+      // exchange — the codes scan feeds the join in place
+      val joinAt = p.indexOf("BroadcastHashJoin")
+      assert(joinAt > 0, p)
+      val corpusSide = p.substring(0, joinAt)
+      assert("WindowGroupLimit".r.findAllIn(corpusSide).size == 2, p)
+      assert("Exchange hashpartitioning".r.findAllIn(corpusSide).size == 1,
+        p)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("parquet round trip: reloaded index is search-identical and " +
+    "carries its stamped parameters") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+      Similarity.saveIvfPqIndex(idx, dir)
+      val re = Similarity.loadIvfPqIndex(spark, dir)
+      assert(re.m == 8 && re.dim == 64 && re.kc == 16 && re.kCoarse == 4)
+      assert(searchPairs(re, v, 5, 5, nprobe = 2) ==
+        searchPairs(idx, v, 5, 5, nprobe = 2))
+    } finally CacheScope.releaseAll()
+  }
+}
