@@ -565,6 +565,74 @@ object ScaleProbe {
             "build_secs" -> math.rint(buildSecs * 1000) / 1000,
             "n_cells" -> nCells, "k" -> kk, "n_queries" -> nQ,
             "curve" -> curve))
+        case Array("annstream", n) =>
+          // r15: frozen-index streaming ANN — fit+persist an IVFADC
+          // index over the dir's vectors ONCE, then rate-source
+          // synthetic query vectors through EmbStream.annScoreSink and
+          // measure sustained queries/sec (per-batch search cost is
+          // broadcast-side only; the codes never reshuffle)
+          val target = n.toLong
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("annstream_idx")
+          val outDir = java.nio.file.Files.createTempDirectory("annstream_out")
+          val ckDir = java.nio.file.Files.createTempDirectory("annstream_ck")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = 8, kc = 64, kCoarse = 16, iters = 2),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            CacheScope.releaseAll()
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val qstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 2000L)
+              .option("numPartitions", 32).load()
+              .selectExpr(
+                "value AS query_id",
+                """transform(sequence(0, 63), j ->
+                  |  (cast(pmod(value * 131 + j * 17, 2001) as double)
+                  |   - 1000.0) / 1000.0) AS qe"""
+                  .stripMargin.replaceAll("\n", ""))
+              .selectExpr("query_id", "qe",
+                "sqrt(aggregate(transform(qe, x -> x * x), 0.0d, (a, x) -> a + x)) AS qnorm")
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.EmbStream.annScoreSink(qstream, idx,
+                k = 10, nprobe = 2, outDir.toString, ckDir.toString)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "annstream probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              println(f"[probe] annstream ${done / secs}%.0f queries/s " +
+                f"($done queries in $secs%.1f s) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "queries_per_s" -> math.rint(done / secs),
+                "corpus_rows" -> v.count(), "k" -> 10, "nprobe" -> 2,
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(outDir)
+            deleteRecursively(ckDir)
+          }
         case Array("ivfpq", m, kc, kCoarse, topk) =>
           // r15: IVFADC at probe scale — coarse cells + PQ on
           // residuals, persisted/reloaded artifact, nprobe recall

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming similarity search against a FROZEN ANN index — the
+  * embedding-side sibling of [[DocStream.lmScoreSink]]'s frozen-LM
+  * contract: build the index once over a reference corpus
+  * ([[Similarity.ivfPqFit]] → [[Similarity.saveIvfPqIndex]]), then
+  * every later query batch/stream searches it without refitting.
+  *
+  * Scale shape per micro-batch: the batch's query rows are the TINY
+  * side — cell ranking, qdotcc, and the dense residual ADC table all
+  * build on them and broadcast into the hash join against the
+  * (static, possibly memory-resident) codes — so arbitrarily small
+  * micro-batches never reshuffle the corpus, and search cost scales
+  * with batch size × probed cells, not with stream length. No
+  * cross-batch state: queries are independent given the frozen index,
+  * so the union of per-batch outputs IS the batch search over the
+  * whole stream — parity by construction, pinned by EmbStreamSpec. */
+object EmbStream {
+
+  /** Score every arriving query vector against the frozen `index`:
+    * per micro-batch, [[Similarity.ivfPqSearch]] with the given
+    * (k, nprobe), written idempotently (each batch overwrites its own
+    * batch_id=N subtree — replay-safe). `queries` is a streaming
+    * DataFrame with (query_id, qe: array<double>, qnorm). */
+  def annScoreSink(queries: DataFrame, index: Similarity.IvfPqIndex,
+      k: Int, nprobe: Int, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfPqSearch(index, batch, k, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.EmbStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frozen-index streaming ANN: the union of per-micro-batch searches
+  * equals the one-shot batch search over the same queries (parity by
+  * construction — no cross-batch state to diverge), and at the
+  * PQ-exact exhaustive setting both equal brute force. */
+class EmbStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  private def vecs: DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("stream/batch parity across micro-batches; exact at the " +
+    "exhaustive endpoint") {
+    implicit val sql = spark.sqlContext
+    val tmps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tmp(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmps += p; p
+    }
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+        kCoarse = 4, iters = 2)
+      // freeze through the artifact: stream scoring must work from a
+      // reloaded index, not the in-session plans
+      val idxDir = tmp("annstream_idx")
+      Similarity.saveIvfPqIndex(idx, idxDir.toString)
+      CacheScope.releaseAll()
+      val frozen = Similarity.loadIvfPqIndex(spark, idxDir.toString)
+
+      val qrows = v.filter(col("vec_id") < 6)
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("qnorm"))
+      val collected = qrows
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+
+      val outDir = tmp("annstream_out")
+      val ckDir = tmp("annstream_ck")
+      val in = MemoryStream[(Long, Seq[Double], Double)]
+      val q = EmbStream.annScoreSink(
+        in.toDF().toDF("query_id", "qe", "qnorm"),
+        frozen, k = 5, nprobe = 4, outDir.toString, ckDir.toString)
+      try {
+        val (b1, b2) = collected.splitAt(3)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.read.parquet(outDir.toString)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = Similarity.ivfPqSearch(frozen,
+          broadcast(qrows), k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed}")
+      assert(streamed.size == 30, s"expected 6 queries x 5 ranks: $streamed")
+    } finally {
+      CacheScope.releaseAll()
+      tmps.foreach { p =>
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
+  }
+}
