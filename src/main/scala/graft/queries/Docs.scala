@@ -457,6 +457,37 @@ object Docs {
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** #62 Deterministic training-order shuffle + sharding: the "global
+    * shuffle" every training run needs, expressed WITHOUT a total
+    * order — each doc gets a shard from one multiplicative hash and a
+    * within-shard position from a second, independent one (different
+    * multiplier, so shard assignment and intra-shard order do not
+    * correlate; ties broken by doc_id). Reproducible end to end: the
+    * permutation is pure integer arithmetic on doc_id (the docSample
+    * overflow-safe reduce-then-multiply form — no rand(), no
+    * partition-order dependence), so a re-run, a different cluster
+    * size, or the DuckDB oracle all produce the identical order.
+    *
+    * Scale shape (100 TB): ONE exchange on shard feeds the position
+    * window; each shard sorts only its own rows by an 8-byte key —
+    * never a global sort — and the shard count is the parallelism
+    * knob (8 here for the oracle; thousands in production). Only
+    * (doc_id, n_chars) cross the wire; text is never read. */
+  def docShardOrder(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8L
+    val h1 = ((col("doc_id") % lit(1597334677L)) * lit(2654435761L)) %
+      lit(4294967296L)
+    val h2 = ((col("doc_id") % lit(2147483629L)) * lit(2246822519L)) %
+      lit(4294967296L)
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("shard", h1 % lit(nShards))
+      .withColumn("ord", h2)
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos", "n_chars")
+  }
+
   /** #57 Sequence packing (concat-and-chunk): documents concatenated in
     * doc_id order PER SOURCE and split into 512-token training
     * sequences; per-sequence doc/token accounting. The running token
@@ -685,6 +716,7 @@ object Docs {
     "doc_pipeline_scale" -> (docPipelineScale _),
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_pack" -> (docPack _),
+    "doc_shard_order" -> (docShardOrder _),
     "doc_mixture" -> (docMixture _))
 
   /** The shared shingle CTE body: 3-word shingles via list_transform
@@ -1166,6 +1198,15 @@ object Docs {
         |FROM sh t JOIN sh b USING (shingle)
         |WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
+    "doc_shard_order" ->
+      """SELECT doc_id,
+        |  ((doc_id % 1597334677) * 2654435761) % 4294967296 % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ((doc_id % 1597334677) * 2654435761) % 4294967296 % 8
+        |    ORDER BY ((doc_id % 2147483629) * 2246822519) % 4294967296,
+        |             doc_id) AS INTEGER) AS pos,
+        |  n_chars
+        |FROM documents""".stripMargin,
     "doc_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text,' ')) AS n_tok,
