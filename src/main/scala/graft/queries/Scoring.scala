@@ -244,9 +244,88 @@ object Scoring {
           .as("kept_chars"))
   }
 
+  /** #63 Learned quality classifier (the fastText-filter pattern of
+    * CCNet/LLaMA data work: train a cheap linear model on weak labels,
+    * filter the corpus with it — here the teacher is the in-engine
+    * Gopher rule gate, so the whole train-then-filter loop runs inside
+    * the engine with zero external artifacts): a nearest-class-mean
+    * (Rocchio) linear model over 256 md5-bucketed unigram frequencies
+    * (the DSIR feature family), L1-normalized per doc — w = μ₊ − μ₋,
+    * threshold at the midpoint of the class-mean scores. Closed-form
+    * in two aggregation passes, genuinely discriminative on this
+    * corpus (spec-pinned above the majority-class baseline; a hinge
+    * subgradient refinement epoch was measured and bought nothing at
+    * this feature scale — git history has the experiment). Output:
+    * per-source teacher/prediction agreement accounting.
+    *
+    * Cross-engine exactness: class means are doc_id-ordered sequential
+    * folds over the bucket's rows (the other class's rows fold an
+    * explicit 0.0 — an exact no-op, since every x ≥ 0 keeps partials
+    * non-negative); scores and the threshold are bucket-ordered folds —
+    * the kmeans/LM fold discipline, no exp/log anywhere, so every
+    * prediction replays bit-for-bit in DuckDB.
+    *
+    * Scale shape (100 TB): ONE text scan builds the (doc, bucket, tf)
+    * index; the model is a ≤256-row broadcast everywhere it appears;
+    * the only corpus-keyed shuffles are the index partial-agg and the
+    * per-doc scoring rollup. The ordered folds exist for oracle
+    * replay — the production swap is plain sum() per bucket
+    * (order-free float addition costs last-ulp determinism only). */
+  def docQualityClassifier(s: SparkSession, d: String): DataFrame =
+    qualityClassifier(Tables.documents(s, d))
+
+  /** Library form of #63 over any (doc_id, source, text) frame. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val labels = graft.CacheScope.persistTracked(
+      graft.queries.Docs.gopherMetrics(docs)
+        .select(col("doc_id"),
+          when(col("keep"), 1.0).otherwise(-1.0).as("y")))
+    val feats = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", substring(md5(col("w")), 1, 2))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val ntok = feats.groupBy("doc_id").agg(sum("tf").as("n_tok"))
+    val fx = graft.CacheScope.persistTracked(
+      feats.join(ntok, "doc_id").join(labels, "doc_id")
+        .select(col("doc_id"), col("b"), col("y"),
+          (col("tf").cast("double") / col("n_tok").cast("double")).as("x")))
+    val stats = labels.agg(
+      sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("npos"),
+      sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("nneg"))
+    // class means per bucket: fold over EVERY doc of the class with
+    // absent-bucket zeros, divided by the class size
+    val w1 = fx.groupBy("b")
+      .agg(
+        seqSum(col("doc_id"),
+          when(col("y") > 0, col("x")).otherwise(0.0)).as("sp"),
+        seqSum(col("doc_id"),
+          when(col("y") < 0, col("x")).otherwise(0.0)).as("sm"))
+      .crossJoin(broadcast(stats))
+      .select(col("b"), (col("sp") / col("npos")).as("mup"),
+        (col("sm") / col("nneg")).as("mum"))
+      .withColumn("wv", col("mup") - col("mum"))
+    val bt = w1.agg((lit(-0.5) *
+      (seqSum(col("b"), col("wv") * col("mup")) +
+        seqSum(col("b"), col("wv") * col("mum")))).as("bv"))
+    val scores = fx.join(broadcast(w1.select("b", "wv")), "b")
+      .groupBy("doc_id")
+      .agg(first(col("y")).as("y"),
+        seqSum(col("b"), col("wv") * col("x")).as("dotwx"))
+      .crossJoin(broadcast(bt))
+      .withColumn("pred", (col("dotwx") + col("bv")) >= 0.0)
+    scores.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_teacher_keep"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_keep"),
+        sum(when((col("y") > 0) === col("pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_lm_score" -> (docLmScore _),
     "doc_dsir" -> (docDsir _),
+    "doc_quality_classifier" -> (docQualityClassifier _),
     "doc_domain_cap" -> (docDomainCap _))
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +379,74 @@ object Scoring {
         |SELECT doc_id, n_tokens, weight, weight / n_tokens AS wpt
         |FROM perdoc
         |ORDER BY wpt DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // the label CTE repeats the doc_gopher keep predicate verbatim
+    // (hash-green on its own row); every weight/score is the same
+    // ordered-fold replay discipline as doc_lm_score/emb_kmeans
+    "doc_quality_classifier" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (n_words >= 50 AND n_words <= 100000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |      AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+        |      AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+        |      AND stop_hits >= 2) AS keep
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(string_split(text, ' ')) AS n_words,
+        |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS mean_word_len,
+        |      CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS symbol_ratio,
+        |      CAST(len(list_filter(string_split(text, chr(10)),
+        |          l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+        |        / len(string_split(text, chr(10))) AS bullet_frac,
+        |      CAST(len(list_filter(string_split(text, chr(10)),
+        |          l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+        |        / len(string_split(text, chr(10))) AS ellipsis_frac,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |          w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS alpha_frac,
+        |      (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(text, '\bis\b') THEN 1 ELSE 0 END)
+        |        AS stop_hits
+        |    FROM documents) t),
+        |lab AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE -1.0 END AS y
+        |  FROM g),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f0 AS (SELECT doc_id, substr(md5(w), 1, 2) AS b, COUNT(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, SUM(tf) AS n_tok FROM f0 GROUP BY 1),
+        |fx AS MATERIALIZED (SELECT f0.doc_id, b, y,
+        |    CAST(tf AS DOUBLE) / CAST(n_tok AS DOUBLE) AS x
+        |  FROM f0 JOIN nt USING (doc_id) JOIN lab USING (doc_id)),
+        |np AS (SELECT SUM(CASE WHEN y > 0 THEN 1.0 ELSE 0.0 END) AS npos,
+        |  SUM(CASE WHEN y < 0 THEN 1.0 ELSE 0.0 END) AS nneg FROM lab),
+        |mu AS (SELECT b,
+        |    list_sum(list(CASE WHEN y > 0 THEN x ELSE 0.0 END
+        |      ORDER BY doc_id)) / npos AS mup,
+        |    list_sum(list(CASE WHEN y < 0 THEN x ELSE 0.0 END
+        |      ORDER BY doc_id)) / nneg AS mum
+        |  FROM fx CROSS JOIN np GROUP BY b, npos, nneg),
+        |w1 AS (SELECT b, mup - mum AS wv, mup, mum FROM mu),
+        |bt AS (SELECT -0.5 * (list_sum(list(wv * mup ORDER BY b))
+        |  + list_sum(list(wv * mum ORDER BY b))) AS bv FROM w1),
+        |sc AS (SELECT doc_id, any_value(y) AS y,
+        |    list_sum(list(wv * x ORDER BY b)) AS dotwx
+        |  FROM fx JOIN w1 USING (b) GROUP BY doc_id)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_teacher_keep,
+        |  CAST(SUM(CASE WHEN dotwx + bv >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pred_keep,
+        |  CAST(SUM(CASE WHEN (y > 0) = (dotwx + bv >= 0.0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree
+        |FROM sc CROSS JOIN bt JOIN documents USING (doc_id)
+        |GROUP BY source""".stripMargin,
     "doc_domain_cap" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

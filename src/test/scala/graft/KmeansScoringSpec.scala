@@ -126,4 +126,41 @@ class KmeansScoringSpec extends AnyFunSuite {
     assert(out("big") == ((5L, 3L, 2L, 120L)), out.toString)
     assert(out("small") == ((1L, 1L, 0L, 100L)), out.toString)
   }
+
+  // ---------------------------------------- learned quality classifier
+
+  test("qualityClassifier: the learned model beats the majority-class " +
+    "baseline on the real corpus (it generalizes the teacher, not " +
+    "parrots a constant)") {
+    try {
+      val rows = Scoring.docQualityClassifier(spark, d).collect()
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      val tk = rows.map(_.getAs[Long]("n_teacher_keep")).sum
+      val pk = rows.map(_.getAs[Long]("n_pred_keep")).sum
+      val ag = rows.map(_.getAs[Long]("n_agree")).sum
+      val majority = math.max(tk, n - tk).toDouble / n
+      info(f"acc=${ag.toDouble / n}%.3f majority=$majority%.3f " +
+        f"pred_keep=$pk/$n teacher_keep=$tk/$n")
+      assert(ag.toDouble / n > majority,
+        s"agree=$ag of $n does not beat majority $majority")
+      // non-constant predictor: both predicted classes are inhabited
+      assert(pk > 0 && pk < n, s"constant predictor: pred_keep=$pk of $n")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("qualityClassifier: separable fixture is classified perfectly") {
+    // positives: long alpha docs with stopwords; negatives: symbol soup
+    val good = "the a of and is " + Seq.fill(50)("alpha beta gamma")
+      .mkString(" ")
+    val bad = Seq.fill(60)("### ... ##").mkString(" ")
+    val docs = mkDocs((1L to 6L).map { i =>
+      if (i % 2 == 0) (i, good + " tail" + i, "en", "s" + i, 100L)
+      else (i, bad + " t" + i, "en", "s" + i, 100L)
+    })
+    try {
+      val out = Scoring.qualityClassifier(docs).collect()
+      val agree = out.map(_.getAs[Long]("n_agree")).sum
+      assert(agree == 6L, out.mkString(","))
+    } finally CacheScope.releaseAll()
+  }
 }
