@@ -303,6 +303,16 @@ object ScaleProbe {
     * probes (one definition so the two probes can never measure recall
     * against different baselines). Harness-side collect of nQ·k id
     * pairs only, never corpus rows. */
+  /** Total bytes of regular files under a directory (index/raw dump
+    * size accounting for the compression-ratio probes). */
+  private def dirBytes(p: String): Long = {
+    val base = java.nio.file.Paths.get(p)
+    val s = java.nio.file.Files.walk(base)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
   private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val dotc = graft.functions.DotProduct.column _
@@ -601,8 +611,11 @@ object ScaleProbe {
             spark.streams.addListener(listener)
             var qq: org.apache.spark.sql.streaming.StreamingQuery = null
             try {
+              // synthetic query ids are EXTERNAL to the corpus id
+              // space — self-exclusion would drop unrelated vectors
               qq = graft.streaming.EmbStream.annScoreSink(qstream, idx,
-                k = 10, nprobe = 2, outDir.toString, ckDir.toString)
+                k = 10, nprobe = 2, outDir.toString, ckDir.toString,
+                excludeSelf = false)
               val t1 = System.nanoTime()
               var done = 0L
               while (done < target) {
@@ -653,13 +666,6 @@ object ScaleProbe {
               spark, idxDir.toString)
             v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
               .write.mode("overwrite").parquet(s"$idxDir/raw32")
-            def dirBytes(p: String): Long = {
-              val base = java.nio.file.Paths.get(p)
-              val s = java.nio.file.Files.walk(base)
-              try s.filter(java.nio.file.Files.isRegularFile(_))
-                .mapToLong(java.nio.file.Files.size(_)).sum()
-              finally s.close()
-            }
             val exact = exactTopK(v, nQ, kk)
             val qside = broadcast(v.filter(col("vec_id") < nQ)
               .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -704,13 +710,6 @@ object ScaleProbe {
             val idx = graft.operators.Similarity.loadPqIndex(spark, idxDir.toString)
             v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
               .write.mode("overwrite").parquet(s"$idxDir/raw32")
-            def dirBytes(p: String): Long = {
-              val base = java.nio.file.Paths.get(p)
-              val s = java.nio.file.Files.walk(base)
-              try s.filter(java.nio.file.Files.isRegularFile(_))
-                .mapToLong(java.nio.file.Files.size(_)).sum()
-              finally s.close()
-            }
             val exact = exactTopK(v, nQ, kk)
             val qside = broadcast(v.filter(col("vec_id") < nQ)
               .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -752,13 +751,6 @@ object ScaleProbe {
             val idx = spark.read.parquet(s"$idxDir/index")
             v.select(col("vec_id"), col("e").cast("array<float>").as("embedding"))
               .write.mode("overwrite").parquet(s"$idxDir/raw32")
-            def dirBytes(p: String): Long = {
-              val base = java.nio.file.Paths.get(p)
-              val s = java.nio.file.Files.walk(base)
-              try s.filter(java.nio.file.Files.isRegularFile(_))
-                .mapToLong(java.nio.file.Files.size(_)).sum()
-              finally s.close()
-            }
             val exact = exactTopK(v, nQ, kk)
             val qside = broadcast(v.filter(col("vec_id") < nQ)
               .select(col("vec_id").as("query_id"), col("e").as("qe"),

@@ -272,8 +272,17 @@ object Similarity {
     * scored set is n·nQ rows, not the n·m·nQ join rows of the
     * relational formulation, and the only corpus shuffle is the top-k
     * rank window. qcos = Σ_s dot(q_s, c_codes[s]) / (dnorm · qnorm).
-    * `queries` carries (query_id, qe: array<double>, qnorm). */
-  def pqSearch(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    * `queries` carries (query_id, qe: array<double>, qnorm).
+    *
+    * `excludeSelf` (default true) implements the repo-wide
+    * corpus-member-query convention: query_id shares the vec_id space
+    * and a vector never reports itself as its own neighbor. Pass
+    * false when queries are EXTERNAL vectors whose ids merely happen
+    * to collide with corpus ids (e.g. a stream of new arrivals) —
+    * otherwise an unrelated corpus vector would be silently dropped
+    * from that query's candidates. */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = index.m
     val kc = index.kc
@@ -282,7 +291,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
     index.codes.crossJoin(table)
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (adcFold(col("codes"), col("tarr"), m, kc) /
           (col("dnorm") * col("qnorm"))).as("qcos"))
@@ -408,19 +417,34 @@ object Similarity {
     * scc) — the oracle-twin hook: `emb_ann_ivfpq` injects a
     * vec_id-ordered seqfold mean (replayable in SQL where the
     * mergeable avg is not) and everything downstream of the coarse
-    * step runs the SAME production path the kmeans-seeded fit uses. */
-  def ivfPqFitWithCoarse(v: DataFrame, coarse: DataFrame, dim: Int,
+    * step runs the SAME production path the kmeans-seeded fit uses.
+    *
+    * Both `coarse` and the residual assignment are persisted before
+    * anything consumes them twice: the kmeans-seeded coarse lineage
+    * ends in a mergeable avg whose float combine order Spark does not
+    * fix, so independent re-evaluations (codes join, each broadcast,
+    * the artifact's separate writes) could disagree in the last ulp
+    * and flip a boundary vector's cell between the residual codes and
+    * their stamped cluster — persisting pins ONE evaluation for every
+    * consumer, making the built index internally consistent by
+    * construction (and saving the repeated Lloyd's/residual work). */
+  def ivfPqFitWithCoarse(v: DataFrame, coarse0: DataFrame, dim: Int,
       m: Int, kc: Int, kCoarse: Int, iters: Int): IvfPqIndex = {
-    val vv = v.select(col("vec_id"), col("e"))
-      .withColumn("see", dot(col("e"), col("e")))
+    val vv =
+      if (v.columns.contains("see")) v.select("vec_id", "e", "see")
+      else v.select(col("vec_id"), col("e"))
+        .withColumn("see", dot(col("e"), col("e")))
+    val coarse = graft.CacheScope.persistTracked(coarse0)
     val coarseArr = broadcast(coarse.agg(collect_list(
       struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
-    val assigned = vv.crossJoin(coarseArr)
-      .withColumn("cluster",
-        nearestFold(col("cs"), col("e"), col("see")).getField("cluster"))
-      .join(broadcast(coarse.select(col("cluster"), col("ce").as("cc"))),
-        "cluster")
-      .withColumn("r", zip_with(col("e"), col("cc"), (a, b) => a - b))
+    val assigned = graft.CacheScope.persistTracked(
+      vv.crossJoin(coarseArr)
+        .withColumn("cluster",
+          nearestFold(col("cs"), col("e"), col("see")).getField("cluster"))
+        .join(broadcast(coarse.select(col("cluster"), col("ce").as("cc"))),
+          "cluster")
+        .withColumn("r", zip_with(col("e"), col("cc"), (a, b) => a - b))
+        .select(col("vec_id"), col("cluster"), col("r")))
     val pq = pqFit(assigned.select(col("vec_id"), col("r").as("e")),
       dim, m, kc, iters)
     // cross terms dot(cc_s, ce) per (cluster, s, code): with them the
@@ -473,7 +497,7 @@ object Similarity {
     * approximation — and with kc ≥ corpus that is exact residual
     * reconstruction, the IvfPqSpec differential pin). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"ivfPqSearch: nprobe must be >= 1, got $nprobe")
     val m = index.m
@@ -494,7 +518,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
     index.codes.join(table, "cluster")
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cluster"),
         ((col("qdotcc") + adcFold(col("codes"), col("tarr"), m, kc)) /

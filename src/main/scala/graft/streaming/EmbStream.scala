@@ -25,15 +25,21 @@ object EmbStream {
     * per micro-batch, [[Similarity.ivfPqSearch]] with the given
     * (k, nprobe), written idempotently (each batch overwrites its own
     * batch_id=N subtree — replay-safe). `queries` is a streaming
-    * DataFrame with (query_id, qe: array<double>, qnorm). */
+    * DataFrame with (query_id, qe: array<double>, qnorm).
+    *
+    * `excludeSelf` follows the [[Similarity.pqSearch]] contract:
+    * leave true only when the streamed query_ids live in the corpus
+    * vec_id space (re-scoring corpus members); set false for EXTERNAL
+    * arrivals, whose ids colliding with corpus ids must not silently
+    * drop an unrelated corpus vector from the candidates. */
   def annScoreSink(queries: DataFrame, index: Similarity.IvfPqIndex,
-      k: Int, nprobe: Int, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      k: Int, nprobe: Int, outDir: String, checkpointDir: String,
+      excludeSelf: Boolean = true): StreamingQuery =
     queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.ivfPqSearch(index, batch, k, nprobe)
+        Similarity.ivfPqSearch(index, batch, k, nprobe, excludeSelf)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
