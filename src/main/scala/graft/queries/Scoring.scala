@@ -274,27 +274,42 @@ object Scoring {
   def docQualityClassifier(s: SparkSession, d: String): DataFrame =
     qualityClassifier(Tables.documents(s, d))
 
-  /** Library form of #63 over any (doc_id, source, text) frame. */
-  def qualityClassifier(docs: DataFrame): DataFrame = {
-    val labels = graft.CacheScope.persistTracked(
-      graft.queries.Docs.gopherMetrics(docs)
-        .select(col("doc_id"),
-          when(col("keep"), 1.0).otherwise(-1.0).as("y")))
+  /** The Rocchio quality model as a PERSISTABLE ARTIFACT (the
+    * LmModel/ivfIndex pattern): `weights` = (b, wv, mup, mum) — the
+    * ≤256-row bucket weights with the class means they derive from —
+    * and `bias` = one row (bv). Train once on a labeled reference
+    * corpus, write both to parquet, score every later batch/stream
+    * against the frozen model. */
+  final case class QualityModel(weights: DataFrame, bias: DataFrame)
+
+  /** The (doc_id, b, x) L1-normalized hashed-unigram features shared
+    * by training and scoring. */
+  private def qcFeatures(docs: DataFrame): DataFrame = {
     val feats = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .withColumn("b", substring(md5(col("w")), 1, 2))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
     val ntok = feats.groupBy("doc_id").agg(sum("tf").as("n_tok"))
+    feats.join(ntok, "doc_id")
+      .select(col("doc_id"), col("b"),
+        (col("tf").cast("double") / col("n_tok").cast("double")).as("x"))
+  }
+
+  /** Train the #63 model: w = μ₊ − μ₋ over the bucket features,
+    * midpoint-threshold bias, teacher = the Gopher rule gate. */
+  def trainQualityModel(docs: DataFrame): QualityModel = {
+    val labels = graft.CacheScope.persistTracked(
+      graft.queries.Docs.gopherMetrics(docs)
+        .select(col("doc_id"),
+          when(col("keep"), 1.0).otherwise(-1.0).as("y")))
     val fx = graft.CacheScope.persistTracked(
-      feats.join(ntok, "doc_id").join(labels, "doc_id")
-        .select(col("doc_id"), col("b"), col("y"),
-          (col("tf").cast("double") / col("n_tok").cast("double")).as("x")))
+      qcFeatures(docs).join(labels, "doc_id"))
     val stats = labels.agg(
       sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("npos"),
       sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("nneg"))
-    // class means per bucket: fold over EVERY doc of the class with
-    // absent-bucket zeros, divided by the class size
-    val w1 = fx.groupBy("b")
+    // class means per bucket: fold over the bucket's rows (the other
+    // class's rows fold an exact-no-op 0.0), divided by the class size
+    val weights = fx.groupBy("b")
       .agg(
         seqSum(col("doc_id"),
           when(col("y") > 0, col("x")).otherwise(0.0)).as("sp"),
@@ -304,16 +319,50 @@ object Scoring {
       .select(col("b"), (col("sp") / col("npos")).as("mup"),
         (col("sm") / col("nneg")).as("mum"))
       .withColumn("wv", col("mup") - col("mum"))
-    val bt = w1.agg((lit(-0.5) *
+    val bias = weights.agg((lit(-0.5) *
       (seqSum(col("b"), col("wv") * col("mup")) +
         seqSum(col("b"), col("wv") * col("mum")))).as("bv"))
-    val scores = fx.join(broadcast(w1.select("b", "wv")), "b")
+    QualityModel(weights, bias)
+  }
+
+  /** Score any (doc_id, text) frame against a FROZEN [[QualityModel]]:
+    * per-doc (doc_id, score, pred) with score = Σ_b w_b·x_b + bias
+    * (bucket-ordered fold — scoring a corpus against its own trained
+    * model reproduces [[qualityClassifier]]'s predictions bit-for-bit,
+    * spec-pinned). The model is a ≤256-row broadcast; a doc whose
+    * tokens all hash to buckets the model never saw still scores
+    * (its known-bucket fold is empty ⇒ score = bias). */
+  def scoreWithQualityModel(docs: DataFrame,
+      model: QualityModel): DataFrame =
+    qcFeatures(docs)
+      .join(broadcast(model.weights.select("b", "wv")), "b")
       .groupBy("doc_id")
-      .agg(first(col("y")).as("y"),
-        seqSum(col("b"), col("wv") * col("x")).as("dotwx"))
-      .crossJoin(broadcast(bt))
-      .withColumn("pred", (col("dotwx") + col("bv")) >= 0.0)
-    scores.join(docs.select("doc_id", "source"), "doc_id")
+      .agg(seqSum(col("b"), col("wv") * col("x")).as("dotwx"))
+      .crossJoin(broadcast(model.bias))
+      .select(col("doc_id"), (col("dotwx") + col("bv")).as("score"),
+        ((col("dotwx") + col("bv")) >= 0.0).as("pred"))
+
+  /** Persist / reload a [[QualityModel]] (parquet artifact). */
+  def saveQualityModel(model: QualityModel, dir: String): Unit = {
+    model.weights.write.mode("overwrite").parquet(s"$dir/weights")
+    model.bias.write.mode("overwrite").parquet(s"$dir/bias")
+  }
+
+  def loadQualityModel(spark: SparkSession, dir: String): QualityModel =
+    QualityModel(spark.read.parquet(s"$dir/weights"),
+      spark.read.parquet(s"$dir/bias"))
+
+  /** Library form of #63 over any (doc_id, source, text) frame:
+    * self-train, self-score, roll up teacher/prediction agreement
+    * per source. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val model = trainQualityModel(docs)
+    val labels = graft.queries.Docs.gopherMetrics(docs)
+      .select(col("doc_id"),
+        when(col("keep"), 1.0).otherwise(-1.0).as("y"))
+    scoreWithQualityModel(docs, model)
+      .join(labels, "doc_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_teacher_keep"),

@@ -354,6 +354,28 @@ object DocStream {
       }
       .start()
 
+  /** Streaming learned-quality scoring (the incremental twin of
+    * `doc_quality_classifier`'s scoring stage): every micro-batch is
+    * scored against a FROZEN [[graft.queries.Scoring.QualityModel]] —
+    * the [[lmScoreSink]] train-once contract with a Rocchio model
+    * instead of a bigram LM. Docs score independently (the ≤256-row
+    * model is fixed and broadcast per batch), so the union of
+    * per-batch outputs IS the batch `scoreWithQualityModel` over the
+    * full stream — parity by construction, pinned by
+    * QualityModelSpec. Idempotent batch_id=N sink. */
+  def qualityScoreSink(docs: DataFrame,
+      model: graft.queries.Scoring.QualityModel,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.Scoring.scoreWithQualityModel(batch, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Doc-level keep/drop decisions from per-band verdicts: a doc is a
     * dup iff ANY band flagged it; dup_of = the smallest flagged
     * predecessor. Runs per micro-batch (e.g. inside foreachBatch on the

@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.Scoring
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The frozen quality-model artifact: a parquet round trip scores
+  * bit-identically, scoring against the self-trained model reproduces
+  * the qualityClassifier query's per-source rollup exactly, and the
+  * streaming sink's per-batch union equals the one-shot batch score
+  * over the same docs (parity by construction — the model is fixed). */
+class QualityModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = Tables.documents(spark, d)
+
+  private def cleanup(ps: Seq[java.nio.file.Path]): Unit =
+    ps.foreach { p =>
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+
+  test("parquet round trip scores bit-identically; reloaded-model " +
+    "predictions reproduce the self-scored query rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("qmodel")
+    try {
+      val model = Scoring.trainQualityModel(docs)
+      Scoring.saveQualityModel(model, dir.toString)
+      CacheScope.releaseAll()
+      val re = Scoring.loadQualityModel(spark, dir.toString)
+      val a = Scoring.scoreWithQualityModel(docs, re)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      val b = Scoring.scoreWithQualityModel(docs, re)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      assert(a == b)
+      // reloaded-model agreement rollup == the query's rollup
+      val viaModel = Scoring.scoreWithQualityModel(docs, re)
+        .join(graft.queries.Docs.gopherMetrics(docs)
+          .select(col("doc_id"),
+            when(col("keep"), 1.0).otherwise(-1.0).as("y")), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_teacher_keep"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("y") > 0) === col("pred"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val viaQuery = Scoring.qualityClassifier(docs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(viaModel == viaQuery)
+    } finally {
+      CacheScope.releaseAll()
+      cleanup(Seq(dir))
+    }
+  }
+
+  test("streaming sink: per-batch union equals the one-shot batch " +
+    "score from the same frozen artifact") {
+    implicit val sql = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("qmodel_idx")
+    val outDir = java.nio.file.Files.createTempDirectory("qmodel_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("qmodel_ck")
+    try {
+      Scoring.saveQualityModel(Scoring.trainQualityModel(docs),
+        idxDir.toString)
+      CacheScope.releaseAll()
+      val frozen = Scoring.loadQualityModel(spark, idxDir.toString)
+      val rows = docs.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStream.qualityScoreSink(
+        in.toDF().toDF("doc_id", "text"), frozen,
+        outDir.toString, ckDir.toString)
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(outDir.toString)
+        .select("doc_id", "score", "pred")
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      val batch = Scoring.scoreWithQualityModel(
+          docs.select("doc_id", "text"), frozen)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed}")
+      assert(streamed.nonEmpty)
+    } finally {
+      CacheScope.releaseAll()
+      cleanup(Seq(idxDir, outDir, ckDir))
+    }
+  }
+}
