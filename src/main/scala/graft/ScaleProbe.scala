@@ -575,6 +575,69 @@ object ScaleProbe {
             "build_secs" -> math.rint(buildSecs * 1000) / 1000,
             "n_cells" -> nCells, "k" -> kk, "n_queries" -> nQ,
             "curve" -> curve))
+        case Array("qcstream", n) =>
+          // r15: frozen quality-model streaming scorer — train the
+          // Rocchio model on the dir's documents ONCE, persist/reload,
+          // then rate-source synthetic docs through
+          // DocStream.qualityScoreSink and measure sustained docs/sec
+          // (stateless: the <=256-row model broadcasts per batch)
+          val target = n.toLong
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          val idxDir = java.nio.file.Files.createTempDirectory("qcstream_idx")
+          val outDir = java.nio.file.Files.createTempDirectory("qcstream_out")
+          val ckDir = java.nio.file.Files.createTempDirectory("qcstream_ck")
+          try {
+            val tb = System.nanoTime()
+            graft.queries.Scoring.saveQualityModel(
+              graft.queries.Scoring.trainQualityModel(docs), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            CacheScope.releaseAll()
+            val model = graft.queries.Scoring.loadQualityModel(
+              spark, idxDir.toString)
+            val dstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 20000L)
+              .option("numPartitions", 32).load()
+              .selectExpr(
+                "value AS doc_id",
+                """array_join(transform(sequence(1, 30),
+                  |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
+                  |AS text""".stripMargin.replaceAll("\n", ""))
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.DocStream.qualityScoreSink(
+                dstream, model, outDir.toString, ckDir.toString)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "qcstream probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              println(f"[probe] qcstream ${done / secs}%.0f docs/s " +
+                f"($done docs in $secs%.1f s) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "docs_per_s" -> math.rint(done / secs),
+                "train_docs" -> docs.count(),
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(outDir)
+            deleteRecursively(ckDir)
+          }
         case Array("annstream", n) =>
           // r15: frozen-index streaming ANN — fit+persist an IVFADC
           // index over the dir's vectors ONCE, then rate-source
