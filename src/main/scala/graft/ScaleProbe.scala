@@ -298,11 +298,6 @@ object ScaleProbe {
       graft.functions.DotProduct.column(col("e"), col("e"))))
   }
 
-  /** Brute-force exact cosine top-k id pairs for the first `nQ`
-    * vec_ids — the SHARED recall baseline of the ivfcurve and sq8
-    * probes (one definition so the two probes can never measure recall
-    * against different baselines). Harness-side collect of nQ·k id
-    * pairs only, never corpus rows. */
   /** Total bytes of regular files under a directory (index/raw dump
     * size accounting for the compression-ratio probes). */
   private def dirBytes(p: String): Long = {
@@ -313,6 +308,11 @@ object ScaleProbe {
     finally s.close()
   }
 
+  /** Brute-force exact cosine top-k id pairs for the first `nQ`
+    * vec_ids — the SHARED recall baseline of the ivfcurve and sq8
+    * probes (one definition so the two probes can never measure recall
+    * against different baselines). Harness-side collect of nQ·k id
+    * pairs only, never corpus rows. */
   private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val dotc = graft.functions.DotProduct.column _
@@ -582,7 +582,7 @@ object ScaleProbe {
           // DocStream.qualityScoreSink and measure sustained docs/sec
           // (stateless: the <=256-row model broadcasts per batch)
           val target = n.toLong
-          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          val docs = Tables.documents(spark, dir)
           val idxDir = java.nio.file.Files.createTempDirectory("qcstream_idx")
           val outDir = java.nio.file.Files.createTempDirectory("qcstream_out")
           val ckDir = java.nio.file.Files.createTempDirectory("qcstream_ck")

@@ -295,15 +295,22 @@ object Scoring {
         (col("tf").cast("double") / col("n_tok").cast("double")).as("x"))
   }
 
+  /** (doc_id, y = ±1) Gopher-gate teacher labels. */
+  private def qcLabels(docs: DataFrame): DataFrame =
+    graft.queries.Docs.gopherMetrics(docs)
+      .select(col("doc_id"),
+        when(col("keep"), 1.0).otherwise(-1.0).as("y"))
+
   /** Train the #63 model: w = μ₊ − μ₋ over the bucket features,
     * midpoint-threshold bias, teacher = the Gopher rule gate. */
-  def trainQualityModel(docs: DataFrame): QualityModel = {
-    val labels = graft.CacheScope.persistTracked(
-      graft.queries.Docs.gopherMetrics(docs)
-        .select(col("doc_id"),
-          when(col("keep"), 1.0).otherwise(-1.0).as("y")))
+  def trainQualityModel(docs: DataFrame): QualityModel =
+    trainFromParts(qcFeatures(docs),
+      graft.CacheScope.persistTracked(qcLabels(docs)))
+
+  private def trainFromParts(feats: DataFrame,
+      labels: DataFrame): QualityModel = {
     val fx = graft.CacheScope.persistTracked(
-      qcFeatures(docs).join(labels, "doc_id"))
+      feats.join(labels, "doc_id"))
     val stats = labels.agg(
       sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("npos"),
       sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("nneg"))
@@ -329,13 +336,20 @@ object Scoring {
     * per-doc (doc_id, score, pred) with score = Σ_b w_b·x_b + bias
     * (bucket-ordered fold — scoring a corpus against its own trained
     * model reproduces [[qualityClassifier]]'s predictions bit-for-bit,
-    * spec-pinned). The model is a ≤256-row broadcast; a doc whose
-    * tokens all hash to buckets the model never saw still scores
-    * (its known-bucket fold is empty ⇒ score = bias). */
+    * spec-pinned). The model is a ≤256-row broadcast; buckets the
+    * model never saw carry weight 0.0 via the LEFT join (an exact
+    * fold no-op), so a doc whose tokens all hash to unseen buckets
+    * still scores (= bias) instead of silently vanishing from a
+    * scoring/admission pipeline. */
   def scoreWithQualityModel(docs: DataFrame,
       model: QualityModel): DataFrame =
-    qcFeatures(docs)
-      .join(broadcast(model.weights.select("b", "wv")), "b")
+    scoreFromFeatures(qcFeatures(docs), model)
+
+  private def scoreFromFeatures(feats: DataFrame,
+      model: QualityModel): DataFrame =
+    feats
+      .join(broadcast(model.weights.select("b", "wv")), Seq("b"), "left")
+      .na.fill(0.0, Seq("wv"))
       .groupBy("doc_id")
       .agg(seqSum(col("b"), col("wv") * col("x")).as("dotwx"))
       .crossJoin(broadcast(model.bias))
@@ -353,14 +367,14 @@ object Scoring {
       spark.read.parquet(s"$dir/bias"))
 
   /** Library form of #63 over any (doc_id, source, text) frame:
-    * self-train, self-score, roll up teacher/prediction agreement
-    * per source. */
+    * self-train, self-score, roll up teacher/prediction agreement per
+    * source. Features and labels are each computed ONCE (persisted)
+    * and shared by the train and score passes. */
   def qualityClassifier(docs: DataFrame): DataFrame = {
-    val model = trainQualityModel(docs)
-    val labels = graft.queries.Docs.gopherMetrics(docs)
-      .select(col("doc_id"),
-        when(col("keep"), 1.0).otherwise(-1.0).as("y"))
-    scoreWithQualityModel(docs, model)
+    val labels = graft.CacheScope.persistTracked(qcLabels(docs))
+    val feats = graft.CacheScope.persistTracked(qcFeatures(docs))
+    val model = trainFromParts(feats, labels)
+    scoreFromFeatures(feats, model)
       .join(labels, "doc_id")
       .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")

@@ -34,13 +34,15 @@ class QualityModelSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("qmodel")
     try {
       val model = Scoring.trainQualityModel(docs)
-      Scoring.saveQualityModel(model, dir.toString)
-      CacheScope.releaseAll()
-      val re = Scoring.loadQualityModel(spark, dir.toString)
-      val a = Scoring.scoreWithQualityModel(docs, re)
+      // pre-save scores FIRST (the in-session model), then reload and
+      // compare — a save/load perturbation of wv or bv must fail here
+      val a = Scoring.scoreWithQualityModel(docs, model)
         .collect().map(r => (r.getLong(0),
           java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
           r.getBoolean(2))).toSet
+      Scoring.saveQualityModel(model, dir.toString)
+      CacheScope.releaseAll()
+      val re = Scoring.loadQualityModel(spark, dir.toString)
       val b = Scoring.scoreWithQualityModel(docs, re)
         .collect().map(r => (r.getLong(0),
           java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
