@@ -37,7 +37,13 @@ import org.apache.spark.sql.types._
   * unchanged. Null handling mirrors the fold where reachable: a null
   * centroid entry or length-mismatched ce contributes nothing (the
   * fold's when(null) → otherwise(acc)); null top-level inputs yield
-  * NULL. */
+  * NULL. When NO centroid was scored at all (empty array, or every
+  * entry null/length-mismatched) the result is NULL too — a caller can
+  * distinguish "no assignment possible" from a real assignment, instead
+  * of receiving a (Int.MaxValue, Double.MaxValue) sentinel dressed as
+  * one (ADVICE r15). Both in-repo callers (kmeans/pqFit seeding) build
+  * centroid sets that are non-empty whenever the corpus is, so the NULL
+  * is unreachable there by construction. */
 case class NearestCode(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
@@ -67,8 +73,11 @@ case class NearestCode(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
+    // compute() returns null when no centroid was scored — propagate it
+    // as SQL NULL instead of dereferencing a null InternalRow downstream
     nullSafeCodeGen(ctx, ev, (cs, e, see) =>
-      s"${ev.value} = graft.functions.NearestCode.compute($cs, $e, $see);")
+      s"""${ev.value} = graft.functions.NearestCode.compute($cs, $e, $see);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): NearestCode =
@@ -76,12 +85,14 @@ case class NearestCode(first: Expression, second: Expression,
 }
 
 object NearestCode {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Returns null when
+    * no centroid was scored (empty / all-invalid array). */
   def compute(cs: ArrayData, e: ArrayData, see: Double): InternalRow = {
     val x = e.toDoubleArray()
     val dim = x.length
     var bestCluster = Int.MaxValue
     var bestD2 = Double.MaxValue
+    var scored = false
     val n = cs.numElements()
     var i = 0
     while (i < n) {
@@ -96,16 +107,22 @@ object NearestCode {
             while (j < dim) { dot += x(j) * y(j); j += 1 }
             val d2 = see - 2.0 * dot + c.getDouble(2)
             val cluster = c.getInt(0)
+            // identical comparison to the fold it replaced: NaN/+Inf
+            // distances are never selected (NaN compares false; +Inf
+            // is not < MaxValue), so `scored` tracks SELECTION — a row
+            // whose every comparable distance is NaN/Inf reads as "no
+            // assignment" (null) rather than a sentinel
             if (d2 < bestD2 || (d2 == bestD2 && cluster < bestCluster)) {
               bestCluster = cluster
               bestD2 = d2
+              scored = true
             }
           }
         }
       }
       i += 1
     }
-    InternalRow(bestCluster, bestD2)
+    if (scored) InternalRow(bestCluster, bestD2) else null
   }
 
   def column(cs: Column, e: Column, see: Column): Column =

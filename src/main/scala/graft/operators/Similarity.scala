@@ -141,8 +141,19 @@ object Similarity {
     val vv = graft.CacheScope.persistTracked(
       v.select(col("vec_id"), col("e"))
         .withColumn("see", dot(col("e"), col("e"))))
-    var cent = vv.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+    // the k lowest vec_ids, SELECTED BY RANK (orderBy+limit =
+    // TakeOrdered, a distributed heap — not a global sort), so the
+    // documented seeding holds for ANY id space: a filtered corpus
+    // whose ids start at 1000 seeds correctly instead of silently
+    // producing an empty centroid set (ADVICE r15). Cluster labels are
+    // the seed RANKS 0..k-1 (single-partition window over ≤k rows),
+    // never the raw ids — no Int overflow at 100 TB id spaces, and for
+    // dense 0-based ids rank-1 == vec_id, so nothing downstream (or in
+    // the oracle twin) changes.
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    var cent = vv.orderBy("vec_id").limit(k)
+      .withColumn("cluster", row_number().over(seedW) - 1)
+      .select(col("cluster"), col("e").as("ce"))
       .withColumn("scc", dot(col("ce"), col("ce")))
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
@@ -220,9 +231,18 @@ object Similarity {
             slice(col("e"), s * sub + 1, sub).as("es"))): _*)).as("w"))
         .select(col("vec_id"), col("w.s").as("s"), col("w.es").as("es"))
         .withColumn("see", dot(col("es"), col("es"))))
-    var cb = work.filter(col("vec_id") < kc)
-      .select(col("s"), col("vec_id").cast("int").as("code"),
-        col("es").as("ce"))
+    // seeds = the kc lowest vec_ids by RANK (the kmeans convention and
+    // fix — works for any id space, not just dense 0-based); the seed
+    // id set is a ≤kc-row broadcast join against the subspace rows.
+    // Codes are the seed ranks 0..kc-1 — the dense ADC slot arithmetic
+    // (slot = s·kc+code) REQUIRES code < kc, so raw ids must never
+    // leak into the code space.
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seedIds = broadcast(
+      v.select(col("vec_id")).orderBy("vec_id").limit(kc)
+        .withColumn("code", row_number().over(seedW) - 1))
+    var cb = work.join(seedIds, "vec_id")
+      .select(col("s"), col("code"), col("es").as("ce"))
       .withColumn("scc", dot(col("ce"), col("ce")))
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
@@ -280,7 +300,14 @@ object Similarity {
     * false when queries are EXTERNAL vectors whose ids merely happen
     * to collide with corpus ids (e.g. a stream of new arrivals) —
     * otherwise an unrelated corpus vector would be silently dropped
-    * from that query's candidates. */
+    * from that query's candidates.
+    *
+    * '''Precondition: nonzero norms.''' qcos divides by dnorm·qnorm;
+    * an all-zero query (qnorm = 0) or a vector whose decoded norm is 0
+    * yields NaN, which the rank window orders LAST (never selected,
+    * never an error). Cosine similarity is undefined for the zero
+    * vector — filter zero-norm rows out upstream if they can occur
+    * (same contract as [[ivfPqSearch]]/[[sq8Search]]/[[ivfSearch]]). */
   def pqSearch(index: PqIndex, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -356,9 +383,34 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta")
     val row = meta.select("m", "dim", "kc", "iters").collect()
     require(row.length == 1, s"loadPqIndex: malformed meta at $dir/meta")
-    PqIndex(row(0).getInt(0), row(0).getInt(1), row(0).getInt(2),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"), meta)
+    val (m, kc) = (row(0).getInt(0), row(0).getInt(2))
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val codes = spark.read.parquet(s"$dir/codes")
+    checkPqArtifacts("loadPqIndex", dir, m, kc, codebooks, codes)
+    PqIndex(m, row(0).getInt(1), kc, codebooks, codes, meta)
+  }
+
+  /** Cheap cross-table consistency check at artifact load (ADVICE r15:
+    * the stamped meta alone cannot catch a dir whose codes/codebooks
+    * were written under different parameters — e.g. a partially
+    * overwritten artifact — which would otherwise search with wrong
+    * slicing and return silent garbage). Cost: one full agg over the
+    * SMALL codebook table (≤ m·kc rows) + a LIMIT-1 probe of codes —
+    * never a corpus scan. */
+  private def checkPqArtifacts(who: String, dir: String, m: Int, kc: Int,
+      codebooks: DataFrame, codes: DataFrame,
+      needsCluster: Boolean = false): Unit = {
+    val cb = codebooks.agg(max(col("code")).as("maxc"),
+      countDistinct(col("s")).as("ns")).collect()(0)
+    require(cb.isNullAt(0) || (cb.getInt(0) < kc && cb.getLong(1) <= m),
+      s"$who: $dir codebooks inconsistent with stamped meta " +
+        s"(max code ${cb.get(0)} vs kc=$kc, ${cb.get(1)} subspaces vs m=$m)")
+    if (needsCluster)
+      require(codes.columns.contains("cluster"),
+        s"$who: $dir codes table lacks the IVFADC cluster column")
+    val sample = codes.select(size(col("codes")).as("sz")).limit(1).collect()
+    require(sample.isEmpty || sample(0).getInt(0) == m,
+      s"$who: $dir codes are ${sample(0).getInt(0)}-wide, stamped m=$m")
   }
 
   /** An IVFADC index (Jégou et al. 2011 §IV — the canonical
@@ -495,7 +547,11 @@ object Similarity {
     * nprobe = kCoarse scores every vector (the recall-1.0 endpoint of
     * the cell selection; reconstruction error is then the only
     * approximation — and with kc ≥ corpus that is exact residual
-    * reconstruction, the IvfPqSpec differential pin). */
+    * reconstruction, the IvfPqSpec differential pin).
+    *
+    * Precondition: nonzero query/decoded norms — cosine is undefined
+    * for the zero vector; a zero norm yields NaN qcos, ranked last
+    * (see the [[pqSearch]] contract). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -542,11 +598,13 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta")
     val row = meta.select("m", "dim", "kc", "k_coarse", "iters").collect()
     require(row.length == 1, s"loadIvfPqIndex: malformed meta at $dir/meta")
-    IvfPqIndex(row(0).getInt(0), row(0).getInt(1), row(0).getInt(2),
-      row(0).getInt(3),
-      spark.read.parquet(s"$dir/coarse"),
-      spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"), meta)
+    val (m, kc) = (row(0).getInt(0), row(0).getInt(2))
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val codes = spark.read.parquet(s"$dir/codes")
+    checkPqArtifacts("loadIvfPqIndex", dir, m, kc, codebooks, codes,
+      needsCluster = true)
+    IvfPqIndex(m, row(0).getInt(1), kc, row(0).getInt(3),
+      spark.read.parquet(s"$dir/coarse"), codebooks, codes, meta)
   }
 
   /** Within-cluster SemDeDup pruning core (Abbas et al. 2023 — the

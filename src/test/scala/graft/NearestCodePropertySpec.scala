@@ -15,19 +15,22 @@ import org.scalacheck.{Gen, Prop, Properties}
 object NearestCodeProps extends Properties("NearestCode") {
 
   private def reference(cs: Seq[(Int, Array[Double], Double)],
-      e: Array[Double], see: Double): (Int, Double) = {
+      e: Array[Double], see: Double): Option[(Int, Double)] = {
     var best = (Int.MaxValue, Double.MaxValue)
+    var selected = false
     cs.foreach { case (cluster, ce, scc) =>
       if (ce.length == e.length) {
         var dot = 0.0
         var j = 0
         while (j < e.length) { dot += e(j) * ce(j); j += 1 }
         val d2 = see - 2.0 * dot + scc
-        if (d2 < best._2 || (d2 == best._2 && cluster < best._1))
+        if (d2 < best._2 || (d2 == best._2 && cluster < best._1)) {
           best = (cluster, d2)
+          selected = true
+        }
       }
     }
-    best
+    if (selected) Some(best) else None
   }
 
   private def row(c: (Int, Array[Double], Double)): InternalRow =
@@ -59,10 +62,13 @@ object NearestCodeProps extends Properties("NearestCode") {
       val got = graft.functions.NearestCode.compute(
         new GenericArrayData(cs.map(row).toArray),
         new GenericArrayData(e), see)
-      val want = reference(cs, e, see)
-      got.getInt(0) == want._1 &&
-        java.lang.Double.doubleToRawLongBits(got.getDouble(1)) ==
-          java.lang.Double.doubleToRawLongBits(want._2)
+      reference(cs, e, see) match {
+        case None => got == null
+        case Some(want) =>
+          got != null && got.getInt(0) == want._1 &&
+            java.lang.Double.doubleToRawLongBits(got.getDouble(1)) ==
+              java.lang.Double.doubleToRawLongBits(want._2)
+      }
     }
 
   property("duplicate centroids: the LOWER cluster id wins the exact tie") =
@@ -75,11 +81,17 @@ object NearestCodeProps extends Properties("NearestCode") {
       out.getInt(0) == 3 && out.getDouble(1) == 0.0
     }
 
-  property("empty centroid array yields the fold's init accumulator") =
+  property("empty centroid array yields NULL, not a sentinel") =
     Prop {
-      val out = graft.functions.NearestCode.compute(
+      graft.functions.NearestCode.compute(
         new GenericArrayData(Array.empty[Any]),
-        new GenericArrayData(Array(1.0)), 1.0)
-      out.getInt(0) == Int.MaxValue && out.getDouble(1) == Double.MaxValue
+        new GenericArrayData(Array(1.0)), 1.0) == null
+    }
+
+  property("all-invalid centroid array (dim mismatch) yields NULL") =
+    Prop {
+      graft.functions.NearestCode.compute(
+        new GenericArrayData(Array[Any](row((1, Array(1.0, 2.0), 5.0)))),
+        new GenericArrayData(Array(1.0)), 1.0) == null
     }
 }

@@ -86,6 +86,39 @@ class PqSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("load fails fast on a codes/meta width mismatch (ADVICE r15: " +
+    "stamped meta alone cannot catch a mixed-artifact dir)") {
+    try {
+      val v = vecs
+      val idx = Similarity.pqFit(v, dim = 64, m = 8, kc = 16, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("pq_bad").toString
+      Similarity.savePqIndex(idx, dir)
+      // overwrite codes with a different-m artifact: meta still says 8
+      val idx4 = Similarity.pqFit(v, dim = 64, m = 4, kc = 16, iters = 1)
+      idx4.codes.write.mode("overwrite").parquet(s"$dir/codes")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.loadPqIndex(spark, dir)
+      }
+      assert(e.getMessage.contains("stamped m=8"), e.getMessage)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("non-dense vec_id space seeds correctly (ADVICE r15: offset ids " +
+    "must not produce an empty codebook)") {
+    try {
+      // shift every id by 1000: under the old `vec_id < kc` seeding the
+      // codebook would be EMPTY and every assignment the sentinel
+      val v = vecs.withColumn("vec_id", col("vec_id") + 1000L)
+      val idx = Similarity.pqFit(v, dim = 64, m = 4, kc = 8, iters = 1)
+      assert(idx.codebooks.count() > 0)
+      // code labels are seed RANKS — they must stay inside [0, kc)
+      // even when the ids themselves are far larger
+      val bad = idx.codes.filter(size(col("codes")) =!= 4 ||
+        exists(col("codes"), c => c < 0 || c >= 8)).count()
+      assert(bad == 0)
+    } finally CacheScope.releaseAll()
+  }
+
   test("lossy recall at m=8 kc=16 is measured and nontrivial") {
     try {
       val v = vecs

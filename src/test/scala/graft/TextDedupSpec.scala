@@ -71,6 +71,13 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextDedup.simhashPairs(docs, 3, 7, 3) // 7 does not divide 64
     }
+    // the md5 family exists for bit-identical oracle replay, which
+    // agree/k only provides when k is a power of two — k=12 must be
+    // rejected loudly, not silently weaken the guarantee
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.minhashMd5Pairs(docs, 3, 12, 4, 0.5)
+    }
+    assert(e.getMessage.contains("power of two"), e.getMessage)
   }
 
   test("simhashPairs: larger hamming radius is a superset") {
