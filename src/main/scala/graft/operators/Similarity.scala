@@ -79,25 +79,43 @@ object Similarity {
   def ivfAnn(v: DataFrame, isQuery: Column, k: Int, nprobe: Int = 1): DataFrame =
     ivfSearch(v, ivfIndex(v), isQuery, k, nprobe)
 
-  /** Search against a PREBUILT index (see [[ivfIndex]]): broadcast
-    * assignment, each query probing its `nprobe` nearest cells. */
+  /** Map-side nearest-cell assignment against a prebuilt [[ivfIndex]]
+    * centroid table: the centroids fold into ONE broadcast array row
+    * and each vector reduces its argmax-cosine cell with the native
+    * [[graft.functions.NearestCosine]] kernel — the corpus NEVER
+    * shuffles for assignment (the kmeans/NearestCode plan shape;
+    * PlanAuditSpec pins zero exchanges in this subplan). Returns `v`'s
+    * rows with a `cluster` column appended. Bit-identical to the
+    * crossJoin+groupBy(max_by) formulation it replaced wherever norms
+    * are nonzero — see the kernel scaladoc for the exactness argument
+    * (VERDICT r15 item 3). */
+  def ivfAssign(v: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = broadcast(cent.agg(collect_list(
+      struct(col("cluster"), col("ce"), col("cnorm"))).as("cs")))
+    v.crossJoin(centArr)
+      .withColumn("cluster",
+        graft.functions.NearestCosine
+          .column(col("cs"), col("e"), col("norm")).getField("cluster"))
+      .drop("cs")
+  }
+
+  /** Search against a PREBUILT index (see [[ivfIndex]]): map-side
+    * [[ivfAssign]] assignment, each query probing its `nprobe`
+    * nearest cells. */
   def ivfSearch(v: DataFrame, cent: DataFrame, isQuery: Column, k: Int,
       nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"ivfSearch: nprobe must be >= 1, got $nprobe")
-    val scored = v.withColumn("is_q", isQuery)
-      .crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-    val assigned = scored
-      .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
-        first(col("e")).as("e"), first(col("norm")).as("norm"),
-        first(col("is_q")).as("is_q"))
-    // query side probes its nprobe nearest cells (same tie-break as the
-    // data-side argmax, so nprobe=1 is exactly the old single-cell path)
+    val assigned = ivfAssign(v.withColumn("is_q", isQuery), cent)
+    // query side probes its nprobe nearest cells — the per-cell sim
+    // rows exist ONLY for the (tiny) query subset, never the corpus;
+    // identical sim arithmetic and tie-break as the kernel argmax, so
+    // nprobe=1 is exactly the single-cell assignment path
     val qw = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cluster").asc)
-    val q = broadcast(scored.filter(col("is_q"))
+    val q = broadcast(v.filter(isQuery)
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
       .withColumn("crnk", row_number().over(qw))
       .filter(col("crnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -638,20 +656,15 @@ object Similarity {
   }
 
   /** End-to-end SemDeDup against a PREBUILT IVF index (see
-    * [[ivfIndex]]): every vector goes to its nearest centroid via a
-    * broadcast of the tiny centroid table (map-side; the max_by
-    * tiebreak keeps assignment deterministic), then
-    * [[semDedupWithin]] prunes inside each cell. The index is the
-    * persisted-artifact path — build once, parquet round-trip, dedup
-    * many corpora against it. */
-  def semDedup(v: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
-        first(col("e")).as("e"), first(col("norm")).as("norm"))
-    semDedupWithin(assigned, "cluster", tau)
-  }
+    * [[ivfIndex]]): every vector goes to its nearest centroid via the
+    * map-side [[ivfAssign]] kernel fold (zero corpus exchanges for
+    * assignment), then [[semDedupWithin]] prunes inside each cell. The
+    * index is the persisted-artifact path — build once, parquet
+    * round-trip, dedup many corpora against it. */
+  def semDedup(v: DataFrame, cent: DataFrame, tau: Double): DataFrame =
+    semDedupWithin(
+      ivfAssign(v, cent).select("vec_id", "cluster", "e", "norm"),
+      "cluster", tau)
 
   /** SQ8-compressed vector index — the memory-bound ANN artifact: each
     * vector stored as uint8 grid codes (array<tinyint>, 4× smaller than

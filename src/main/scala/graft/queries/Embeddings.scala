@@ -163,11 +163,11 @@ object Embeddings {
     * the DuckDB replay — see [[embAnnIvf]]'s scaladoc for the
     * exactness argument and the scale caveat; production uses
     * graft.operators.Similarity.ivfIndex's mergeable avg). Every
-    * vector goes to its nearest centroid via a broadcast of the tiny
-    * centroid table (max_by tiebreak keeps it deterministic); e/norm
-    * ride through the aggregate (identical on every replicated row)
-    * instead of a join-back shuffle to recover them. Returns
-    * (vec_id, cluster, e, norm). */
+    * vector goes to its nearest centroid via the map-side
+    * Similarity.ivfAssign kernel fold (one broadcast centroid-array
+    * row, zero corpus exchanges for assignment — bit-identical to the
+    * crossJoin+max_by it replaced, see the NearestCosine scaladoc).
+    * Returns (vec_id, cluster, e, norm). */
   private[graft] def seqFoldAssigned(v: DataFrame): DataFrame = {
     val seqMean = aggregate(
       transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
@@ -180,11 +180,8 @@ object Embeddings {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("ce"))
       .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
-    v.crossJoin(broadcast(cent))
-      .withColumn("sim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"),
-        first(col("e")).as("e"), first(col("norm")).as("norm"))
+    graft.operators.Similarity.ivfAssign(v, cent)
+      .select("vec_id", "cluster", "e", "norm")
   }
 
   /** Deterministic random-hyperplane components — the shared family in
