@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++ graft.queries.Events.all ++
       graft.queries.Docs.all ++ graft.queries.Scoring.all ++
+      graft.queries.Tokenize.all ++
       graft.queries.Embeddings.all ++ graft.queries.Mm.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Events.oracles ++
       graft.queries.Docs.oracles ++ graft.queries.Scoring.oracles ++
+      graft.queries.Tokenize.oracles ++
       graft.queries.Embeddings.oracles ++ graft.queries.Mm.oracles
 }

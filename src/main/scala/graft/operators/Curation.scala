@@ -29,7 +29,20 @@ object Curation {
     * running token sum; the doc→sequence fanout is explode(sequence),
     * ~|doc|/ctx rows per doc.
     */
-  def packSequences(docs: DataFrame, ctx: Int = 512): DataFrame = {
+  def packSequences(docs: DataFrame, ctx: Int = 512): DataFrame =
+    // token counts map-side; only (source, doc_id, n_tok) reaches the
+    // window shuffle — document text never crosses the wire
+    packSequencesWithCounts(
+      docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), ctx)
+
+  /** [[packSequences]] over PRECOMPUTED per-document token counts —
+    * the hook that lets packing budget by any tokenizer (the learned
+    * BPE counts of graft.operators.BpeTokenizer.encodeCounts, a
+    * provider tokenizer's counts ingested as a column, …) instead of
+    * the whitespace default. `counted` carries
+    * (source, doc_id, n_tok). */
+  def packSequencesWithCounts(counted: DataFrame, ctx: Int = 512): DataFrame = {
     require(ctx >= 1, "ctx must be >= 1")
     // ROWS frame, not the orderBy default of RANGE-to-current-row: under
     // RANGE, tied doc_ids would sum together and corrupt token positions.
@@ -39,11 +52,8 @@ object Curation {
     // the result is total-order-independent.
     val w = Window.partitionBy("source").orderBy("doc_id", "n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // token counts map-side; only (source, doc_id, n_tok) reaches the
-    // window shuffle — document text never crosses the wire
-    docs
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    counted
+      .select(col("source"), col("doc_id"), col("n_tok"))
       .withColumn("end_tok", sum("n_tok").over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tok"))
       .withColumn("seq_id", explode(sequence(
