@@ -836,6 +836,31 @@ object ScaleProbe {
               "index_bytes" -> ib, "raw32_bytes" -> rb,
               "bytes_ratio" -> math.rint(rb.toDouble / ib * 100) / 100))
           } finally deleteRecursively(idxDir)
+        case Array("bpe", m, rest @ _*) =>
+          // r17: the many-merges trainer at probe scale — one
+          // distributed (word, n) pass, then the driver-local
+          // incremental merge loop (trainLocal). Records the split so
+          // the scale story is explicit: vocab_secs is the only part
+          // that grows with the corpus; merge_secs grows with the
+          // merge count over a vocabulary-sized table.
+          val mm = m.toInt
+          val maxVocab = rest.headOption.map(_.toInt).getOrElse(1 << 20)
+          val docs = Tables.documents(spark, dir)
+          val tv = System.nanoTime()
+          val vocabDf = graft.operators.BpeTokenizer.wordCounts(docs)
+          val vocabN = vocabDf.count()
+          val vocabSecs = (System.nanoTime() - tv) / 1e9
+          val tm = System.nanoTime()
+          val model = graft.operators.BpeTokenizer.trainLocal(docs, mm, maxVocab)
+          val learned = model.merges.count()
+          val mergeSecs = (System.nanoTime() - tm) / 1e9
+          println(f"[probe] bpe m=$mm vocab=$vocabN learned=$learned " +
+            f"vocab_pass=$vocabSecs%.2f s merge_loop=$mergeSecs%.2f s")
+          (learned, Map[String, Any](
+            "num_merges" -> mm, "max_vocab" -> maxVocab,
+            "vocab_words" -> vocabN, "learned_merges" -> learned,
+            "vocab_secs" -> math.rint(vocabSecs * 1000) / 1000,
+            "merge_secs" -> math.rint(mergeSecs * 1000) / 1000))
         case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -114,6 +114,52 @@ object BpeTokenizer {
     BpeModel(merges.filter(col("cnt") > 0), meta)
   }
 
+  /** The production many-merges trainer (SURVEY §8 / VERDICT r16 LLM
+    * section): real tokenizers run 30k+ merges, and [[train]]'s
+    * one-Spark-job-per-round loop — correct and oracle-replayable at
+    * demo round counts — would spend hours on pure job scheduling at
+    * that scale. The scale-right split this implements: the (word, n)
+    * frequency table is VOCABULARY-sized at any corpus (the 100 TB
+    * corpus changes the counts, not the table's cardinality), so ONE
+    * distributed pass builds it and the entire merge loop then runs
+    * driver-local over the collected table with the classic
+    * incremental algorithm (Sennrich et al. 2016's learn_bpe shape):
+    * a pair-count map + a lazy-deletion max-heap + a pair→words index,
+    * so each round costs O(words containing the winning pair), not
+    * O(vocabulary). 30k merges over a million-word vocabulary is
+    * seconds, not hours ("bpe" ScaleProbe entry in PROBES.json).
+    *
+    * Exactness: byte-for-byte the same merge table as [[train]] on the
+    * same vocabulary — same greedy fold, same exact long counts, same
+    * (cnt DESC, pair-string ASC) tie-break compared on UTF-8 BYTES
+    * (Java String.compareTo orders UTF-16 code units, which disagrees
+    * with Spark/DuckDB binary collation for supplementary characters —
+    * BpeLocalParitySpec pins the parity, including a surrogate-pair
+    * fixture). The collect is the loadPqIndex-class exception to the
+    * no-driver-collect rule: vocabulary-sized artifact state, bounded
+    * by `maxVocab` (top-`maxVocab` words by (n DESC, word ASC) — the
+    * standard frequency-floor truncation; pass Int.MaxValue for exact
+    * parity with the distributed loop). */
+  def trainLocal(docs: DataFrame, numMerges: Int,
+      maxVocab: Int = 1 << 20): BpeModel = {
+    require(numMerges >= 1, s"trainLocal: numMerges=$numMerges must be >= 1")
+    require(maxVocab >= 1, s"trainLocal: maxVocab=$maxVocab must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = {
+      val wc = wordCounts(docs)
+      val takeAll = maxVocab == Int.MaxValue
+      val bounded =
+        if (takeAll) wc
+        else wc.orderBy(col("n").desc, col("word").asc).limit(maxVocab)
+      bounded.select("word", "n").as[(String, Long)].collect()
+    }
+    val merges = BpeLocal.mergeLoop(vocab, numMerges)
+    BpeModel(
+      merges.toSeq.toDF("rank", "lhs", "rhs", "cnt"),
+      Seq(numMerges).toDF("num_merges"))
+  }
+
   /** The frozen merge table folded into ONE broadcast array row in
     * rank order — the kmeans centArr pattern: encoding is then pure
     * map-side kernel work, no collect anywhere. */
@@ -161,16 +207,155 @@ object BpeTokenizer {
     model.meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The driver-local incremental merge loop behind [[trainLocal]] —
+    * pure Scala over the collected (word, n) table, no Spark inside.
+    * Private to graft so BpeLocalParitySpec can drive it directly. */
+  private[graft] object BpeLocal {
+    import scala.collection.mutable
+
+    /** Unsigned byte-wise UTF-8 comparison — the collation Spark's
+      * UTF8String and DuckDB's binary ORDER BY both use. Java
+      * String.compareTo orders UTF-16 code units instead and flips
+      * supplementary characters below [U+E000, U+FFFF]. */
+    def utf8Compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    /** Code-point segmentation — the same alphabet charSyms yields
+      * (Spark substring / DuckDB substr count code points, so a
+      * surrogate pair is ONE symbol). */
+    def codePointSyms(w: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + cc)
+        i += cc
+      }
+      out.toArray
+    }
+
+    /** One greedy left-to-right pass of a single rule — the
+      * BpeApplyMerges.compute semantics, returned unchanged (same
+      * array) when the rule never fires so callers can cheap-check. */
+    private def applyRule(s: Array[String], lhs: String, rhs: String): Array[String] = {
+      val out = new Array[String](s.length)
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        val x = s(i)
+        if (n > 0 && out(n - 1) == lhs && x == rhs) out(n - 1) = lhs + rhs
+        else { out(n) = x; n += 1 }
+        i += 1
+      }
+      if (n == s.length) s else java.util.Arrays.copyOf(out, n)
+    }
+
+    /** The incremental loop: pair-count map + pair→words index +
+      * lazy-deletion max-heap, so round r costs O(words containing the
+      * winning pair) — merge-table-exact vs the distributed round loop
+      * ((cnt DESC, pair-bytes ASC) argmax per round, greedy fold). */
+    def mergeLoop(vocab: Array[(String, Long)],
+        numMerges: Int): Array[(Int, String, String, Long)] = {
+      val words: Array[Array[String]] = vocab.map(v => codePointSyms(v._1))
+      val weight: Array[Long] = vocab.map(_._2)
+      val pairCnt = mutable.HashMap.empty[String, Long]
+      val pairWords = mutable.HashMap.empty[String, mutable.BitSet]
+      // max-heap on (cnt, pair): bigger cnt wins, then byte-smaller pair
+      val heap = mutable.PriorityQueue.empty[(Long, String)](
+        new Ordering[(Long, String)] {
+          def compare(a: (Long, String), b: (Long, String)): Int =
+            if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+            else utf8Compare(b._2, a._2)
+        })
+      def bump(k: String, d: Long, touched: mutable.HashSet[String]): Unit = {
+        val c = pairCnt.getOrElse(k, 0L) + d
+        if (c == 0L) pairCnt.remove(k) else pairCnt.update(k, c)
+        touched += k
+      }
+      def addPairs(wi: Int, touched: mutable.HashSet[String]): Unit = {
+        val s = words(wi)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = s(j) + " " + s(j + 1)
+          bump(k, weight(wi), touched)
+          pairWords.getOrElseUpdate(k, mutable.BitSet.empty) += wi
+          j += 1
+        }
+      }
+      def subPairs(wi: Int, touched: mutable.HashSet[String]): Unit = {
+        val s = words(wi)
+        var j = 0
+        while (j < s.length - 1) {
+          bump(s(j) + " " + s(j + 1), -weight(wi), touched)
+          j += 1
+        }
+      }
+      val init = mutable.HashSet.empty[String]
+      var wi = 0
+      while (wi < words.length) { addPairs(wi, init); wi += 1 }
+      init.foreach(k => pairCnt.get(k).foreach(c => heap.enqueue((c, k))))
+      val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        // lazy deletion: an entry is valid iff it carries the CURRENT count
+        var best: String = null
+        var bestCnt = 0L
+        while (best == null && heap.nonEmpty) {
+          val (c, k) = heap.dequeue()
+          if (c > 0 && pairCnt.getOrElse(k, 0L) == c) { best = k; bestCnt = c }
+        }
+        if (best == null) exhausted = true // fully merged: nothing recorded
+        else {
+          val sp = best.indexOf(' ') // symbols never contain spaces
+          val lhs = best.substring(0, sp)
+          val rhs = best.substring(sp + 1)
+          out += ((rank, lhs, rhs, bestCnt))
+          val touched = mutable.HashSet.empty[String]
+          pairWords.remove(best).foreach(_.foreach { w =>
+            val s = words(w)
+            val ns = applyRule(s, lhs, rhs)
+            if (ns ne s) { // stale index entries simply never fire
+              subPairs(w, touched)
+              words(w) = ns
+              addPairs(w, touched)
+            }
+          })
+          touched.foreach(k => pairCnt.get(k).foreach(c => heap.enqueue((c, k))))
+          rank += 1
+        }
+      }
+      out.toArray
+    }
+  }
+
   def load(spark: SparkSession, dir: String): BpeModel = {
     val meta = spark.read.parquet(s"$dir/meta")
     val row = meta.select("num_merges").collect()
     require(row.length == 1, s"load: malformed meta at $dir/meta")
     val nm = row(0).getInt(0)
     val merges = spark.read.parquet(s"$dir/merges")
-    val mx = merges.agg(max(col("rank")), count(lit(1))).collect()(0)
-    require(mx.isNullAt(0) || (mx.getInt(0) <= nm && mx.getLong(1) <= nm),
-      s"load: $dir merges carry rank ${mx.get(0)} / ${mx.get(1)} rules, " +
-        s"stamped num_merges=$nm — refusing a mixed artifact")
+    // the rank column must be EXACTLY 1..count (ADVICE r16: max<=nm &&
+    // count<=nm alone admits duplicate or gapped rank tables, and
+    // mergesArr would then apply a corrupted rule sequence)
+    val mx = merges.agg(min(col("rank")), max(col("rank")), count(lit(1)),
+      countDistinct(col("rank"))).collect()(0)
+    require(mx.isNullAt(0) || (mx.getInt(0) == 1 &&
+        mx.getInt(1) <= nm && mx.getInt(1).toLong == mx.getLong(2) &&
+        mx.getLong(2) == mx.getLong(3)),
+      s"load: $dir merges carry ranks [${mx.get(0)}, ${mx.get(1)}] over " +
+        s"${mx.get(2)} rows (${mx.get(3)} distinct), stamped " +
+        s"num_merges=$nm — refusing a non-contiguous rank table")
     BpeModel(merges, meta)
   }
 }
