@@ -118,4 +118,43 @@ object Curation {
         coalesce(col("rk") <= expr(s"(t_max * wt) div $scale"), lit(false)))
       .select("doc_id", "lang", "n_chars", "wt", "kept")
   }
+
+  /** [[mixtureSample]] weighted by TOKEN MASS instead of document
+    * count — the packSequencesWithCounts hook applied to mixtures
+    * (VERDICT r15 item 1: doc_mixture accepting learned BPE counts).
+    * `counted` carries (doc_id, lang, n_tok) from any tokenizer;
+    * feasibility and the per-lang budgets are over token totals
+    * (T = min over langs of (tok_lang * scale) div w_lang), and a doc
+    * is kept while its RUNNING token sum — same deterministic
+    * (multiplicative-hash, doc_id) order as the doc-count form — fits
+    * the lang's token budget. Same shuffle shape: one per-lang window
+    * over (doc_id, lang, n_tok); text never moves. */
+  def mixtureSampleWithCounts(counted: DataFrame, weights: Map[String, Long],
+      scale: Long = 100L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = counted.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("lang", "wt")
+    val base = counted
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .join(broadcast(wdf), Seq("lang"))
+      .withColumn("bucket",
+        ((col("doc_id") % 1597334677L) * 2654435761L) % 4294967296L)
+    val tMax = wdf
+      .join(broadcast(base.groupBy("lang").agg(sum("n_tok").as("n_total"))),
+        Seq("lang"), "left")
+      .withColumn("n_total", coalesce(col("n_total"), lit(0L)))
+      .agg(min(expr(s"(n_total * $scale) div wt")).as("t_max"))
+    val cum = sum("n_tok").over(
+      Window.partitionBy("lang").orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base
+      .withColumn("cum_tok", cum)
+      .join(broadcast(tMax))
+      .withColumn("kept",
+        coalesce(col("cum_tok") <= expr(s"(t_max * wt) div $scale"),
+          lit(false)))
+      .select("doc_id", "lang", "n_tok", "wt", "kept")
+  }
 }

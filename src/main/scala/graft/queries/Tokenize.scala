@@ -79,10 +79,37 @@ object Tokenize {
       .packSequencesWithCounts(counted, ctx = 512)
   }
 
+  /** #58b Mixture-matching subsample budgeted by LEARNED token mass
+    * (the other half of VERDICT r15 item 1): doc_mixture's feasibility
+    * and per-lang budgets computed over BPE token totals instead of
+    * document counts — a lang of long documents now weighs what it
+    * costs a training run, not how many rows it has. Same deterministic
+    * (multiplicative-hash, doc_id) keep order; one per-lang window. */
+  def docMixtureBpe(s: SparkSession, d: String): DataFrame = {
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dict = graft.operators.BpeTokenizer
+      .encodeWords(inst.select("word").distinct(), model(s, d))
+      .select("word", "n_sub")
+    val counted = inst.join(dict, "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum("n_sub").as("n_tok"))
+    graft.operators.Curation
+      .mixtureSampleWithCounts(counted,
+        Map("en" -> 30L, "es" -> 25L, "zh" -> 20L, "de" -> 15L, "fr" -> 10L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), max("wt").as("target_pct"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_bpe" -> (docBpe _),
     "doc_bpe_tokens" -> (docBpeTokens _),
-    "doc_pack_bpe" -> (docPackBpe _))
+    "doc_pack_bpe" -> (docPackBpe _),
+    "doc_mixture_bpe" -> (docMixtureBpe _))
 
   /** The generated unrolled-merge CTE chain: w0/s0 (vocabulary +
     * char segmentation), then per round r: p{r} (weighted adjacent
@@ -181,5 +208,36 @@ object Tokenize {
          |    AS BIGINT) AS n_docs_started,
          |  CAST(SUM(least(end_tok, (seq_id + 1) * 512)
          |         - greatest(start_tok, seq_id * 512)) AS BIGINT) AS n_tokens
-         |FROM e GROUP BY 1, 2""".stripMargin)
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "doc_mixture_bpe" ->
+      s"""WITH ${bpeCtes(NumMerges)},
+         |$dictCte,
+         |cnts AS (
+         |  SELECT doc_id, lang, CAST(SUM(n_sub) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS word FROM documents) i
+         |  JOIN dict USING (word)
+         |  WHERE length(word) > 0
+         |  GROUP BY 1, 2),
+         |b AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 25 WHEN 'zh' THEN 20
+         |              WHEN 'de' THEN 15 WHEN 'fr' THEN 10 ELSE 0 END AS wt,
+         |    ((doc_id % 1597334677) * 2654435761) % 4294967296 AS bucket
+         |  FROM cnts
+         |  WHERE lang IN ('en','es','zh','de','fr')),
+         |t AS (SELECT MIN((COALESCE(n_total, 0) * 100) // wt) AS t_max
+         |  FROM (VALUES ('en',30),('es',25),('zh',20),('de',15),('fr',10))
+         |    w(lang, wt)
+         |  LEFT JOIN (SELECT lang, SUM(n_tok) AS n_total FROM b GROUP BY 1) c
+         |    USING (lang)),
+         |r AS (SELECT b.*, SUM(n_tok) OVER (PARTITION BY lang
+         |    ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM b)
+         |SELECT lang, COUNT(*) AS n_total, CAST(MAX(wt) AS BIGINT) AS target_pct,
+         |  CAST(SUM(CASE WHEN cum_tok <= ((SELECT t_max FROM t) * wt) // 100
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN cum_tok <= ((SELECT t_max FROM t) * wt) // 100
+         |    THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM r GROUP BY 1""".stripMargin)
 }
