@@ -157,4 +157,75 @@ object Curation {
           lit(false)))
       .select("doc_id", "lang", "n_tok", "wt", "kept")
   }
+
+  /** Duplicate-span REMOVAL (Lee et al. 2022: excise repeated
+    * substrings so memorized spans survive once, instead of dropping
+    * whole near-dup documents) — the excision step over
+    * `doc_dup_spans`'s posting lists (VERDICT r15 item 4).
+    *
+    * Semantics: spans are word `n`-grams occurring in ≥ 2 DISTINCT
+    * documents (the doc_dup_spans definition; within-doc-only
+    * repetition is the repetition FILTER's job, #50). Every occurrence
+    * of a duplicated span is ranked by the deterministic corpus order
+    * (doc_id, position); the rank-1 occurrence is the canonical copy.
+    * A word is excised iff it is covered by some non-canonical
+    * occurrence AND not covered by any canonical one — the protection
+    * rule that keeps canonical copies intact when spans overlap (e.g.
+    * the two overlapping instances a run of repeated words generates,
+    * or a canonical copy of span A sharing words with a removed copy
+    * of span B).
+    *
+    * Scale shape: pure posting lists — only (span, doc_id, pos) and
+    * (doc_id, idx) pairs shuffle, never text; the canonical occurrence
+    * is a partial-agg min(struct(doc_id, pos)) per span (map-side
+    * combine, no rank window), and coverage/excision are
+    * explode + distinct + anti-join on (doc_id, idx). Text is
+    * reassembled once per surviving doc from its own words.
+    *
+    * Returns one row per input doc: (doc_id, n_words, n_kept,
+    * n_removed, text_clean) with n_words = n_kept + n_removed by
+    * construction (token conservation is checkable per row). */
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 words")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = ws.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("idx", "word")))
+    val occ = ws.select(col("doc_id"),
+      posexplode(graft.functions.NGramInstances.column(col("ws"), n))
+        .as(Seq("pos", "span")))
+    val dup = occ.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span")
+    val docc = occ.join(dup, "span")
+    // canonical copy per span: min over the (doc_id, pos) corpus order
+    // — an aggregation, not a rank window, so a hyper-duplicated span
+    // partial-aggregates map-side instead of sorting one giant group
+    val first = docc.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("span"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val flagged = docc.join(first, "span")
+      .withColumn("canonical",
+        col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
+    def cover(c: DataFrame): DataFrame = c
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+    val excised = cover(flagged.filter(!col("canonical")))
+      .join(cover(flagged.filter(col("canonical"))),
+        Seq("doc_id", "idx"), "left_anti")
+    val rebuilt = words.join(excised, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("word")))),
+          x => x.getField("word")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    ws.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_removed", col("n_words") - col("n_kept"))
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+      .select("doc_id", "n_words", "n_kept", "n_removed", "text_clean")
+  }
 }

@@ -187,6 +187,17 @@ object Docs {
       .filter(col("n_docs") >= 2)
   }
 
+  /** #52d Duplicate-span REMOVAL (the excision step Lee et al. 2022
+    * actually apply — detection alone is #52c): every duplicated
+    * 8-gram span keeps exactly its canonical (first by (doc_id, pos))
+    * occurrence corpus-wide; covered words of non-canonical
+    * occurrences are excised unless a canonical occurrence protects
+    * them. Per-doc accounting + the excised text itself, with
+    * n_words = n_kept + n_removed (token conservation) per row. */
+  def docDedupSpansRemove(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.removeDupSpans(
+      Tables.documents(s, d).select("doc_id", "text"), 8)
+
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
     * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
     * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
@@ -712,6 +723,7 @@ object Docs {
     "doc_sample" -> (docSample _),
     "doc_dedup_canon" -> (docDedupCanon _),
     "doc_dup_spans" -> (docDupSpans _),
+    "doc_dedup_spans_remove" -> (docDedupSpansRemove _),
     "doc_pipeline_e2e" -> (docPipelineE2e _),
     "doc_pipeline_scale" -> (docPipelineScale _),
     "doc_decontaminate" -> (docDecontaminate _),
@@ -1058,6 +1070,42 @@ object Docs {
         |    FROM documents) t)
         |SELECT span, COUNT(*) AS n_docs FROM spans
         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "doc_dedup_spans_remove" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 6, 1)),
+        |    i -> {'pos': i, 'span': array_to_string(ws[i:i+7], ' ')})) AS o
+        |  FROM w),
+        |occ AS (SELECT doc_id, o.pos AS pos, o.span AS span FROM occ0),
+        |dup AS (SELECT span FROM (
+        |    SELECT span, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY 1) t
+        |  WHERE nd >= 2),
+        |rk AS (
+        |  SELECT occ.*, ROW_NUMBER() OVER (
+        |      PARTITION BY span ORDER BY doc_id, pos) AS r
+        |  FROM occ JOIN dup USING (span)),
+        |remcov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM rk WHERE r > 1),
+        |keepcov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM rk WHERE r = 1),
+        |rem AS (SELECT doc_id, idx FROM remcov
+        |  ANTI JOIN keepcov USING (doc_id, idx)),
+        |wi0 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(ws) + 1), i -> {'idx': i, 'word': ws[i]})) AS x
+        |  FROM w),
+        |wi AS (SELECT doc_id, x.idx AS idx, x.word AS word FROM wi0),
+        |reb AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_clean,
+        |    COUNT(*) AS n_kept
+        |  FROM wi ANTI JOIN rem USING (doc_id, idx)
+        |  GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(text_clean, '') AS text_clean
+        |FROM w LEFT JOIN reb USING (doc_id)""".stripMargin,
     "doc_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

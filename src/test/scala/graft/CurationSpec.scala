@@ -131,5 +131,77 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(docs, Map("en" -> 0L))
     }
+    intercept[IllegalArgumentException] {
+      Curation.removeDupSpans(docs, 1)
+    }
+  }
+
+  /** Count corpus-wide occurrences of a word span inside the cleaned
+    * texts (with multiplicity, the removal semantics' own currency). */
+  private def spanOccurrences(cleaned: Array[(Long, String)],
+      span: Seq[String]): Int =
+    cleaned.map { case (_, text) =>
+      val ws = text.split(" ", -1)
+      (0 to ws.length - span.length)
+        .count(i => ws.slice(i, i + span.length).sameElements(span))
+    }.sum
+
+  test("removeDupSpans: a planted memorized span survives exactly once corpus-wide") {
+    import spark.implicits._
+    val planted = (0 until 8).map(i => s"memo$i") // the memorized span
+    def noise(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise("a", 10)} ${planted.mkString(" ")} ${noise("b", 10)}"),
+      (2L, s"${noise("c", 5)} ${planted.mkString(" ")}"),
+      (3L, s"${planted.mkString(" ")} ${noise("e", 12)}"),
+      (4L, noise("f", 20))).toDF("doc_id", "text")
+    val out = Curation.removeDupSpans(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // token conservation per row
+    out.foreach { case (id, nw, nk, nr, _) =>
+      assert(nw == nk + nr, s"doc $id: $nw != $nk + $nr") }
+    // the planted span survives exactly once across the whole corpus
+    val cleaned = out.map(r => (r._1, r._5))
+    assert(spanOccurrences(cleaned, planted) == 1,
+      s"planted span count != 1 in ${cleaned.mkString("; ")}")
+    // canonical copy = first by (doc_id, pos): doc 1 keeps it intact
+    val d1 = cleaned.find(_._1 == 1L).get._2
+    assert(d1.contains(planted.mkString(" ")))
+    // untouched docs come back verbatim
+    assert(cleaned.find(_._1 == 4L).get._2 == noise("f", 20))
+  }
+
+  test("removeDupSpans: overlapping occurrences never excise words of a canonical copy") {
+    import spark.implicits._
+    // doc 1 carries the span TWICE with overlap impossible at 8 words,
+    // so use straight repetition: [m0..m7, m0..m7] — the second
+    // occurrence is non-canonical, and the bridging spans (m4..m7 m0..
+    // m3 etc.) are unique to doc 1 so only the planted span is dup'd
+    val planted = (0 until 8).map(i => s"m$i")
+    val docs = Seq(
+      (1L, (planted ++ planted).mkString(" ")),
+      (2L, s"x0 ${planted.mkString(" ")} x1")).toDF("doc_id", "text")
+    val out = Curation.removeDupSpans(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    out.foreach { case (id, nw, nk, nr, _) =>
+      assert(nw == nk + nr, s"doc $id: $nw != $nk + $nr") }
+    val cleaned = out.map(r => (r._1, r._5))
+    // doc 1's canonical first copy is intact; every other copy is gone
+    assert(spanOccurrences(cleaned, planted) == 1)
+    assert(cleaned.head._2.startsWith(planted.mkString(" ")))
+  }
+
+  test("removeDupSpans invariants on the corpus: conservation, no-op docs verbatim") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val out = Curation.removeDupSpans(docs, 8)
+    assert(out.filter(col("n_words") =!= col("n_kept") + col("n_removed"))
+      .count() == 0)
+    // docs with nothing removed reassemble to their original text
+    val joined = out.filter(col("n_removed") === 0)
+      .join(docs, "doc_id")
+      .filter(col("text_clean") =!= col("text"))
+    assert(joined.count() == 0)
   }
 }
