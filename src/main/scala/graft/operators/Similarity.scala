@@ -64,10 +64,16 @@ object Similarity {
     * per-query subplan. IvfAnnSpec pins a parquet round-tripped index
     * to search-identical results. */
   def ivfIndex(v: DataFrame): DataFrame = {
-    require(v.schema("cluster_by").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfIndex: cluster_by must be numeric (tie-break negates it), got " +
-        v.schema("cluster_by").dataType.catalogString)
+    // int/bigint only — the NearestCosine assignment kernel's input
+    // contract (ADVICE r16: a wider NumericType here would build an
+    // index that every ivfSearch/semDedup against it then rejects at
+    // analysis time, far from the cause)
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(v.schema("cluster_by").dataType),
+      s"ivfIndex: cluster_by must be int or bigint (the NearestCosine " +
+        s"assignment kernel's cluster type), got " +
+        v.schema("cluster_by").dataType.catalogString + " — cast it first")
     v.select(col("cluster_by"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("cluster_by", "pos").agg(avg("x").as("cx"))
       .groupBy(col("cluster_by").as("cluster"))
@@ -128,6 +134,7 @@ object Similarity {
       .join(q, "cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .filter(!isnan(col("cos")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "cos", "cluster")
@@ -322,10 +329,12 @@ object Similarity {
     *
     * '''Precondition: nonzero norms.''' qcos divides by dnorm·qnorm;
     * an all-zero query (qnorm = 0) or a vector whose decoded norm is 0
-    * yields NaN, which the rank window orders LAST (never selected,
-    * never an error). Cosine similarity is undefined for the zero
-    * vector — filter zero-norm rows out upstream if they can occur
-    * (same contract as [[ivfPqSearch]]/[[sq8Search]]/[[ivfSearch]]). */
+    * yields NaN, which is DROPPED before the rank window (Spark sorts
+    * NaN above every double, so an unfiltered NaN would win the rank
+    * — the r16 scaladoc claimed the opposite). Cosine similarity is
+    * undefined for the zero vector; a zero-norm query thus returns no
+    * rows rather than NaN garbage (same contract as
+    * [[ivfPqSearch]]/[[sq8Search]]/[[ivfSearch]]). */
   def pqSearch(index: PqIndex, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -340,6 +349,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (adcFold(col("codes"), col("tarr"), m, kc) /
           (col("dnorm") * col("qnorm"))).as("qcos"))
+      .filter(!isnan(col("qcos")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "qcos")
@@ -568,8 +578,8 @@ object Similarity {
     * reconstruction, the IvfPqSpec differential pin).
     *
     * Precondition: nonzero query/decoded norms — cosine is undefined
-    * for the zero vector; a zero norm yields NaN qcos, ranked last
-    * (see the [[pqSearch]] contract). */
+    * for the zero vector; a zero norm yields NaN qcos, dropped before
+    * the rank window (see the [[pqSearch]] contract). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -597,6 +607,7 @@ object Similarity {
         col("cluster"),
         ((col("qdotcc") + adcFold(col("codes"), col("tarr"), m, kc)) /
           (col("dnorm") * col("qnorm"))).as("qcos"))
+      .filter(!isnan(col("qcos")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "qcos", "cluster")
@@ -660,10 +671,19 @@ object Similarity {
     * map-side [[ivfAssign]] kernel fold (zero corpus exchanges for
     * assignment), then [[semDedupWithin]] prunes inside each cell. The
     * index is the persisted-artifact path — build once, parquet
-    * round-trip, dedup many corpora against it. */
+    * round-trip, dedup many corpora against it.
+    *
+    * NULL-cluster convention (ADVICE r16): the kernel assigns NULL
+    * when no centroid is selectable (empty centroid table, or a
+    * zero-norm vector whose sims are all NaN). Those rows are EXCLUDED
+    * here — an unassignable vector is not in any cell, so no cell
+    * dedups or counts it (and an empty index dedups nothing, matching
+    * the pre-kernel groupBy(max_by) formulation, which produced no
+    * assignment rows at all). */
   def semDedup(v: DataFrame, cent: DataFrame, tau: Double): DataFrame =
     semDedupWithin(
-      ivfAssign(v, cent).select("vec_id", "cluster", "e", "norm"),
+      ivfAssign(v, cent).select("vec_id", "cluster", "e", "norm")
+        .filter(col("cluster").isNotNull),
       "cluster", tau)
 
   /** SQ8-compressed vector index — the memory-bound ANN artifact: each
@@ -710,6 +730,7 @@ object Similarity {
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("qcos", dot(col("dq"), col("qe")) / (col("dnorm") * col("qnorm")))
+      .filter(!isnan(col("qcos")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "qcos")

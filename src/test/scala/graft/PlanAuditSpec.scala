@@ -267,12 +267,17 @@ class PlanAuditSpec extends AnyFunSuite {
         sqrt(graft.functions.DotProduct.column(col("ce"), col("ce"))))
     val p = graft.operators.Similarity.ivfAssign(v, cent)
       .queryExecution.executedPlan.toString
-    // the centroid fold is ONE BroadcastExchange; the corpus side must
-    // cross zero ShuffleExchanges — the crossJoin+groupBy(max_by)
-    // formulation this replaced re-shuffled every vector per call
-    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
-      p)
-    assert(p.contains("BroadcastExchange"), p)
+    // the corpus side must cross ZERO hash shuffles — the
+    // crossJoin+groupBy(max_by) formulation this replaced re-shuffled
+    // every vector per call. The shuffle node prints as "Exchange
+    // hashpartitioning"/"Exchange SinglePartition", never the class
+    // name (ADVICE r16: the old 'ShuffleExchange' literal matched
+    // nothing). The centroid-fold side legitimately carries its ONE
+    // BroadcastExchange plus the single-partition collect_list fold of
+    // the (index-sized, here 2-row) centroid table — pin exactly that.
+    assert(occurrences(p, "Exchange hashpartitioning") == 0, p)
+    assert(occurrences(p, "Exchange SinglePartition") == 1, p)
+    assert(occurrences(p, "BroadcastExchange") == 1, p)
   }
 
   test("emb_ann_sq: broadcast query side + top-k pushed below the window exchange") {
