@@ -527,10 +527,23 @@ object Similarity {
         .select(col("vec_id"), col("cluster"), col("r")))
     val pq = pqFit(assigned.select(col("vec_id"), col("r").as("e")),
       dim, m, kc, iters)
-    // cross terms dot(cc_s, ce) per (cluster, s, code): with them the
-    // decoded norm |cc + r̂| is a build-time fold —
-    // dnorm² = (scc + 2·Σ_s xterm) + Σ_s scc_code, associated exactly
-    // as written (the oracle twin replays this order)
+    val codes = ivfPqCodesWithDnorm(coarse, pq.codebooks, dim, m,
+      pq.codes.drop("dnorm")
+        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id"))
+    import v.sparkSession.implicits._
+    val meta = Seq((m, dim, kc, kCoarse, iters, 0L))
+      .toDF("m", "dim", "kc", "k_coarse", "iters", "n_appended")
+    IvfPqIndex(m, dim, kc, kCoarse, coarse, pq.codebooks, codes, meta)
+  }
+
+  /** The build-time dnorm attachment shared by [[ivfPqFitWithCoarse]]
+    * and [[ivfPqAppend]]: cross terms dot(cc_s, ce) per
+    * (cluster, s, code) make the decoded norm |cc + r̂| a build-time
+    * fold — dnorm² = (scc + 2·Σ_s xterm) + Σ_s scc_code, associated
+    * exactly as written (the oracle twin replays this order).
+    * `withCodes` carries (vec_id, cluster, codes). */
+  private def ivfPqCodesWithDnorm(coarse: DataFrame, codebooks: DataFrame,
+      dim: Int, m: Int, withCodes: DataFrame): DataFrame = {
     val sub = dim / m
     val ccSub = coarse.select(col("cluster"), col("scc"),
         explode(array((0 until m).map(s =>
@@ -538,12 +551,11 @@ object Similarity {
             slice(col("ce"), s * sub + 1, sub).as("ccs"))): _*)).as("w"))
       .select(col("cluster"), col("scc"),
         col("w.s").as("s"), col("w.ccs").as("ccs"))
-    val xterm = ccSub.join(pq.codebooks.select(col("s"), col("code"),
+    val xterm = ccSub.join(codebooks.select(col("s"), col("code"),
         col("ce"), col("scc").as("rcc")), "s")
       .select(col("cluster"), col("s"), col("code"),
         dot(col("ccs"), col("ce")).as("xt"), col("rcc"))
-    val codes = pq.codes.drop("dnorm")
-      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    withCodes
       .select(col("vec_id"), col("cluster"),
         col("codes"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(xterm), Seq("cluster", "s", "code"))
@@ -558,10 +570,79 @@ object Similarity {
           transform(array_sort(collect_list(struct(col("s"), col("rcc")))),
             t => t.getField("rcc")),
           lit(0.0), (acc, x) => acc + x)).as("dnorm"))
-    import v.sparkSession.implicits._
-    val meta = Seq((m, dim, kc, kCoarse, iters))
-      .toDF("m", "dim", "kc", "k_coarse", "iters")
-    IvfPqIndex(m, dim, kc, kCoarse, coarse, pq.codebooks, codes, meta)
+  }
+
+  /** Incremental IVFADC maintenance (VERDICT r15 item 5): append new
+    * vectors to a built index WITHOUT refitting. Cells and codebooks
+    * stay FROZEN — each new vector is coarse-assigned map-side against
+    * the broadcast cell table (the exact [[ivfPqFitWithCoarse]]
+    * assignment expression), its residual is PQ-encoded against the
+    * frozen per-subspace codebooks (the [[pqFit]] assignment step, no
+    * refit iterations), and its dnorm is the same build-time xterm
+    * fold — so appended rows are indistinguishable from built rows at
+    * search time. No corpus-keyed shuffle anywhere: the only wide op
+    * is the per-vector groupBy(vec_id) fold of the new batch itself.
+    *
+    * Staleness is tracked, not hidden: meta's `n_appended` accumulates
+    * the appended row count so operators can refit once drift matters
+    * (frozen centroids quantize a drifting distribution progressively
+    * worse — the standard IVF maintenance trade). At the exact
+    * endpoint (kc ≥ distinct subvectors, nprobe = kCoarse) appended
+    * and refit indexes search IDENTICALLY (IvfPqSpec pins it); away
+    * from it the frozen-codebook approximation degrades gracefully
+    * with batch drift.
+    *
+    * Caller contract: `newV` ids must be fresh (appending an existing
+    * vec_id creates a duplicate row, same as writing it twice into any
+    * append-only store). */
+  def ivfPqAppend(index: IvfPqIndex, newV: DataFrame): IvfPqIndex = {
+    val m = index.m
+    val kc = index.kc
+    val dim = index.dim
+    val sub = dim / m
+    val vv = newV.select(col("vec_id"), col("e"))
+      .withColumn("see", dot(col("e"), col("e")))
+    val coarse = index.coarse
+    val coarseArr = broadcast(coarse.agg(collect_list(
+      struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
+    val assigned = vv.crossJoin(coarseArr)
+      .withColumn("cluster",
+        nearestFold(col("cs"), col("e"), col("see")).getField("cluster"))
+      .join(broadcast(coarse.select(col("cluster"), col("ce").as("cc"))),
+        "cluster")
+      .withColumn("r", zip_with(col("e"), col("cc"), (a, b) => a - b))
+      .select(col("vec_id"), col("cluster"), col("r"))
+    val work = assigned
+      .select(col("vec_id"), col("cluster"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("r"), s * sub + 1, sub).as("es"))): _*)).as("w"))
+      .select(col("vec_id"), col("cluster"),
+        col("w.s").as("s"), col("w.es").as("es"))
+      .withColumn("see", dot(col("es"), col("es")))
+    val cbArr = broadcast(index.codebooks.groupBy("s").agg(collect_list(
+      struct(col("code").as("cluster"), col("ce"), col("scc"))).as("cs")))
+    val newCodes = work.join(cbArr, "s")
+      .withColumn("code",
+        nearestFold(col("cs"), col("es"), col("see")).getField("cluster"))
+      .groupBy("vec_id")
+      .agg(first(col("cluster")).as("cluster"),
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          t => t.getField("code")).as("codes"))
+    val appended = ivfPqCodesWithDnorm(coarse, index.codebooks, dim, m,
+      newCodes)
+    // lazy staleness bump: the counter rides the plan, no action here
+    val metaBase =
+      if (index.meta.columns.contains("n_appended")) index.meta
+      else index.meta.withColumn("n_appended", lit(0L))
+    val meta = metaBase
+      .crossJoin(newCodes.agg(count(lit(1)).as("_batch")))
+      .withColumn("n_appended", col("n_appended") + col("_batch"))
+      .drop("_batch")
+    IvfPqIndex(m, dim, kc, index.kCoarse, coarse, index.codebooks,
+      index.codes.unionByName(
+        appended.select(index.codes.columns.map(col): _*)),
+      meta)
   }
 
   /** IVFADC top-k cosine search: each query ranks the coarse cells by

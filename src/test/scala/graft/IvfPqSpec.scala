@@ -133,4 +133,64 @@ class IvfPqSpec extends AnyFunSuite {
         searchPairs(idx, v, 5, 5, nprobe = 2))
     } finally CacheScope.releaseAll()
   }
+
+  test("ivfPqAppend: re-appending stripped rows reproduces the fit's own " +
+    "code rows bit-for-bit, searches identically, and stamps staleness") {
+    try {
+      val v = vecs
+      val full = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 2)
+      // freeze the full fit's artifacts once: append must re-derive the
+      // stripped rows against the SAME bytes the fit produced
+      val fullCodes = graft.CacheScope.persistTracked(full.codes)
+      def rows(df: DataFrame): Set[(Long, Int, Seq[Int], Double)] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2), r.getDouble(3))).toSet
+      val fullRows = rows(fullCodes)
+      val sub = full.copy(codes = fullCodes.filter(col("vec_id") < 400))
+      val app = Similarity.ivfPqAppend(sub, v.filter(col("vec_id") >= 400))
+      // bit-identical: same frozen cells + codebooks + argmin kernel +
+      // dnorm fold ⇒ the appended rows ARE the fit's rows (doubles too)
+      assert(rows(app.codes) == fullRows)
+      assert(searchPairs(app, v, 5, 5, nprobe = 2) ==
+        searchPairs(full, v, 5, 5, nprobe = 2))
+      // staleness counter: 100 appended rows stamped into meta, and it
+      // accumulates across appends (on a fresh-id second batch)
+      assert(app.meta.select("n_appended").collect()(0).getLong(0) == 100L)
+      val app2 = Similarity.ivfPqAppend(app,
+        v.filter(col("vec_id") < 3).withColumn("vec_id", col("vec_id") + 1000))
+      assert(app2.meta.select("n_appended").collect()(0).getLong(0) == 103L)
+      // the appended artifact persists and reloads search-identically
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+      Similarity.saveIvfPqIndex(app, dir)
+      val re = Similarity.loadIvfPqIndex(spark, dir)
+      assert(searchPairs(re, v, 5, 5, nprobe = 2) ==
+        searchPairs(app, v, 5, 5, nprobe = 2))
+      assert(re.meta.select("n_appended").collect()(0).getLong(0) == 100L)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("ivfPqAppend at the PQ-exact endpoint: append-then-search equals " +
+    "refit-search equals brute force (nprobe exhaustive)") {
+    try {
+      val v = vecs
+      // appended batch = copies of vectors 0..99 under fresh ids: a
+      // copy lands in its original's cell (same argmin) with the same
+      // residual, whose exact code the kc ≥ |corpus| codebook already
+      // carries — so the APPENDED index is exact over the grown corpus,
+      // and append-then-search, refit-at-exact, and brute force must
+      // agree as hard equalities
+      val dup = v.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val v2 = v.unionByName(dup)
+      val fitV = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+        kCoarse = 4, iters = 2)
+      val app = Similarity.ivfPqAppend(fitV, dup)
+      val refit = Similarity.ivfPqFit(v2, dim = 64, m = 8, kc = 600,
+        kCoarse = 4, iters = 2)
+      val exact = exactTopK(v2, 5, 5)
+      assert(searchPairs(app, v2, 5, 5, nprobe = 4) == exact)
+      assert(searchPairs(refit, v2, 5, 5, nprobe = 4) == exact)
+    } finally CacheScope.releaseAll()
+  }
 }
