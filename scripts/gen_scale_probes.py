@@ -58,6 +58,27 @@ def gen_documents(out: str) -> None:
     pq.write_table(t, f"{out}/documents.parquet")
 
 
+def gen_gmm(out: str, c: int = 64) -> None:
+    """200k 64-dim vectors from a c-component gaussian mixture
+    (centers ~ N(0, I), within-cluster std 0.7 — moderate overlap, so
+    cell boundaries matter and nprobe is a real recall knob). The
+    CLUSTERED counterpart of gen_embeddings' iid corpus: IVFADC's
+    residual coding should beat flat PQ at equal code budget here, and
+    recall should rise with nprobe (VERDICT r15 item 2 / r16 item 4).
+    `label` carries the true mixture component."""
+    rng = np.random.default_rng(23)
+    n, d = 200000, 64
+    centers = rng.normal(0, 1, (c, d))
+    comp = rng.integers(0, c, n)
+    base = (centers[comp] + rng.normal(0, 0.7, (n, d))).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(base), type=pa.list_(pa.float32())),
+        "label": pa.array(comp.astype(np.int32)),
+    })
+    pq.write_table(t, f"{out}/embeddings.parquet")
+
+
 def gen_events(out: str) -> None:
     rng = np.random.default_rng(5)
     n = 5_000_000
@@ -112,5 +133,5 @@ if __name__ == "__main__":
         gen_zipf(out, float(sys.argv[3]) if len(sys.argv) > 3 else 1.5)
     else:
         {"embeddings": gen_embeddings, "documents": gen_documents,
-         "events": gen_events}[kind](out)
+         "events": gen_events, "gmm": gen_gmm}[kind](out)
     print(f"wrote {kind} -> {out}")

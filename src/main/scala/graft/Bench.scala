@@ -82,7 +82,49 @@ object Bench {
     val chargedJson = charges.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val excludedJson = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"build_charged_to":$chargedJson,"runs":$runs,"sf":"$sfDir"}"""
+    // Mechanical round-over-round gate (VERDICT r15 item 6 / r16 item
+    // 3): locate the previous round's committed record (highest
+    // BENCH_r*.json in cwd, override with SPARK_GRAFT_PREV), and emit
+    // the CURRENT run's subtotal over the SHARED query set next to the
+    // previous record's subtotal over the same set — so "did the
+    // standing suite regress" is one JSON field, not subset arithmetic
+    // nobody re-derives. New queries never pollute the comparison.
+    val sharedJson: String = {
+      val prevPath = sys.env.get("SPARK_GRAFT_PREV").orElse {
+        val cwd = new java.io.File(".")
+        Option(cwd.listFiles()).toSeq.flatten
+          .map(_.getName)
+          .filter(_.matches("BENCH_r\\d+\\.json"))
+          .sortBy(n => n.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+          .lastOption
+      }
+      prevPath.flatMap { p =>
+        try {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val prev = JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p)), "UTF-8"))
+          val prevQ = (prev \ "queries") match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          val shared = results.filter { case (k, _) => prevQ.contains(k) }
+          if (shared.isEmpty) None
+          else {
+            val cur = shared.map(_._2).sum
+            val old = shared.map { case (k, _) => prevQ(k) }.sum
+            Some(s"""{"file":"$p","n":${shared.size},""" +
+              s""""total":${math.rint(cur * 1000) / 1000},""" +
+              s""""prev_total":${math.rint(old * 1000) / 1000}}""")
+          }
+        } catch { case _: Throwable => None }
+      }.getOrElse("null")
+    }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"build_charged_to":$chargedJson,"shared_prev":$sharedJson,"runs":$runs,"sf":"$sfDir"}"""
     // The driver captures only the last ~2 KB of stdout; the per-query map
     // alone is ~2.4 KB. Persist the full record to a committed file and keep
     // the final stdout line under 200 bytes so it always parses. The path

@@ -709,7 +709,7 @@ object ScaleProbe {
             deleteRecursively(outDir)
             deleteRecursively(ckDir)
           }
-        case Array("ivfpq", m, kc, kCoarse, topk) =>
+        case Array("ivfpq", m, kc, kCoarse, topk, _ @ _*) =>
           // r15: IVFADC at probe scale — coarse cells + PQ on
           // residuals, persisted/reloaded artifact, nprobe recall
           // sweep (the ivfcurve pattern) + code-bytes compression
@@ -756,7 +756,7 @@ object ScaleProbe {
               "codes_bytes" -> cb, "raw32_bytes" -> rb,
               "bytes_ratio" -> math.rint(rb.toDouble / cb * 100) / 100))
           } finally deleteRecursively(idxDir)
-        case Array("pq", m, kc, topk) =>
+        case Array("pq", m, kc, topk, _ @ _*) =>
           // r15: the PQ compressed-index path at probe scale — fit the
           // per-subspace codebooks, persist/reload the stamped
           // artifact, ADC-search, recall vs the shared exact-top-k
@@ -836,6 +836,72 @@ object ScaleProbe {
               "index_bytes" -> ib, "raw32_bytes" -> rb,
               "bytes_ratio" -> math.rint(rb.toDouble / ib * 100) / 100))
           } finally deleteRecursively(idxDir)
+        case Array("bpestream", n) =>
+          // r17: frozen-tokenizer streaming encode — train the merge
+          // table on the dir's documents ONCE (the production
+          // trainLocal path), persist/reload, then rate-source
+          // synthetic docs through DocStream.bpeCountSink and measure
+          // sustained docs/sec (stateless: the merge table folds into
+          // one broadcast array row per batch; each batch encodes its
+          // DISTINCT words once through the kernel, instances join
+          // back — the qcstream shape with a learned tokenizer)
+          val target = n.toLong
+          val docs = Tables.documents(spark, dir)
+          val idxDir = java.nio.file.Files.createTempDirectory("bpestream_idx")
+          val outDir = java.nio.file.Files.createTempDirectory("bpestream_out")
+          val ckDir = java.nio.file.Files.createTempDirectory("bpestream_ck")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.BpeTokenizer.save(
+              graft.operators.BpeTokenizer.trainLocal(docs, 1000),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            CacheScope.releaseAll()
+            val model = graft.operators.BpeTokenizer.load(spark, idxDir.toString)
+            val dstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 20000L)
+              .option("numPartitions", 32).load()
+              .selectExpr(
+                "value AS doc_id",
+                """array_join(transform(sequence(1, 30),
+                  |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
+                  |AS text""".stripMargin.replaceAll("\n", ""))
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.DocStream.bpeCountSink(
+                dstream, model, outDir.toString, ckDir.toString)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "bpestream probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              println(f"[probe] bpestream ${done / secs}%.0f docs/s " +
+                f"($done docs in $secs%.1f s) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "docs_per_s" -> math.rint(done / secs),
+                "train_docs" -> docs.count(),
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(outDir)
+            deleteRecursively(ckDir)
+          }
         case Array("bpe", m, rest @ _*) =>
           // r17: the many-merges trainer at probe scale — one
           // distributed (word, n) pass, then the driver-local

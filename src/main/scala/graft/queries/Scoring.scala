@@ -488,12 +488,17 @@ object Scoring {
         |  FROM f0 JOIN nt USING (doc_id) JOIN lab USING (doc_id)),
         |np AS (SELECT SUM(CASE WHEN y > 0 THEN 1.0 ELSE 0.0 END) AS npos,
         |  SUM(CASE WHEN y < 0 THEN 1.0 ELSE 0.0 END) AS nneg FROM lab),
-        |mu AS (SELECT b,
-        |    list_sum(list(CASE WHEN y > 0 THEN x ELSE 0.0 END
-        |      ORDER BY doc_id)) / npos AS mup,
-        |    list_sum(list(CASE WHEN y < 0 THEN x ELSE 0.0 END
-        |      ORDER BY doc_id)) / nneg AS mum
-        |  FROM fx CROSS JOIN np GROUP BY b, npos, nneg),
+        |mus AS (SELECT b, npos, nneg,
+        |    SUM(CASE WHEN y > 0 THEN x ELSE 0.0 END) OVER (
+        |      PARTITION BY b ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS csp,
+        |    SUM(CASE WHEN y < 0 THEN x ELSE 0.0 END) OVER (
+        |      PARTITION BY b ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS csm,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY doc_id DESC) AS rr
+        |  FROM fx CROSS JOIN np),
+        |mu AS (SELECT b, csp / npos AS mup, csm / nneg AS mum
+        |  FROM mus WHERE rr = 1),
         |w1 AS (SELECT b, mup - mum AS wv, mup, mum FROM mu),
         |bt AS (SELECT -0.5 * (list_sum(list(wv * mup ORDER BY b))
         |  + list_sum(list(wv * mum ORDER BY b))) AS bv FROM w1),

@@ -376,6 +376,30 @@ object DocStream {
       }
       .start()
 
+  /** Streaming BPE token counting (the incremental twin of
+    * `doc_bpe_tokens`' encode stage): every micro-batch is encoded
+    * against a FROZEN [[graft.operators.BpeTokenizer.BpeModel]] — the
+    * [[lmScoreSink]] train-once contract with a learned merge table
+    * instead of a bigram LM. The frozen table folds into one broadcast
+    * array row and the codegen'd kernel runs map-side per batch (the
+    * dictionary path: each batch's distinct words encode once, its
+    * instances join back), so docs encode independently and the union
+    * of per-batch outputs IS the batch `encodeCounts` over the full
+    * stream — parity by construction, pinned by BpeSpec. Idempotent
+    * batch_id=N sink. */
+  def bpeCountSink(docs: DataFrame,
+      model: graft.operators.BpeTokenizer.BpeModel,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.BpeTokenizer.encodeCounts(batch, model)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Doc-level keep/drop decisions from per-band verdicts: a doc is a
     * dup iff ANY band flagged it; dup_of = the smallest flagged
     * predecessor. Runs per micro-batch (e.g. inside foreachBatch on the

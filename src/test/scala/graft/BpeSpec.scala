@@ -258,6 +258,35 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "b", 5L)))
   }
 
+  test("streaming bpeCountSink == batch encodeCounts across micro-batches " +
+    "against a frozen reloaded artifact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stream").toString
+    graft.operators.BpeTokenizer.save(
+      graft.operators.BpeTokenizer.train(docs, 8), dir)
+    CacheScope.releaseAll()
+    val frozen = graft.operators.BpeTokenizer.load(spark, dir)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.bpeCountSink(
+      in.toDF().toDF("doc_id", "text"), frozen, s"$dir/out", s"$dir/ckpt")
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val batch = graft.operators.BpeTokenizer.encodeCounts(docs, frozen)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("edges: empty corpus trains an empty table; empty-table encode is char segmentation") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
