@@ -502,9 +502,12 @@ object Scoring {
         |w1 AS (SELECT b, mup - mum AS wv, mup, mum FROM mu),
         |bt AS (SELECT -0.5 * (list_sum(list(wv * mup ORDER BY b))
         |  + list_sum(list(wv * mum ORDER BY b))) AS bv FROM w1),
-        |sc AS (SELECT doc_id, any_value(y) AS y,
-        |    list_sum(list(wv * x ORDER BY b)) AS dotwx
-        |  FROM fx JOIN w1 USING (b) GROUP BY doc_id)
+        |scw AS (SELECT doc_id, y,
+        |    SUM(wv * x) OVER (PARTITION BY doc_id ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cdx,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b DESC) AS rr
+        |  FROM fx JOIN w1 USING (b)),
+        |sc AS (SELECT doc_id, y, cdx AS dotwx FROM scw WHERE rr = 1)
         |SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
