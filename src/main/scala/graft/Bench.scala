@@ -83,21 +83,18 @@ object Bench {
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val excludedJson = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Mechanical round-over-round gate (VERDICT r15 item 6 / r16 item
-    // 3): locate the previous round's committed record (highest
-    // BENCH_r*.json in cwd, override with SPARK_GRAFT_PREV), and emit
-    // the CURRENT run's subtotal over the SHARED query set next to the
-    // previous record's subtotal over the same set — so "did the
-    // standing suite regress" is one JSON field, not subset arithmetic
-    // nobody re-derives. New queries never pollute the comparison.
+    // 3): locate the previous round's committed PER-QUERY record and
+    // emit the CURRENT run's subtotal over the SHARED query set next
+    // to the previous record's subtotal over the same set — so "did
+    // the standing suite regress" is one JSON field, not subset
+    // arithmetic nobody re-derives. New queries never pollute the
+    // comparison. Source of truth: the committed BENCH_full.json from
+    // the previous round (read HERE, before this run overwrites it —
+    // the driver's BENCH_r{N}.json wrappers carry only the truncated
+    // stdout summary, no query map); override with SPARK_GRAFT_PREV.
     val sharedJson: String = {
-      val prevPath = sys.env.get("SPARK_GRAFT_PREV").orElse {
-        val cwd = new java.io.File(".")
-        Option(cwd.listFiles()).toSeq.flatten
-          .map(_.getName)
-          .filter(_.matches("BENCH_r\\d+\\.json"))
-          .sortBy(n => n.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
-          .lastOption
-      }
+      val prevPath = sys.env.get("SPARK_GRAFT_PREV").orElse(
+        Some("BENCH_full.json").filter(p => new java.io.File(p).isFile))
       prevPath.flatMap { p =>
         try {
           import org.json4s._
