@@ -406,6 +406,57 @@ object Similarity {
     index.meta.write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Incremental flat-PQ maintenance — the [[ivfPqAppend]] contract
+    * without a coarse layer: new vectors PQ-encode map-side against
+    * the FROZEN per-subspace codebooks (the [[pqFit]] assignment step,
+    * no refit iterations), dnorms fold from the codebook scc exactly
+    * as at build time, codes union, and meta accumulates `n_appended`
+    * so operators refit on drift instead of silently degrading.
+    * (SQ8 needs no append operator at all: [[sq8Index]] rows are
+    * per-vector-independent — its grid is per-row — so appending IS
+    * `index.unionByName(sq8Index(newV))`.) Caller contract: fresh
+    * vec_ids, `newV` carries (vec_id, e). IvfPqSpec's append pins
+    * cover the shared mechanics; PqSpec pins this operator's rows
+    * bit-identical to the fit's own. */
+  def pqAppend(index: PqIndex, newV: DataFrame): PqIndex = {
+    val m = index.m
+    val kc = index.kc
+    val dim = index.dim
+    val sub = dim / m
+    val work = newV.select(col("vec_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("e"), s * sub + 1, sub).as("es"))): _*)).as("w"))
+      .select(col("vec_id"), col("w.s").as("s"), col("w.es").as("es"))
+      .withColumn("see", dot(col("es"), col("es")))
+    val cbArr = broadcast(index.codebooks.groupBy("s").agg(collect_list(
+      struct(col("code").as("cluster"), col("ce"), col("scc"))).as("cs")))
+    val newCodes = work.join(cbArr, "s")
+      .withColumn("code",
+        nearestFold(col("cs"), col("es"), col("see")).getField("cluster"))
+      .join(broadcast(index.codebooks.select(col("s"), col("code"), col("scc"))),
+        Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          t => t.getField("code")).as("codes"),
+        sqrt(aggregate(
+          transform(array_sort(collect_list(struct(col("s"), col("scc")))),
+            t => t.getField("scc")),
+          lit(0.0), (acc, x) => acc + x)).as("dnorm"))
+    val metaBase =
+      if (index.meta.columns.contains("n_appended")) index.meta
+      else index.meta.withColumn("n_appended", lit(0L))
+    val meta = metaBase
+      .crossJoin(newCodes.agg(count(lit(1)).as("_batch")))
+      .withColumn("n_appended", col("n_appended") + col("_batch"))
+      .drop("_batch")
+    PqIndex(m, dim, kc, index.codebooks,
+      index.codes.unionByName(
+        newCodes.select(index.codes.columns.map(col): _*)),
+      meta)
+  }
+
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {
     val meta = spark.read.parquet(s"$dir/meta")

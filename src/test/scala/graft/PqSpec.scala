@@ -119,6 +119,28 @@ class PqSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("pqAppend: re-appending stripped rows reproduces the fit's own code " +
+    "rows bit-for-bit, searches identically, and stamps staleness") {
+    try {
+      val v = vecs
+      val full = Similarity.pqFit(v, dim = 64, m = 8, kc = 16, iters = 3)
+      val fullCodes = graft.CacheScope.persistTracked(full.codes)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Int], Double)] =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+          r.getDouble(2))).toSet
+      val fullRows = rows(fullCodes)
+      val sub = full.copy(codes = fullCodes.filter(col("vec_id") < 400))
+      val app = Similarity.pqAppend(sub, v.filter(col("vec_id") >= 400))
+      assert(rows(app.codes) == fullRows)
+      def pairs(idx: Similarity.PqIndex): Set[(Long, Long)] =
+        Similarity.pqSearch(idx, queries(v, 5), k = 5)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(app) == pairs(full))
+      assert(app.meta.select("n_appended").collect()(0).getLong(0) == 100L)
+    } finally CacheScope.releaseAll()
+  }
+
   test("lossy recall at m=8 kc=16 is measured and nontrivial") {
     try {
       val v = vecs
