@@ -112,23 +112,47 @@ object Scoring {
   final case class LmModel(bigrams: DataFrame, heads: DataFrame,
       vocab: DataFrame)
 
-  /** Train the add-one bigram model of [[lmScore]] as an [[LmModel]]
-    * artifact. Counting COUNT-over-instances here equals
-    * SUM-over-per-doc-tf there, and logp is the identical expression,
-    * so scoring a corpus against its own trained model reproduces
-    * lmScore's nll bit-for-bit (spec-pinned). */
-  def lmTrain(docs: DataFrame): LmModel = {
+  /** The RAW-COUNT layer beneath [[LmModel]] — the incremental
+    * maintenance hook (VERDICT r15 item 5 family): `pairs` =
+    * (w1, bg, c12) exact bigram counts, `words` = the distinct unigram
+    * set. Counts are additive longs and the word set is a plain union,
+    * so two corpora's counts MERGE exactly ([[lmMerge]]) and the
+    * derived model is indistinguishable from a retrain on the union —
+    * the property the logp-carrying [[LmModel]] cannot offer (v
+    * changes every logp, so frozen logps cannot absorb new text).
+    * Train-side flow: count each corpus increment once, merge, derive
+    * ([[lmFromCounts]]) — a growing corpus never re-counts old text. */
+  final case class LmCounts(pairs: DataFrame, words: DataFrame)
+
+  /** One counting pass over a (doc_id, text) frame. */
+  def lmCounts(docs: DataFrame): LmCounts = {
     val inst = docs.select(
       explode(graft.functions.NGramInstances.column(
         split(col("text"), " "), 2)).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-    val instC = graft.CacheScope.persistTracked(
-      inst.groupBy("w1", "bg").agg(count(lit(1)).as("c12")))
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
-    val heads0 = instC.groupBy("w1").agg(sum("c12").as("c1"))
-    val bigrams = instC.join(heads0, "w1")
+    LmCounts(
+      graft.CacheScope.persistTracked(
+        inst.groupBy("w1", "bg").agg(count(lit(1)).as("c12"))),
+      docs.select(explode(split(col("text"), " ")).as("w")).distinct())
+  }
+
+  /** Exact additive merge of two count sets: summed pair counts,
+    * unioned word set. Associative and commutative, so increments can
+    * arrive in any order and batch shape. */
+  def lmMerge(a: LmCounts, b: LmCounts): LmCounts = LmCounts(
+    a.pairs.unionByName(b.pairs)
+      .groupBy("w1", "bg").agg(sum("c12").as("c12")),
+    a.words.unionByName(b.words).distinct())
+
+  /** Derive the scoring artifact from counts — the identical logp
+    * expression lmTrain always used, so lmFromCounts(lmCounts(docs))
+    * IS lmTrain(docs), and lmFromCounts(lmMerge(A, B)) is bit-equal to
+    * lmTrain(A ∪ B) (LmStreamDomainCapSpec pins it: same counts in,
+    * same doubles out). */
+  def lmFromCounts(c: LmCounts): LmModel = {
+    val vocab = c.words.agg(count(lit(1)).as("v"))
+    val heads0 = c.pairs.groupBy("w1").agg(sum("c12").as("c1"))
+    val bigrams = c.pairs.join(heads0, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
         log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
@@ -138,6 +162,15 @@ object Scoring {
       .select("w1", "logp1")
     LmModel(bigrams, heads, vocab)
   }
+
+  /** Train the add-one bigram model of [[lmScore]] as an [[LmModel]]
+    * artifact. Counting COUNT-over-instances here equals
+    * SUM-over-per-doc-tf there, and logp is the identical expression,
+    * so scoring a corpus against its own trained model reproduces
+    * lmScore's nll bit-for-bit (spec-pinned). For incremental
+    * maintenance keep the [[LmCounts]] layer instead of the derived
+    * model. */
+  def lmTrain(docs: DataFrame): LmModel = lmFromCounts(lmCounts(docs))
 
   /** Score any (doc_id, text) frame against a FROZEN [[LmModel]]:
     * per-doc (doc_id, n_bigrams, nll) with full add-one backoff for

@@ -247,6 +247,22 @@ class BpeSpec extends AnyFunSuite {
       s"expected the byte-smaller U+FFFD pair to merge first, got $local")
   }
 
+  test("trainLocal: merge tables are prefix-stable — more merges never " +
+    "rewrite earlier ranks (incremental-extension contract)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val k8 = graft.operators.BpeTokenizer
+      .trainLocal(docs, 8, maxVocab = Int.MaxValue)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val k16 = graft.operators.BpeTokenizer
+      .trainLocal(docs, 16, maxVocab = Int.MaxValue)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    // greedy determinism: extending the vocabulary budget only APPENDS
+    // rules, so a persisted model can grow without invalidating
+    // anything encoded against its prefix
+    assert(k16.take(8) == k8 && k16.length > 8)
+  }
+
   test("trainLocal: maxVocab truncation keeps the top words by (n DESC, word ASC)") {
     import spark.implicits._
     val docs = fixtureCorpus.toDF("doc_id", "text")

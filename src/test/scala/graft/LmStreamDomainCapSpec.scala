@@ -33,6 +33,32 @@ class LmStreamDomainCapSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("incremental counts: lmFromCounts(lmMerge(A, B)) == lmTrain(A ∪ B) " +
+    "bit-for-bit (the additive-maintenance contract)") {
+    try {
+      val docs = Tables.documents(spark, d).select("doc_id", "text")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 =!= 0)
+      val merged = Scoring.lmFromCounts(
+        Scoring.lmMerge(Scoring.lmCounts(a), Scoring.lmCounts(b)))
+      val retrain = Scoring.lmTrain(docs)
+      def bg(m: Scoring.LmModel) = m.bigrams.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      def hd(m: Scoring.LmModel) = m.heads.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(merged.vocab.collect()(0).getLong(0) ==
+        retrain.vocab.collect()(0).getLong(0))
+      assert(bg(merged) == bg(retrain)) // logp doubles bit-equal
+      assert(hd(merged) == hd(retrain))
+      // and scoring against the merged model == scoring against retrain
+      val sa = Scoring.scoreWithLm(docs, merged)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val sb = Scoring.scoreWithLm(docs, retrain)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(sa == sb && sa.nonEmpty)
+    } finally CacheScope.releaseAll()
+  }
+
   test("LmModel survives a parquet round trip (persisted-artifact contract)") {
     try {
       val docs = Tables.documents(spark, d).select("doc_id", "text")
