@@ -109,8 +109,22 @@ object Bench {
             }.toMap
             case _ => Map.empty[String, Double]
           }
-          val shared = results.filter { case (k, _) => prevQ.contains(k) }
-          if (shared.isEmpty) None
+          // comparable only at the same corpus: a scale run picking up
+          // the committed sf0.1 record would report a phantom N× shift
+          val prevSf = (prev \ "sf") match {
+            case JString(v) => Some(v)
+            case _ => None
+          }
+          // a crashed query's fast-fail timing must not read as a
+          // speedup (nor a prev-round crash as a regression now):
+          // exclude failures on EITHER side from the shared set
+          val prevFailed = (prev \ "failed") match {
+            case JArray(vs) => vs.collect { case JString(v) => v }.toSet
+            case _ => Set.empty[String]
+          }
+          val shared = results.filter { case (k, _) =>
+            prevQ.contains(k) && !failed.contains(k) && !prevFailed(k) }
+          if (shared.isEmpty || !prevSf.contains(sfDir)) None
           else {
             val cur = shared.map(_._2).sum
             val old = shared.map { case (k, _) => prevQ(k) }.sum

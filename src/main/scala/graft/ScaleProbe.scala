@@ -709,7 +709,7 @@ object ScaleProbe {
             deleteRecursively(outDir)
             deleteRecursively(ckDir)
           }
-        case Array("ivfpq", m, kc, kCoarse, topk, _ @ _*) =>
+        case Array("ivfpq", m, kc, kCoarse, topk, tag @ _*) if tag.size <= 1 =>
           // r15: IVFADC at probe scale — coarse cells + PQ on
           // residuals, persisted/reloaded artifact, nprobe recall
           // sweep (the ivfcurve pattern) + code-bytes compression
@@ -756,7 +756,7 @@ object ScaleProbe {
               "codes_bytes" -> cb, "raw32_bytes" -> rb,
               "bytes_ratio" -> math.rint(rb.toDouble / cb * 100) / 100))
           } finally deleteRecursively(idxDir)
-        case Array("pq", m, kc, topk, _ @ _*) =>
+        case Array("pq", m, kc, topk, tag @ _*) if tag.size <= 1 =>
           // r15: the PQ compressed-index path at probe scale — fit the
           // per-subspace codebooks, persist/reload the stamped
           // artifact, ADC-search, recall vs the shared exact-top-k
@@ -912,13 +912,24 @@ object ScaleProbe {
           val mm = m.toInt
           val maxVocab = rest.headOption.map(_.toInt).getOrElse(1 << 20)
           val docs = Tables.documents(spark, dir)
+          // vocab pass timed ONCE and the collected table fed straight
+          // to the driver merge loop — trainLocal would re-scan the
+          // corpus inside the merge window and misattribute the split
+          // this probe exists to record
           val tv = System.nanoTime()
-          val vocabDf = graft.operators.BpeTokenizer.wordCounts(docs)
-          val vocabN = vocabDf.count()
+          val vocab = {
+            import spark.implicits._
+            val wc = graft.operators.BpeTokenizer.wordCounts(docs)
+            val bounded =
+              if (maxVocab == Int.MaxValue) wc
+              else wc.orderBy(col("n").desc, col("word").asc).limit(maxVocab)
+            bounded.select("word", "n").as[(String, Long)].collect()
+          }
+          val vocabN = vocab.length.toLong
           val vocabSecs = (System.nanoTime() - tv) / 1e9
           val tm = System.nanoTime()
-          val model = graft.operators.BpeTokenizer.trainLocal(docs, mm, maxVocab)
-          val learned = model.merges.count()
+          val learned = graft.operators.BpeTokenizer.BpeLocal
+            .mergeLoop(vocab, mm).length.toLong
           val mergeSecs = (System.nanoTime() - tm) / 1e9
           println(f"[probe] bpe m=$mm vocab=$vocabN learned=$learned " +
             f"vocab_pass=$vocabSecs%.2f s merge_loop=$mergeSecs%.2f s")

@@ -134,7 +134,7 @@ object BpeTokenizer {
     * (cnt DESC, pair-string ASC) tie-break compared on UTF-8 BYTES
     * (Java String.compareTo orders UTF-16 code units, which disagrees
     * with Spark/DuckDB binary collation for supplementary characters —
-    * BpeLocalParitySpec pins the parity, including a surrogate-pair
+    * BpeSpec pins the parity, including a surrogate-pair
     * fixture). The collect is the loadPqIndex-class exception to the
     * no-driver-collect rule: vocabulary-sized artifact state, bounded
     * by `maxVocab` (top-`maxVocab` words by (n DESC, word ASC) — the
@@ -209,7 +209,8 @@ object BpeTokenizer {
 
   /** The driver-local incremental merge loop behind [[trainLocal]] —
     * pure Scala over the collected (word, n) table, no Spark inside.
-    * Private to graft so BpeLocalParitySpec can drive it directly. */
+    * Private to graft so BpeSpec and ScaleProbe can drive it
+    * directly. */
   private[graft] object BpeLocal {
     import scala.collection.mutable
 

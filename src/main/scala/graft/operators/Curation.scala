@@ -86,38 +86,8 @@ object Curation {
     * the rest of the plan is unchanged.
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Long],
-      scale: Long = 100L): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wdf = weights.toSeq.toDF("lang", "wt")
-    val base = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(broadcast(wdf), Seq("lang"))
-      .withColumn("bucket",
-        ((col("doc_id") % 1597334677L) * 2654435761L) % 4294967296L)
-    // Feasibility is over the WEIGHT list, not the observed langs: a
-    // weighted lang absent from the corpus caps the mixture at zero
-    // (n_total = 0) instead of silently vanishing from the constraint.
-    // broadcast the counts (≤ one row per lang): a left outer join can
-    // only build its RIGHT side, so hinting the weight side would be
-    // silently ignored
-    val tMax = wdf
-      .join(broadcast(base.groupBy("lang").agg(count(lit(1)).as("n_total"))),
-        Seq("lang"), "left")
-      .withColumn("n_total", coalesce(col("n_total"), lit(0L)))
-      .agg(min(expr(s"(n_total * $scale) div wt")).as("t_max"))
-    val rk = row_number().over(
-      Window.partitionBy("lang").orderBy("bucket", "doc_id"))
-    base
-      .withColumn("rk", rk)
-      .join(broadcast(tMax))
-      // kept is a verdict, never NULL — degenerate inputs read as drop
-      .withColumn("kept",
-        coalesce(col("rk") <= expr(s"(t_max * wt) div $scale"), lit(false)))
-      .select("doc_id", "lang", "n_chars", "wt", "kept")
-  }
+      scale: Long = 100L): DataFrame =
+    mixtureSelect(docs, "n_chars", weights, scale, byMass = false)
 
   /** [[mixtureSample]] weighted by TOKEN MASS instead of document
     * count — the packSequencesWithCounts hook applied to mixtures
@@ -130,32 +100,52 @@ object Curation {
     * the lang's token budget. Same shuffle shape: one per-lang window
     * over (doc_id, lang, n_tok); text never moves. */
   def mixtureSampleWithCounts(counted: DataFrame, weights: Map[String, Long],
-      scale: Long = 100L): DataFrame = {
+      scale: Long = 100L): DataFrame =
+    mixtureSelect(counted, "n_tok", weights, scale, byMass = true)
+
+  /** The shared mixture engine behind both public forms: feasibility
+    * and per-lang budgets over `valueCol`'s totals (row counts when
+    * `byMass` is false — every row costs 1 — or summed `valueCol`
+    * mass), selection in the deterministic (multiplicative Knuth hash,
+    * doc_id) order either way. One body so the hash, the feasibility
+    * rule, and the never-NULL verdict cannot drift apart between the
+    * doc-count and token-mass forms. */
+  private def mixtureSelect(rows: DataFrame, valueCol: String,
+      weights: Map[String, Long], scale: Long, byMass: Boolean): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val spark = counted.sparkSession
+    val spark = rows.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF("lang", "wt")
-    val base = counted
-      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val base = rows
+      .select(col("doc_id"), col("lang"), col(valueCol))
       .join(broadcast(wdf), Seq("lang"))
       .withColumn("bucket",
         ((col("doc_id") % 1597334677L) * 2654435761L) % 4294967296L)
+    // Feasibility is over the WEIGHT list, not the observed langs: a
+    // weighted lang absent from the corpus caps the mixture at zero
+    // (n_total = 0) instead of silently vanishing from the constraint.
+    // broadcast the counts (≤ one row per lang): a left outer join can
+    // only build its RIGHT side, so hinting the weight side would be
+    // silently ignored
+    val perLangTotal = if (byMass) sum(valueCol) else count(lit(1))
     val tMax = wdf
-      .join(broadcast(base.groupBy("lang").agg(sum("n_tok").as("n_total"))),
+      .join(broadcast(base.groupBy("lang").agg(perLangTotal.as("n_total"))),
         Seq("lang"), "left")
       .withColumn("n_total", coalesce(col("n_total"), lit(0L)))
       .agg(min(expr(s"(n_total * $scale) div wt")).as("t_max"))
-    val cum = sum("n_tok").over(
-      Window.partitionBy("lang").orderBy("bucket", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val ww = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    val pos =
+      if (byMass) sum(valueCol).over(
+        ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else row_number().over(ww)
     base
-      .withColumn("cum_tok", cum)
+      .withColumn("pos", pos)
       .join(broadcast(tMax))
+      // kept is a verdict, never NULL — degenerate inputs read as drop
       .withColumn("kept",
-        coalesce(col("cum_tok") <= expr(s"(t_max * wt) div $scale"),
-          lit(false)))
-      .select("doc_id", "lang", "n_tok", "wt", "kept")
+        coalesce(col("pos") <= expr(s"(t_max * wt) div $scale"), lit(false)))
+      .select("doc_id", "lang", valueCol, "wt", "kept")
   }
 
   /** Duplicate-span REMOVAL (Lee et al. 2022: excise repeated

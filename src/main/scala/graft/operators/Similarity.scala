@@ -447,8 +447,12 @@ object Similarity {
     val metaBase =
       if (index.meta.columns.contains("n_appended")) index.meta
       else index.meta.withColumn("n_appended", lit(0L))
+    // counted from the INPUT (one distinct-id scan), not from newCodes:
+    // hanging the encode plan off the 1-row meta would re-encode the
+    // whole batch every time meta materializes (each artifact write,
+    // every later n_appended read)
     val meta = metaBase
-      .crossJoin(newCodes.agg(count(lit(1)).as("_batch")))
+      .crossJoin(newV.agg(count_distinct(col("vec_id")).as("_batch")))
       .withColumn("n_appended", col("n_appended") + col("_batch"))
       .drop("_batch")
     PqIndex(m, dim, kc, index.codebooks,
@@ -683,11 +687,13 @@ object Similarity {
     val appended = ivfPqCodesWithDnorm(coarse, index.codebooks, dim, m,
       newCodes)
     // lazy staleness bump: the counter rides the plan, no action here
+    // — counted from the INPUT (one distinct-id scan), not newCodes,
+    // whose encode plan would otherwise re-run on every meta read
     val metaBase =
       if (index.meta.columns.contains("n_appended")) index.meta
       else index.meta.withColumn("n_appended", lit(0L))
     val meta = metaBase
-      .crossJoin(newCodes.agg(count(lit(1)).as("_batch")))
+      .crossJoin(newV.agg(count_distinct(col("vec_id")).as("_batch")))
       .withColumn("n_appended", col("n_appended") + col("_batch"))
       .drop("_batch")
     IvfPqIndex(m, dim, kc, index.kCoarse, coarse, index.codebooks,
