@@ -938,6 +938,53 @@ object ScaleProbe {
             "vocab_words" -> vocabN, "learned_merges" -> learned,
             "vocab_secs" -> math.rint(vocabSecs * 1000) / 1000,
             "merge_secs" -> math.rint(mergeSecs * 1000) / 1000))
+        case Array("qcappend", fracS, tag @ _*) if tag.size <= 1 =>
+          // r17: incremental quality-model maintenance at probe scale —
+          // absorb the corpus MINUS a frac-sized tail into QualityCounts
+          // once (what a real pipeline persists), then time the append
+          // of the tail (load + fold + derive) against the full retrain
+          // it replaces. append_secs is O(batch); retrain_secs is
+          // O(corpus); the probe REQUIRES the two models bit-identical
+          // (bias bits) so the speed claim never drifts from the
+          // exactness claim.
+          val frac = fracS.toDouble
+          require(frac > 0 && frac < 1, s"qcappend: frac must be in (0,1), got $frac")
+          val docs = Tables.documents(spark, dir)
+          val cut = docs.stat.approxQuantile("doc_id", Array(1.0 - frac), 0.0)(0)
+          val aDocs = docs.filter(col("doc_id") <= cut)
+          val bDocs = docs.filter(col("doc_id") > cut)
+          val nb = bDocs.count()
+          require(nb > 0, "qcappend: empty increment at this frac")
+          val tmp = java.nio.file.Files.createTempDirectory("qc_probe").toString
+          val tb = System.nanoTime()
+          graft.queries.Scoring.saveQualityCounts(
+            graft.queries.Scoring.qcCounts(aDocs), tmp)
+          CacheScope.releaseAll()
+          val buildSecs = (System.nanoTime() - tb) / 1e9
+          val ta = System.nanoTime()
+          val appended = graft.queries.Scoring.qualityFromCounts(
+            graft.queries.Scoring.qcAppend(
+              graft.queries.Scoring.loadQualityCounts(spark, tmp), bDocs))
+          val bApp = java.lang.Double.doubleToRawLongBits(
+            appended.bias.collect()(0).getDouble(0))
+          val appendSecs = (System.nanoTime() - ta) / 1e9
+          CacheScope.releaseAll()
+          val tr = System.nanoTime()
+          val bRe = java.lang.Double.doubleToRawLongBits(
+            graft.queries.Scoring.trainQualityModel(docs)
+              .bias.collect()(0).getDouble(0))
+          val retrainSecs = (System.nanoTime() - tr) / 1e9
+          require(bApp == bRe,
+            s"qcappend probe: append/retrain bias bits diverged ($bApp vs $bRe)")
+          println(f"[probe] qcappend frac=$frac batch=$nb " +
+            f"build=$buildSecs%.2f s append=$appendSecs%.2f s " +
+            f"retrain=$retrainSecs%.2f s")
+          (nb, Map[String, Any](
+            "append_frac" -> frac, "batch_docs" -> nb,
+            "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+            "append_secs" -> math.rint(appendSecs * 1000) / 1000,
+            "retrain_secs" -> math.rint(retrainSecs * 1000) / 1000,
+            "bias_bits_equal" -> true))
         case _ => (SparkEntry.queries(q)(spark, dir).count(), Map.empty[String, Any])
       }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -1070,18 +1070,29 @@ object Docs {
         |    FROM documents) t)
         |SELECT span, COUNT(*) AS n_docs FROM spans
         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    // Replay note (the classifier sf30 lesson, applied by pattern):
+    // the first formulation rebuilt EVERY doc's text with a per-group
+    // ordered string_agg over all word instances — 1.5M ordered-agg
+    // groups at sf30 pin ~48 GB of list buffers in DuckDB before any
+    // data and OOM ungracefully. Removals are sparse (the planted-dup
+    // model: ~1% of words), so this formulation inverts the rebuild:
+    // per-doc removal lists (tiny) left-join the word arrays and
+    // text_clean falls out of an index-aware list_filter — the only
+    // corpus-sized states left are streaming aggregates. The dup set
+    // uses min<>max instead of COUNT(DISTINCT) for the same reason.
+    // Verified bit-equal to the old formulation at sf0.01 and
+    // hash-green at sf30 where the old one could not finish.
     "doc_dedup_spans_remove" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |occ0 AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(ws) - 6, 1)),
-        |    i -> {'pos': i, 'span': array_to_string(ws[i:i+7], ' ')})) AS o
-        |  FROM w),
-        |occ AS (SELECT doc_id, o.pos AS pos, o.span AS span FROM occ0),
-        |dup AS (SELECT span FROM (
-        |    SELECT span, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY 1) t
-        |  WHERE nd >= 2),
+        |occ AS (
+        |  SELECT doc_id, o.pos AS pos, o.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(ws) - 6, 1)),
+        |      i -> {'pos': i, 'span': array_to_string(ws[i:i+7], ' ')})) AS o
+        |    FROM w) t),
+        |dup AS (SELECT span FROM occ GROUP BY span
+        |  HAVING min(doc_id) <> max(doc_id)),
         |rk AS (
         |  SELECT occ.*, ROW_NUMBER() OVER (
         |      PARTITION BY span ORDER BY doc_id, pos) AS r
@@ -1092,20 +1103,14 @@ object Docs {
         |  FROM rk WHERE r = 1),
         |rem AS (SELECT doc_id, idx FROM remcov
         |  ANTI JOIN keepcov USING (doc_id, idx)),
-        |wi0 AS (SELECT doc_id, unnest(list_transform(
-        |    range(1, len(ws) + 1), i -> {'idx': i, 'word': ws[i]})) AS x
-        |  FROM w),
-        |wi AS (SELECT doc_id, x.idx AS idx, x.word AS word FROM wi0),
-        |reb AS (
-        |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_clean,
-        |    COUNT(*) AS n_kept
-        |  FROM wi ANTI JOIN rem USING (doc_id, idx)
-        |  GROUP BY 1)
+        |badl AS (SELECT doc_id, list(idx) AS bidx FROM rem GROUP BY 1)
         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(len(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
-        |  COALESCE(text_clean, '') AS text_clean
-        |FROM w LEFT JOIN reb USING (doc_id)""".stripMargin,
+        |  CAST(len(ws) - COALESCE(len(bidx), 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(len(bidx), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_filter(ws,
+        |    (x, i) -> COALESCE(NOT list_contains(bidx, i), TRUE)), ' '), '')
+        |    AS text_clean
+        |FROM w LEFT JOIN badl USING (doc_id)""".stripMargin,
     "doc_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -341,21 +341,104 @@ object Scoring {
       graft.CacheScope.persistTracked(qcLabels(docs)))
 
   private def trainFromParts(feats: DataFrame,
-      labels: DataFrame): QualityModel = {
+      labels: DataFrame): QualityModel =
+    qualityFromCounts(qcCountsFromParts(feats, labels))
+
+  /** Exact incremental-maintenance layer for the Rocchio model (the
+    * [[LmCounts]] pattern: keep the absorbable state, derive the
+    * frozen scoring artifact from it). `sums` = (b, sp, sm) — the
+    * per-bucket doc_id-ordered fold partials of each class's feature
+    * mass (≤256 rows, broadcastable anywhere); `stats` = ONE row
+    * (npos, nneg, max_doc_id). The derived [[QualityModel]] cannot
+    * absorb new text (every mean shifts), but this layer can:
+    * [[qcAppend]] folds an increment into `sums` and is bit-equal to
+    * a retrain on the union (QualityModelSpec pins it).
+    *
+    * Unlike [[lmMerge]]'s longs, `sp`/`sm` are float folds, so the
+    * absorb is ORDERED, not commutative: appended batches must carry
+    * doc_ids above the watermark (`max_doc_id`) — the natural shape
+    * of a growing corpus — and [[qcAppend]] enforces it. */
+  final case class QualityCounts(sums: DataFrame, stats: DataFrame)
+
+  /** One counting pass over a (doc_id, text) frame. */
+  def qcCounts(docs: DataFrame): QualityCounts =
+    qcCountsFromParts(qcFeatures(docs),
+      graft.CacheScope.persistTracked(qcLabels(docs)))
+
+  private def qcCountsFromParts(feats: DataFrame,
+      labels: DataFrame): QualityCounts = {
     val fx = graft.CacheScope.persistTracked(
       feats.join(labels, "doc_id"))
-    val stats = labels.agg(
-      sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("npos"),
-      sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("nneg"))
-    // class means per bucket: fold over the bucket's rows (the other
-    // class's rows fold an exact-no-op 0.0), divided by the class size
-    val weights = fx.groupBy("b")
+    // class mass per bucket: fold over the bucket's rows (the other
+    // class's rows fold an exact-no-op 0.0)
+    val sums = fx.groupBy("b")
       .agg(
         seqSum(col("doc_id"),
           when(col("y") > 0, col("x")).otherwise(0.0)).as("sp"),
         seqSum(col("doc_id"),
           when(col("y") < 0, col("x")).otherwise(0.0)).as("sm"))
-      .crossJoin(broadcast(stats))
+    val stats = labels.agg(
+      sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("npos"),
+      sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("nneg"),
+      max(col("doc_id")).as("max_doc_id"))
+    QualityCounts(sums, stats)
+  }
+
+  /** Fold a new batch into frozen [[QualityCounts]] — old text is
+    * never re-read. Exactness: `sp[b]` is a LEFT fold over the
+    * bucket's doc_id-sorted values, so when every new doc_id sorts
+    * after the old watermark, retrain-on-union's fold factors as
+    * fold(fold(old), new) — and seeding the new fold with the stored
+    * partial (a synthetic row keyed below every real doc_id) replays
+    * exactly that. 0.0 + sp == sp bit-for-bit (partials are sums of
+    * non-negative terms from +0.0 — never -0.0, never NaN), so the
+    * seed row is an exact continuation, not an approximation.
+    * Class counts and the watermark are exact-addition scalars.
+    *
+    * Scale shape (100 TB): the counting pass touches ONLY the
+    * increment; the absorbed state is ≤256 rows + 1 row regardless of
+    * corpus size. An empty increment returns the counts unchanged. */
+  def qcAppend(c: QualityCounts, newDocs: DataFrame): QualityCounts = {
+    val labels = graft.CacheScope.persistTracked(qcLabels(newDocs))
+    // watermark gate (1-row artifact-meta reads, the loadPqIndex
+    // convention): the fold-continuation is exact ONLY above it
+    val bounds = labels.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) return c
+    val prev = c.stats.select(col("max_doc_id")).collect()(0)
+    require(prev.isNullAt(0) || bounds.getLong(0) > prev.getLong(0),
+      s"qcAppend: new batch min doc_id ${bounds.getLong(0)} does not " +
+        s"sort after the absorbed watermark ${prev.get(0)} — the " +
+        "ordered fold cannot absorb it exactly; retrain instead")
+    val fx = graft.CacheScope.persistTracked(
+      qcFeatures(newDocs).join(labels, "doc_id"))
+    val seeds = c.sums.select(col("b"),
+      lit(Long.MinValue).as("k"), col("sp").as("xp"), col("sm").as("xm"))
+    val incr = fx.select(col("b"), col("doc_id").as("k"),
+      when(col("y") > 0, col("x")).otherwise(0.0).as("xp"),
+      when(col("y") < 0, col("x")).otherwise(0.0).as("xm"))
+    val sums = seeds.unionByName(incr).groupBy("b")
+      .agg(seqSum(col("k"), col("xp")).as("sp"),
+        seqSum(col("k"), col("xm")).as("sm"))
+    val dstats = labels.agg(
+      sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("dnp"),
+      sum(when(col("y") < 0, 1.0).otherwise(0.0)).as("dnn"),
+      max(col("doc_id")).as("dmax"))
+    val stats = c.stats.crossJoin(broadcast(dstats))
+      .select((col("npos") + col("dnp")).as("npos"),
+        (col("nneg") + col("dnn")).as("nneg"),
+        greatest(col("max_doc_id"), col("dmax")).as("max_doc_id"))
+    QualityCounts(sums, stats)
+  }
+
+  /** Derive the frozen scoring artifact from counts — the identical
+    * mean/bias expressions the train path always used, so
+    * qualityFromCounts(qcCounts(docs)) IS trainQualityModel(docs),
+    * and qualityFromCounts(qcAppend(qcCounts(A), B)) is bit-equal to
+    * trainQualityModel(A ∪ B) under the watermark precondition. */
+  def qualityFromCounts(c: QualityCounts): QualityModel = {
+    val weights = c.sums
+      .crossJoin(broadcast(c.stats.select(col("npos"), col("nneg"))))
       .select(col("b"), (col("sp") / col("npos")).as("mup"),
         (col("sm") / col("nneg")).as("mum"))
       .withColumn("wv", col("mup") - col("mum"))
@@ -363,6 +446,21 @@ object Scoring {
       (seqSum(col("b"), col("wv") * col("mup")) +
         seqSum(col("b"), col("wv") * col("mum")))).as("bv"))
     QualityModel(weights, bias)
+  }
+
+  /** Persist / reload [[QualityCounts]] (parquet artifact, the
+    * saveQualityModel convention plus a fail-fast stats check). */
+  def saveQualityCounts(c: QualityCounts, dir: String): Unit = {
+    c.sums.write.mode("overwrite").parquet(s"$dir/sums")
+    c.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  def loadQualityCounts(spark: SparkSession,
+      dir: String): QualityCounts = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    require(stats.count() == 1,
+      s"loadQualityCounts: $dir/stats must hold exactly one row")
+    QualityCounts(spark.read.parquet(s"$dir/sums"), stats)
   }
 
   /** Score any (doc_id, text) frame against a FROZEN [[QualityModel]]:

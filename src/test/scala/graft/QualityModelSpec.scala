@@ -112,4 +112,64 @@ class QualityModelSpec extends AnyFunSuite {
       cleanup(Seq(idxDir, outDir, ckDir))
     }
   }
+
+  private def modelBits(m: Scoring.QualityModel) = (
+    m.weights.collect().map(r => (r.getString(0),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSet,
+    java.lang.Double.doubleToRawLongBits(
+      m.bias.collect()(0).getDouble(0)))
+
+  test("qcAppend: append-then-derive is bit-equal to a retrain on " +
+    "the union (weights, bias, and every score)") {
+    try {
+      val cut = docs.agg(
+        expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+      val a = docs.filter(col("doc_id") <= cut)
+      val b = docs.filter(col("doc_id") > cut)
+      assert(a.count() > 0 && b.count() > 0)
+      val appended = Scoring.qualityFromCounts(
+        Scoring.qcAppend(Scoring.qcCounts(a), b))
+      val retrained = Scoring.trainQualityModel(docs)
+      assert(modelBits(appended) == modelBits(retrained))
+      val sa = Scoring.scoreWithQualityModel(docs, appended)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      val sr = Scoring.scoreWithQualityModel(docs, retrained)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          r.getBoolean(2))).toSet
+      assert(sa == sr && sa.nonEmpty)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("qcAppend: counts survive a parquet round trip; watermark " +
+    "violations fail fast; empty increments are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("qcounts")
+    try {
+      val cut = docs.agg(
+        expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+      val a = docs.filter(col("doc_id") <= cut)
+      val b = docs.filter(col("doc_id") > cut)
+      Scoring.saveQualityCounts(Scoring.qcCounts(a), dir.toString)
+      CacheScope.releaseAll()
+      val re = Scoring.loadQualityCounts(spark, dir.toString)
+      val viaDisk = Scoring.qualityFromCounts(Scoring.qcAppend(re, b))
+      assert(modelBits(viaDisk) ==
+        modelBits(Scoring.trainQualityModel(docs)))
+      // an increment at-or-below the watermark cannot absorb exactly
+      val ex = intercept[IllegalArgumentException] {
+        Scoring.qcAppend(re, a)
+      }
+      assert(ex.getMessage.contains("watermark"))
+      // empty increment: unchanged counts object
+      val same = Scoring.qcAppend(re, b.filter(lit(false)))
+      assert(same.eq(re))
+    } finally {
+      CacheScope.releaseAll()
+      cleanup(Seq(dir))
+    }
+  }
 }
