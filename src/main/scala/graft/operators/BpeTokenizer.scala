@@ -141,13 +141,37 @@ object BpeTokenizer {
     * standard frequency-floor truncation; pass Int.MaxValue for exact
     * parity with the distributed loop). */
   def trainLocal(docs: DataFrame, numMerges: Int,
+      maxVocab: Int = 1 << 20): BpeModel =
+    trainFromCounts(wordCounts(docs), numMerges, maxVocab)
+
+  /** Exact additive merge of two (word, n) frequency tables — the
+    * tokenizer's incremental-maintenance state (the LmCounts pattern:
+    * longs, associative and commutative, any increment order). BPE
+    * merge RULES are not incrementally maintainable — Sennrich's
+    * greedy argmax is globally count-dependent, so one new count can
+    * reorder an early merge — but the rules derive from this
+    * vocabulary-sized table in milliseconds ([[BpeLocal.mergeLoop]]),
+    * so the scale split is: absorb text into counts distributed and
+    * exactly (old text never re-read), re-derive the merge table
+    * locally and cheaply ([[trainFromCounts]]). BpeSpec pins
+    * trainFromCounts(mergeWordCounts(wc(A), wc(B))) ≡ trainLocal(A∪B)
+    * and the prefix-stability pin covers the common case where the
+    * absorbed increment leaves an already-shipped table's early rows
+    * unchanged. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word").agg(sum("n").as("n"))
+
+  /** Derive the merge table from a (word, n) frequency table — the
+    * vocabulary pass of [[trainLocal]] factored out so merged
+    * incremental counts ([[mergeWordCounts]]) train without touching
+    * any corpus. */
+  def trainFromCounts(wc: DataFrame, numMerges: Int,
       maxVocab: Int = 1 << 20): BpeModel = {
-    require(numMerges >= 1, s"trainLocal: numMerges=$numMerges must be >= 1")
-    require(maxVocab >= 1, s"trainLocal: maxVocab=$maxVocab must be >= 1")
-    val spark = docs.sparkSession
+    require(numMerges >= 1, s"trainFromCounts: numMerges=$numMerges must be >= 1")
+    require(maxVocab >= 1, s"trainFromCounts: maxVocab=$maxVocab must be >= 1")
+    val spark = wc.sparkSession
     import spark.implicits._
     val vocab: Array[(String, Long)] = {
-      val wc = wordCounts(docs)
       val takeAll = maxVocab == Int.MaxValue
       val bounded =
         if (takeAll) wc

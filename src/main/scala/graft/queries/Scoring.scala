@@ -144,6 +144,19 @@ object Scoring {
       .groupBy("w1", "bg").agg(sum("c12").as("c12")),
     a.words.unionByName(b.words).distinct())
 
+  /** Fold a [[graft.streaming.DocStream.lmCountsSink]] delta
+    * directory into one [[LmCounts]] — the lmMerge expression over
+    * every batch_id=N subtree at once (one partial-agg shuffle, not a
+    * per-delta loop). Exact: summed longs / unioned distinct words
+    * are order-free, so the result equals any pairwise merge order
+    * and lmFromCounts over it is bit-equal to lmTrain over every doc
+    * the stream absorbed. */
+  def lmCountsFromDeltas(spark: SparkSession, dir: String): LmCounts =
+    LmCounts(
+      spark.read.parquet(s"$dir/pairs")
+        .groupBy("w1", "bg").agg(sum("c12").as("c12")),
+      spark.read.parquet(s"$dir/words").select("w").distinct())
+
   /** Derive the scoring artifact from counts — the identical logp
     * expression lmTrain always used, so lmFromCounts(lmCounts(docs))
     * IS lmTrain(docs), and lmFromCounts(lmMerge(A, B)) is bit-equal to

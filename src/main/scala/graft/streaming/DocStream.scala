@@ -354,6 +354,72 @@ object DocStream {
       }
       .start()
 
+  /** Streaming LM count MAINTENANCE — the TRAIN side of the
+    * train/score split ([[lmScoreSink]] is the score side): each
+    * micro-batch writes its own count DELTA under batch_id=N
+    * (idempotent under replay; no read-modify-write of shared state),
+    * and [[graft.queries.Scoring.lmCountsFromDeltas]] folds the
+    * deltas into [[graft.queries.Scoring.LmCounts]] on demand with
+    * the lmMerge expression. Counts are exact longs and the merge is
+    * associative/commutative, so the derived model is BIT-equal to
+    * `lmTrain` over every doc the stream has seen — continuous LM
+    * refresh without ever re-reading an old batch's text
+    * (LmStreamDomainCapSpec pins stream-absorbed == one-shot). */
+  def lmCountsSink(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val c = graft.queries.Scoring.lmCounts(batch)
+        c.pairs.write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch_id=$batchId")
+        c.words.write.mode("overwrite")
+          .parquet(s"$outDir/words/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** Streaming quality-model count MAINTENANCE — the TRAIN side of
+    * [[qualityScoreSink]]'s split. Quality counts are ORDERED float
+    * folds (see [[graft.queries.Scoring.qcAppend]]), so unlike
+    * [[lmCountsSink]] the absorb cannot be delta-only: each batch
+    * folds onto the accumulated state. Crash safety comes from
+    * immutable VERSIONS instead of read-modify-write: batch N writes
+    * `v{N}` derived from `v{M}` (the newest version below N — never
+    * touched again), so a replayed batch deterministically rewrites
+    * its own version from intact inputs. Every version is ≤256 rows
+    * + 1 row regardless of corpus size; `v{latest}` derives a model
+    * bit-equal to a retrain over everything absorbed
+    * (QualityModelSpec pins it). Batches must arrive in doc_id order
+    * (qcAppend's watermark gate enforces it fail-fast) — the natural
+    * shape of an append-only document stream. */
+  def qcCountsSink(docs: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (fs.exists(base))
+            fs.listStatus(base).map(_.getPath.getName)
+              .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+              .filter(_ < batchId).sorted.lastOption
+          else None
+        val counts = prev match {
+          case Some(p) => graft.queries.Scoring.qcAppend(
+            graft.queries.Scoring.loadQualityCounts(spark, s"$stateDir/v$p"),
+            batch)
+          case None => graft.queries.Scoring.qcCounts(batch)
+        }
+        graft.queries.Scoring.saveQualityCounts(counts, s"$stateDir/v$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming learned-quality scoring (the incremental twin of
     * `doc_quality_classifier`'s scoring stage): every micro-batch is
     * scored against a FROZEN [[graft.queries.Scoring.QualityModel]] —

@@ -230,6 +230,33 @@ class BpeSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("mergeWordCounts: absorbed increments train the identical " +
+    "table to a from-scratch run — old text never re-read") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val cut = all.agg(expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val a = all.filter(col("doc_id") <= cut)
+    val b = all.filter(col("doc_id") > cut)
+    val wc = graft.operators.BpeTokenizer.mergeWordCounts(
+      graft.operators.BpeTokenizer.wordCounts(a),
+      graft.operators.BpeTokenizer.wordCounts(b))
+    // the count state is exact: merged rows == one-pass rows
+    val mergedRows = wc.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val oneShotRows = graft.operators.BpeTokenizer.wordCounts(all)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mergedRows == oneShotRows)
+    // and the derived merge table is byte-identical to a retrain
+    val viaCounts = graft.operators.BpeTokenizer
+      .trainFromCounts(wc, 16, maxVocab = Int.MaxValue)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val retrained = graft.operators.BpeTokenizer
+      .trainLocal(all, 16, maxVocab = Int.MaxValue)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(viaCounts == retrained && viaCounts.nonEmpty)
+  }
+
   test("trainLocal: UTF-8-byte tie-break matches Spark collation on supplementary chars") {
     import spark.implicits._
     // U+1F600 sorts ABOVE U+FFFD in UTF-8 bytes (F0.. > EF..) but BELOW

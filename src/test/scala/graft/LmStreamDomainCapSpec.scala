@@ -134,6 +134,33 @@ class LmStreamDomainCapSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("streaming lmCountsSink: delta-absorbed counts derive a model " +
+    "bit-equal to lmTrain over everything the stream has seen") {
+    try {
+      implicit val sql = spark.sqlContext
+      val docs = Tables.documents(spark, d).select("doc_id", "text")
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val dir = java.nio.file.Files.createTempDirectory("lm_cnt_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = DocStream.lmCountsSink(in.toDF().toDF("doc_id", "text"),
+        s"$dir/deltas", s"$dir/ckpt")
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { b =>
+          in.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val absorbed = Scoring.lmFromCounts(
+        Scoring.lmCountsFromDeltas(spark, s"$dir/deltas"))
+      def bits(m: Scoring.LmModel) = Scoring.scoreWithLm(docs, m)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toMap
+      val sa = bits(absorbed)
+      val sr = bits(Scoring.lmTrain(docs))
+      assert(sa.nonEmpty && sa == sr)
+    } finally CacheScope.releaseAll()
+  }
+
   test("streaming domain cap: per-source admission matches the " +
     "arrival-order batch rank across micro-batches") {
     implicit val sql = spark.sqlContext

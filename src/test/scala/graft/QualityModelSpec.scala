@@ -172,4 +172,35 @@ class QualityModelSpec extends AnyFunSuite {
       cleanup(Seq(dir))
     }
   }
+
+  test("streaming qcCountsSink: doc_id-ordered micro-batches absorb " +
+    "into versioned counts whose latest version derives a model " +
+    "bit-equal to a retrain over everything absorbed") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_stream_cnt")
+    try {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val all = docs.select("doc_id", "text")
+      val rows = all.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStream.qcCountsSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state", s"$dir/ckpt")
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { b =>
+          in.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val versions = new java.io.File(s"$dir/state").list()
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+      assert(versions.length >= 3, s"expected >=3 versions, got ${versions.toSeq}")
+      val latest = Scoring.loadQualityCounts(spark,
+        s"$dir/state/v${versions.last}")
+      assert(modelBits(Scoring.qualityFromCounts(latest)) ==
+        modelBits(Scoring.trainQualityModel(all)))
+    } finally {
+      CacheScope.releaseAll()
+      cleanup(Seq(dir))
+    }
+  }
 }
