@@ -702,9 +702,53 @@ object Docs {
       .select("doc_id", "n_terms", "score")
   }
 
+  /** #51c Hybrid retrieval fusion (reciprocal-rank fusion, Cormack et
+    * al. 2009 — the standard way production retrieval combines a
+    * lexical and a semantic ranker without score calibration): fuse
+    * #51b's BM25 top-10 (fixed query terms) with the cosine top-10
+    * neighbors of a designated query embedding (vec_id 0, the
+    * deterministic demo query) via rrf = Σ_branch 1/(60 + rank);
+    * branch ranks come back as 0-sentinel columns (absent from that
+    * branch's top-k) so the fused row says WHERE each doc came from.
+    *
+    * Scale shape (100 TB): both branches are the already-audited
+    * retrieval plans (one tf-index pass; broadcast query vector,
+    * TakeOrdered top-k — no global sort); fusion joins two ≤k-row
+    * frames, free at any corpus size. The production swap for the
+    * semantic branch is [[graft.operators.Similarity.ivfPqSearch]]
+    * against the persisted index — the fusion is ranker-agnostic.
+    *
+    * Cross-engine exactness: ranks replay bit-exactly (emb_cosine_topk
+    * pins cosine `rnk` hash-green; BM25's 1-ulp ln class has never
+    * flipped a gated top-k ordering), and rrf is the same two doubles
+    * added in the same (lex + sem) order in both engines. */
+  def docHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val lexTop = bm25Rank(Tables.documents(s, d),
+      Seq("vector", "stream", "merge"), k)
+    val lex = lexTop.withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Embeddings.cosineNeighbors(s, d, queryVecId = 0L, k)
+      .select(col("neighbor_id"), col("rnk").cast(LongType).as("r_sem"))
+    lex.join(sem, lex("doc_id") === sem("neighbor_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("neighbor_id")).as("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .withColumn("rrf",
+        when(col("r_lex") === 0L, 0.0)
+          .otherwise(lit(1.0) / (lit(60.0) + col("r_lex"))) +
+        when(col("r_sem") === 0L, 0.0)
+          .otherwise(lit(1.0) / (lit(60.0) + col("r_sem"))))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "r_lex", "r_sem", "rrf")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_gopher" -> (docGopher _),
     "doc_bm25" -> (docBm25 _),
+    "doc_hybrid_rrf" -> (docHybridRrf _),
     "doc_dedup_exact" -> (docDedupExact _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
     "doc_dedup_near" -> (docDedupNear _),
@@ -906,6 +950,48 @@ object Docs {
         |  list_sum(list(sc ORDER BY term)) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "doc_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlq AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dlq),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tfq
+        |  WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN nn),
+        |lextop AS (
+        |  SELECT doc_id, list_sum(list(sc ORDER BY term)) AS score
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id ASC LIMIT 10),
+        |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS r_lex FROM lextop),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v),
+        |semtop AS (
+        |  SELECT c.vec_id AS neighbor_id,
+        |    list_dot_product(c.e, q.e) / (c.norm * q.norm) AS cos
+        |  FROM n2 c CROSS JOIN (SELECT e, norm FROM n2 WHERE vec_id = 0) q
+        |  WHERE c.vec_id <> 0
+        |  ORDER BY cos DESC, c.vec_id ASC LIMIT 10),
+        |semr AS (SELECT neighbor_id, ROW_NUMBER() OVER (
+        |    ORDER BY cos DESC, neighbor_id ASC) AS r_sem FROM semtop)
+        |SELECT COALESCE(lexr.doc_id, semr.neighbor_id) AS doc_id,
+        |  CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+        |  CAST(COALESCE(r_sem, 0) AS BIGINT) AS r_sem,
+        |  (CASE WHEN r_lex IS NULL THEN 0.0 ELSE 1.0 / (60.0 + r_lex) END +
+        |   CASE WHEN r_sem IS NULL THEN 0.0 ELSE 1.0 / (60.0 + r_sem) END)
+        |    AS rrf
+        |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.neighbor_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "doc_minhash_md5" -> minhashMd5Oracle,
     "doc_simhash_md5" -> simhashMd5Oracle,
     "doc_pipeline_scale" -> pipelineScaleOracle,

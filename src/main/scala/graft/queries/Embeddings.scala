@@ -60,6 +60,29 @@ object Embeddings {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
+  /** Cosine top-k neighbors of ONE designated corpus vector — the
+    * semantic branch of `doc_hybrid_rrf` (queries/Docs.scala). Same
+    * dot/divide arithmetic and (cos desc, id asc) tie-break as
+    * [[embCosineTopk]] (whose `rnk` column is hash-green, i.e. the
+    * ranks replay bit-exactly cross-engine); top-k via orderBy+limit
+    * (TakeOrdered distributed heap — no global sort), the rank number
+    * assigned AFTER the cut over ≤k rows. */
+  def cosineNeighbors(s: SparkSession, d: String, queryVecId: Long,
+      k: Int): DataFrame = {
+    val v = vecs(s, d)
+    val q = broadcast(v.filter(col("vec_id") === queryVecId)
+      .select(col("e").as("qe"), col("norm").as("qnorm")))
+    val top = v.select(col("vec_id").as("neighbor_id"), col("e"), col("norm"))
+      .filter(col("neighbor_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .select("neighbor_id", "rnk", "cos")
+  }
+
   /** #42 Cosine near-dup pairs (τ = 0.4), the 100 TB path: banded
     * random-hyperplane LSH (8 bands × 4 sign bits over 32 deterministic
     * planes) generates candidates IN-BUCKET — a pair
