@@ -756,6 +756,85 @@ object ScaleProbe {
               "codes_bytes" -> cb, "raw32_bytes" -> rb,
               "bytes_ratio" -> math.rint(rb.toDouble / cb * 100) / 100))
           } finally deleteRecursively(idxDir)
+        case Array("pqs", m, kc, train, topk, tag @ _*) if tag.size <= 1 =>
+          // r17: SAMPLED codebook training — the 100 TB fit path. Same
+          // measurement as the pq probe, but Lloyd's rounds iterate
+          // only `train` hash-sampled vectors and the corpus is
+          // encoded in one final map-side pass; compare build_secs and
+          // recall against the full-fit pq record at the same (m, kc).
+          val kk = topk.toInt
+          val nQ = 50
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("pqsprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.savePqIndex(graft.operators.Similarity.pqFit(
+              v, dim = 64, m = m.toInt, kc = kc.toInt, iters = 3,
+              trainN = train.toInt), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadPqIndex(spark, idxDir.toString)
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val t1 = System.nanoTime()
+            val got = graft.operators.Similarity.pqSearch(idx, qside, kk)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val searchSecs = (System.nanoTime() - t1) / 1e9
+            val recall = got.count(exact.contains).toDouble / exact.size
+            println(f"[probe] pqs m=$m%s kc=$kc%s train=$train%s " +
+              f"recall=$recall%.4f build=$buildSecs%.2f s search=$searchSecs%.2f s")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "search_secs" -> math.rint(searchSecs * 1000) / 1000,
+              "recall" -> math.rint(recall * 10000) / 10000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "train_n" -> train.toInt,
+              "topk" -> kk, "n_queries" -> nQ))
+          } finally deleteRecursively(idxDir)
+        case Array("ivfpqs", m, kc, kCoarse, train, topk, tag @ _*)
+            if tag.size <= 1 =>
+          // r17: sampled-training IVFADC — the ivfpq probe with
+          // trainN; coarse cells AND residual codebooks train on the
+          // sample, the corpus is assigned/encoded in single passes
+          val kk = topk.toInt
+          val nQ = 50
+          val nC = kCoarse.toInt
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("ivfpqsprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = m.toInt, kc = kc.toInt, kCoarse = nC,
+                iters = 3, trainN = train.toInt), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val sweep = Seq(1, 2, 4, 8).filter(_ < nC) :+ nC
+            val curve = sweep.map { np =>
+              val t1 = System.nanoTime()
+              val got = graft.operators.Similarity
+                .ivfPqSearch(idx, qside, kk, np)
+                .select("query_id", "neighbor_id")
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+              val s = (System.nanoTime() - t1) / 1e9
+              val recall = got.count(exact.contains).toDouble / exact.size
+              println(f"[probe] ivfpqs nprobe=$np%-3d recall=$recall%.4f  $s%6.2f s")
+              Map[String, Any]("nprobe" -> np,
+                "recall" -> math.rint(recall * 10000) / 10000,
+                "secs" -> math.rint(s * 1000) / 1000)
+            }
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> nC,
+              "train_n" -> train.toInt, "topk" -> kk, "n_queries" -> nQ,
+              "curve" -> curve))
+          } finally deleteRecursively(idxDir)
         case Array("pq", m, kc, topk, tag @ _*) if tag.size <= 1 =>
           // r15: the PQ compressed-index path at probe scale — fit the
           // per-subspace codebooks, persist/reload the stamped

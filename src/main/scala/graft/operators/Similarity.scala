@@ -160,12 +160,34 @@ object Similarity {
     * Returns the final (vec_id, cluster, d2) assignment. The
     * bit-exact-replay query twin is
     * [[graft.queries.Embeddings.kmeansSeqFold]]; KmeansSpec pins both
-    * to identical assignments and Lloyd's non-increasing objective. */
-  def kmeans(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    * to identical assignments and Lloyd's non-increasing objective.
+    *
+    * `trainN > 0` enables SAMPLED training — the 100 TB fit path
+    * (Jégou et al. 2011 §V train their codebooks on a corpus sample;
+    * FAISS defaults to ~256 vectors/centroid): the Lloyd's rounds
+    * iterate over the `trainN` vectors with the lowest
+    * xxhash64(vec_id) (a deterministic, id-space-independent,
+    * uniformly-spread sample — TakeOrdered heap, no RNG in the plan,
+    * same result every run and every partitioning), and only the
+    * FINAL assignment pass touches the full corpus — still the same
+    * map-side broadcast argmin, so full-corpus cost drops from
+    * `iters` scans to exactly one. trainN = 0 (the default) is the
+    * exact pre-existing full-corpus plan, bit for bit; trainN >= n
+    * trains on every vector and differs from full training only in
+    * plan shape (SampledFitSpec pins the assignments equal). */
+  def kmeans(v: DataFrame, k: Int, iters: Int, trainN: Int = 0): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters must be >= 1")
     val vv = graft.CacheScope.persistTracked(
       v.select(col("vec_id"), col("e"))
         .withColumn("see", dot(col("e"), col("e"))))
+    // the intermediate limit() plans as a single-partition GlobalLimit;
+    // re-spread the sample by id hash so the training rounds keep full
+    // parallelism (deterministic partitioning — no row-order dependence
+    // survives the mergeable aggregates)
+    val tv = if (trainN > 0) graft.CacheScope.persistTracked(
+      vv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainN)
+        .repartition(col("vec_id")))
+    else vv
     // the k lowest vec_ids, SELECTED BY RANK (orderBy+limit =
     // TakeOrdered, a distributed heap — not a global sort), so the
     // documented seeding holds for ANY id space: a filtered corpus
@@ -176,24 +198,27 @@ object Similarity {
     // dense 0-based ids rank-1 == vec_id, so nothing downstream (or in
     // the oracle twin) changes.
     val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    var cent = vv.orderBy("vec_id").limit(k)
+    var cent = tv.orderBy("vec_id").limit(k)
       .withColumn("cluster", row_number().over(seedW) - 1)
       .select(col("cluster"), col("e").as("ce"))
       .withColumn("scc", dot(col("ce"), col("ce")))
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
-      // the k centroids fold into ONE array row, broadcast; assignment
-      // is then a pure map-side argmin fold per vector — the corpus
-      // NEVER shuffles for assignment (a crossJoin + groupBy(vec_id)
-      // formulation would re-shuffle every vector per round). The fold
-      // computes the lexicographic min over (d2, cluster), so the
-      // collect_list order doesn't matter.
-      val centArr = broadcast(cent.agg(
+    // the k centroids fold into ONE array row, broadcast; assignment
+    // is then a pure map-side argmin fold per vector — the corpus
+    // NEVER shuffles for assignment (a crossJoin + groupBy(vec_id)
+    // formulation would re-shuffle every vector per round). The fold
+    // computes the lexicographic min over (d2, cluster), so the
+    // collect_list order doesn't matter.
+    def assign(set: DataFrame, c: DataFrame): DataFrame = {
+      val centArr = broadcast(c.agg(
         collect_list(struct(col("cluster"), col("ce"), col("scc"))).as("cs")))
-      assigned = vv.crossJoin(centArr)
+      set.crossJoin(centArr)
         .withColumn("best", nearestFold(col("cs"), col("e"), col("see")))
         .select(col("vec_id"), col("best.cluster").as("cluster"),
           col("best.d2").as("d2"), col("e"))
+    }
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = assign(tv, cent)
       if (it < iters)
         cent = assigned
           .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
@@ -204,6 +229,10 @@ object Similarity {
             t => t.getField("cx")).as("ce"))
           .withColumn("scc", dot(col("ce"), col("ce")))
     }
+    // sampled training: the loop above only ever touched the sample;
+    // pay the full-corpus scan exactly once, against the converged
+    // centroids (the same map-side argmin the loop used).
+    if (trainN > 0) assigned = assign(vv, cent)
     assigned.select("vec_id", "cluster", "d2")
   }
 
@@ -245,8 +274,19 @@ object Similarity {
     * updates are the mergeable avg over (s, code, pos). kc ≥ #distinct
     * subvectors degenerates to exact reconstruction, which PqSpec pins
     * to brute-force-identical search — the provably-exact endpoint,
-    * the nprobe=#cells precedent. */
-  def pqFit(v: DataFrame, dim: Int, m: Int, kc: Int, iters: Int): PqIndex = {
+    * the nprobe=#cells precedent.
+    *
+    * `trainN > 0` = sampled codebook training, the [[kmeans]]
+    * convention and the 100 TB fit path: Lloyd's rounds iterate only
+    * the trainN lowest-xxhash64 vectors (deterministic, uniform, no
+    * RNG), seeds come from the sample, and the full corpus is ENCODED
+    * in exactly one final map-side pass — codebook quality depends on
+    * the sample's coverage of the distribution, not the corpus size,
+    * which is why every production PQ system fits this way (Jégou
+    * et al. 2011 §V). trainN = 0 keeps the pre-existing full-corpus
+    * plan bit for bit. */
+  def pqFit(v: DataFrame, dim: Int, m: Int, kc: Int, iters: Int,
+      trainN: Int = 0): PqIndex = {
     require(m >= 1 && dim % m == 0, s"pqFit: m=$m must divide dim=$dim")
     require(kc >= 1 && iters >= 1, s"pqFit: kc=$kc iters=$iters must be >= 1")
     val sub = dim / m
@@ -256,6 +296,12 @@ object Similarity {
             slice(col("e"), s * sub + 1, sub).as("es"))): _*)).as("w"))
         .select(col("vec_id"), col("w.s").as("s"), col("w.es").as("es"))
         .withColumn("see", dot(col("es"), col("es"))))
+    val trainIds = if (trainN > 0) Some(broadcast(
+      v.select(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainN)))
+    else None
+    val tw = trainIds.map(t => graft.CacheScope.persistTracked(
+      work.join(t, "vec_id"))).getOrElse(work)
     // seeds = the kc lowest vec_ids by RANK (the kmeans convention and
     // fix — works for any id space, not just dense 0-based); the seed
     // id set is a ≤kc-row broadcast join against the subspace rows.
@@ -263,20 +309,27 @@ object Similarity {
     // (slot = s·kc+code) REQUIRES code < kc, so raw ids must never
     // leak into the code space.
     val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // seeds = the kc lowest vec_ids of the TRAIN set (sample when
+    // trainN > 0) by rank — the kmeans convention
     val seedIds = broadcast(
-      v.select(col("vec_id")).orderBy("vec_id").limit(kc)
+      trainIds.map(_.select(col("vec_id")))
+        .getOrElse(v.select(col("vec_id")))
+        .orderBy("vec_id").limit(kc)
         .withColumn("code", row_number().over(seedW) - 1))
-    var cb = work.join(seedIds, "vec_id")
+    var cb = tw.join(seedIds, "vec_id")
       .select(col("s"), col("code"), col("es").as("ce"))
       .withColumn("scc", dot(col("ce"), col("ce")))
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
-      val cbArr = broadcast(cb.groupBy("s").agg(collect_list(
+    def assign(set: DataFrame, c: DataFrame): DataFrame = {
+      val cbArr = broadcast(c.groupBy("s").agg(collect_list(
         struct(col("code").as("cluster"), col("ce"), col("scc"))).as("cs")))
-      assigned = work.join(cbArr, "s")
+      set.join(cbArr, "s")
         .withColumn("best", nearestFold(col("cs"), col("es"), col("see")))
         .select(col("vec_id"), col("s"), col("es"),
           col("see"), col("best.cluster").as("code"))
+    }
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = assign(tw, cb)
       if (it < iters)
         cb = assigned
           .select(col("s"), col("code"), posexplode(col("es")).as(Seq("pos", "x")))
@@ -287,6 +340,9 @@ object Similarity {
             t => t.getField("cx")).as("ce"))
           .withColumn("scc", dot(col("ce"), col("ce")))
     }
+    // sampled training: ENCODE the full corpus in one map-side pass
+    // against the converged codebooks (the loop only read the sample)
+    if (trainN > 0) assigned = assign(work, cb)
     // decoded norm per vector = sqrt(Σ_s scc of its chosen code) —
     // query-independent, computed once at build
     val codes = assigned
@@ -528,15 +584,20 @@ object Similarity {
     * shuffles are the one-time build joins on vec_id (attaching
     * cluster to codes) — search never shuffles the corpus. */
   def ivfPqFit(v: DataFrame, dim: Int, m: Int, kc: Int, kCoarse: Int,
-      iters: Int): IvfPqIndex = {
+      iters: Int, trainN: Int = 0): IvfPqIndex = {
     require(kCoarse >= 1, s"ivfPqFit: kCoarse=$kCoarse must be >= 1")
     val vv = graft.CacheScope.persistTracked(
       v.select(col("vec_id"), col("e"))
         .withColumn("see", dot(col("e"), col("e"))))
     // converge centroids with the production kmeans, then take FINAL
     // cell means (mergeable avg) — search probes these exact
-    // centroids, so the re-assignment inside ivfPqFitWithCoarse does too
-    val asg = kmeans(vv, kCoarse, iters)
+    // centroids, so the re-assignment inside ivfPqFitWithCoarse does
+    // too. With trainN > 0 the Lloyd's rounds (here and in the
+    // residual pqFit) iterate only the sample; the full corpus is
+    // touched exactly three times — final cell means below, residual
+    // computation, residual encoding — each a single map-side or
+    // mergeable-agg pass.
+    val asg = kmeans(vv, kCoarse, iters, trainN)
     val coarse = asg.join(vv, "vec_id")
       .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos").agg(avg("x").as("cx"))
@@ -545,7 +606,7 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx")).as("ce"))
       .withColumn("scc", dot(col("ce"), col("ce")))
-    ivfPqFitWithCoarse(vv, coarse, dim, m, kc, kCoarse, iters)
+    ivfPqFitWithCoarse(vv, coarse, dim, m, kc, kCoarse, iters, trainN)
   }
 
   /** [[ivfPqFit]] with a caller-supplied coarse table (cluster, ce,
@@ -564,7 +625,8 @@ object Similarity {
     * consumer, making the built index internally consistent by
     * construction (and saving the repeated Lloyd's/residual work). */
   def ivfPqFitWithCoarse(v: DataFrame, coarse0: DataFrame, dim: Int,
-      m: Int, kc: Int, kCoarse: Int, iters: Int): IvfPqIndex = {
+      m: Int, kc: Int, kCoarse: Int, iters: Int,
+      trainN: Int = 0): IvfPqIndex = {
     val vv =
       if (v.columns.contains("see")) v.select("vec_id", "e", "see")
       else v.select(col("vec_id"), col("e"))
@@ -581,7 +643,7 @@ object Similarity {
         .withColumn("r", zip_with(col("e"), col("cc"), (a, b) => a - b))
         .select(col("vec_id"), col("cluster"), col("r")))
     val pq = pqFit(assigned.select(col("vec_id"), col("r").as("e")),
-      dim, m, kc, iters)
+      dim, m, kc, iters, trainN)
     val codes = ivfPqCodesWithDnorm(coarse, pq.codebooks, dim, m,
       pq.codes.drop("dnorm")
         .join(assigned.select(col("vec_id"), col("cluster")), "vec_id"))
