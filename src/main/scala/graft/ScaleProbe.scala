@@ -792,6 +792,55 @@ object ScaleProbe {
               "m" -> m.toInt, "kc" -> kc.toInt, "train_n" -> train.toInt,
               "topk" -> kk, "n_queries" -> nQ))
           } finally deleteRecursively(idxDir)
+        case Array("pqr", m, kc, train, topk, kShort, tag @ _*)
+            if tag.size <= 1 =>
+          // r17: two-stage refine search (Jégou §VI / IndexRefineFlat)
+          // — ADC shortlist + exact re-rank from the raw floats.
+          // Measures the recall UPLIFT refine buys over plain ADC on
+          // the SAME index and what it costs (the shortlist semi-join
+          // pass over the raw vectors), so the kShort knob has a
+          // measured curve like nprobe does.
+          val kk = topk.toInt
+          val ks = kShort.toInt
+          val nQ = 50
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("pqrprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.savePqIndex(graft.operators.Similarity.pqFit(
+              v, dim = 64, m = m.toInt, kc = kc.toInt, iters = 3,
+              trainN = train.toInt), idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadPqIndex(spark, idxDir.toString)
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val t1 = System.nanoTime()
+            val adc = graft.operators.Similarity.pqSearch(idx, qside, kk)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val adcSecs = (System.nanoTime() - t1) / 1e9
+            val adcRecall = adc.count(exact.contains).toDouble / exact.size
+            val t2 = System.nanoTime()
+            val ref = graft.operators.Similarity.pqSearchRefine(
+                idx, qside, v.select(col("vec_id"), col("e")), kk, ks)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val refSecs = (System.nanoTime() - t2) / 1e9
+            val refRecall = ref.count(exact.contains).toDouble / exact.size
+            println(f"[probe] pqr m=$m%s kc=$kc%s train=$train%s " +
+              f"kShort=$ks%d adc=$adcRecall%.4f ($adcSecs%.2f s) -> " +
+              f"refined=$refRecall%.4f ($refSecs%.2f s)")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "adc_secs" -> math.rint(adcSecs * 1000) / 1000,
+              "refine_secs" -> math.rint(refSecs * 1000) / 1000,
+              "recall_adc" -> math.rint(adcRecall * 10000) / 10000,
+              "recall_refined" -> math.rint(refRecall * 10000) / 10000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "train_n" -> train.toInt,
+              "topk" -> kk, "k_short" -> ks, "n_queries" -> nQ))
+          } finally deleteRecursively(idxDir)
         case Array("ivfpqs", m, kc, kCoarse, train, topk, tag @ _*)
             if tag.size <= 1 =>
           // r17: sampled-training IVFADC — the ivfpq probe with

@@ -411,6 +411,77 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "qcos")
   }
 
+  /** Two-stage refine search (Jégou et al. 2011 §VI "re-ranking with
+    * source coding"; the FAISS `IndexRefineFlat` pattern): ADC
+    * shortlists `kShort` candidates per query from the compressed
+    * codes, then ONLY those candidates are re-scored with EXACT cosine
+    * from the raw float vectors and the true top `k` is returned. This
+    * is the production answer to PQ's lossy recall: the quantized
+    * index does the heavy candidate elimination corpus-stationary, and
+    * the exact pass touches nQ·kShort raw vectors — at 100 TB the raw
+    * floats stay on cheap storage and are only ever read through the
+    * shortlist semi-join (bucket the raw table by vec_id to turn that
+    * scan into a pruned point-lookup), so recall approaches exact
+    * search at a small constant extra cost per query.
+    *
+    * `raw` carries (vec_id, e); norms are derived here, once, with the
+    * same sequential arithmetic as the brute-force baseline, so the
+    * re-ranked qcos is bit-identical to what exact search would emit
+    * for the same pair (PqSpec pins the kShort ≥ corpus endpoint ≡
+    * brute force). Output follows the search convention:
+    * (query_id, neighbor_id, rnk, qcos) with (qcos DESC, neighbor_id
+    * ASC) ranking. */
+  def pqSearchRefine(index: PqIndex, queries: DataFrame, raw: DataFrame,
+      k: Int, kShort: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(kShort >= k,
+      s"pqSearchRefine: kShort=$kShort must be >= k=$k")
+    refineExact(
+      pqSearch(index, queries, kShort, excludeSelf), queries, raw, k)
+  }
+
+  /** [[pqSearchRefine]] over the IVFADC index: cell-probed ADC
+    * shortlist (`nprobe` recall knob), exact cosine re-rank of the
+    * shortlist from the raw vectors. Composes the two recall knobs —
+    * nprobe widens the scored fraction, kShort deepens the exact
+    * pass — without the corpus ever shuffling. */
+  def ivfPqSearchRefine(index: IvfPqIndex, queries: DataFrame,
+      raw: DataFrame, k: Int, kShort: Int, nprobe: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(kShort >= k,
+      s"ivfPqSearchRefine: kShort=$kShort must be >= k=$k")
+    refineExact(
+      ivfPqSearch(index, queries, kShort, nprobe, excludeSelf),
+      queries, raw, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist
+    * against the raw vectors. Plan shape: the shortlist is nQ·kShort
+    * rows — it broadcasts into a hash semi-join against the raw scan
+    * (the corpus' only appearance; 2-column pruned read), queries
+    * broadcast for (qe, qnorm), and the final rank window sees only
+    * the shortlist rows. Arithmetic matches the brute-force baseline
+    * exactly: qcos = dot(e, qe) / (sqrt(dot(e,e)) · qnorm), sequential
+    * dots, (qcos DESC, neighbor_id ASC) ties. */
+  private def refineExact(shortlist: DataFrame, queries: DataFrame,
+      raw: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = broadcast(
+      shortlist.select(col("query_id"), col("neighbor_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    raw.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(short, "neighbor_id")
+      .join(broadcast(queries.select(
+        col("query_id"), col("qe"), col("qnorm"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("e"), col("qe")) /
+          (sqrt(dot(col("e"), col("e"))) * col("qnorm"))).as("qcos"))
+      .filter(!isnan(col("qcos")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
   /** Per-query dense ADC lookup table over a (s, code, ce) codebook
     * set: (query_id, qnorm, tarr) with tarr[s·kc+code] =
     * dot(q_s, ce). Dense via a generated (s, code) grid so element_at

@@ -387,6 +387,35 @@ object Embeddings {
     graft.operators.Similarity.pqSearch(idx, q, 5)
   }
 
+  /** #41j Two-stage refine search (Jégou et al. 2011 §VI / the FAISS
+    * `IndexRefineFlat` pattern) in its LOSSY regime — unlike
+    * [[embAnnPq]]'s exact endpoint, this query quantizes hard
+    * (kc = 32 seed codes over 500 vectors, iters = 1: codebooks are
+    * the subvectors of the 32 lowest vec_ids, assignment is one
+    * argmin pass — no Lloyd's update, so the whole FIT is
+    * SQL-replayable) and then repairs recall with the exact re-rank:
+    * ADC shortlists kShort = 20 candidates per query, only those 20
+    * are re-scored with exact cosine from the raw floats, true top-5
+    * returned. The oracle replays the full two-stage pipeline —
+    * seed-codebook assignment ((d2 ASC, code ASC) argmin with d2 =
+    * (see − 2·dot) + scc exactly as the NearestCode kernel folds it),
+    * subspace-ordered dnorm/ADC sums, the shortlist cut, and the
+    * exact re-rank — so the refine stage is verified doing real work
+    * on a genuinely lossy index, not a no-op at an exact endpoint.
+    * Constant cost at every sf (the cap, not the corpus, is the input
+    * size); lossy-regime recall uplift at scale is measured by the
+    * `pqr:*` ScaleProbe. */
+  def embAnnPqRefine(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).filter(col("vec_id") < 500)
+    val idx = graft.operators.Similarity.pqFit(
+      v.select(col("vec_id"), col("e")), dim = 64, m = 8, kc = 32, iters = 1)
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    graft.operators.Similarity.pqSearchRefine(
+      idx, q, v.select(col("vec_id"), col("e")), k = 5, kShort = 20)
+  }
+
   /** #41g IVFADC (IVF coarse cells + PQ on residuals — the canonical
     * billion-scale ANN architecture) at its provably-exact endpoint:
     * ONE coarse cell whose centroid is the vec_id-ordered seqfold mean
@@ -503,6 +532,7 @@ object Embeddings {
     "emb_quantize" -> (embQuantize _),
     "emb_ann_sq" -> (embAnnSq _),
     "emb_ann_pq" -> (embAnnPq _),
+    "emb_ann_pq_refine" -> (embAnnPqRefine _),
     "emb_ann_ivfpq" -> (embAnnIvfPq _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
@@ -578,6 +608,86 @@ object Embeddings {
        |WHERE rnk <= $k""".stripMargin
   }
 
+  /** Full two-stage refine replay in the LOSSY regime: seed codebooks
+    * (subvectors of the kc lowest vec_ids, code = rank), one
+    * (d2 ASC, code ASC) argmin assignment pass with d2 =
+    * (see − 2·dot(es, ce)) + scc — the NearestCode kernel's exact
+    * association — dnorm and the ADC numerator as subspace-ordered
+    * sequential sums (list_sum over an ORDER BY s list, the seqfold
+    * precedent), the (qcos DESC, neighbor_id ASC) kShort shortlist
+    * cut, then the exact-cosine re-rank with [[embCosineTopk]]'s
+    * arithmetic. Runtime `range(0, m) t(s)` subspace rows with
+    * expression-bound list_slice — same 1-based inclusive slicing as
+    * the literal slices of [[annPqOracle]]. */
+  private def annPqRefineOracle(dim: Int, m: Int, cap: Int, kc: Int,
+      nQ: Int, kShort: Int, k: Int): String = {
+    val sub = dim / m
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id < $cap),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT $kc)),
+       |sv0 AS (SELECT seeds.code, v.e FROM seeds JOIN v USING (vec_id)),
+       |cbn AS (
+       |  SELECT t.s, sv0.code,
+       |    list_slice(sv0.e, t.s * $sub + 1, (t.s + 1) * $sub) AS ce,
+       |    list_dot_product(
+       |      list_slice(sv0.e, t.s * $sub + 1, (t.s + 1) * $sub),
+       |      list_slice(sv0.e, t.s * $sub + 1, (t.s + 1) * $sub)) AS scc
+       |  FROM sv0, range(0, $m) t(s)),
+       |svn AS (
+       |  SELECT vec_id, t.s,
+       |    list_slice(e, t.s * $sub + 1, (t.s + 1) * $sub) AS es,
+       |    list_dot_product(
+       |      list_slice(e, t.s * $sub + 1, (t.s + 1) * $sub),
+       |      list_slice(e, t.s * $sub + 1, (t.s + 1) * $sub)) AS see
+       |  FROM v, range(0, $m) t(s)),
+       |asg AS (
+       |  SELECT vec_id, s, code, scc FROM (
+       |    SELECT n.vec_id, n.s, c.code, c.scc,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id, n.s
+       |        ORDER BY n.see - 2.0 * list_dot_product(n.es, c.ce) + c.scc ASC,
+       |                 c.code ASC) AS rn
+       |    FROM svn n JOIN cbn c ON c.s = n.s) t
+       |  WHERE rn = 1),
+       |dn AS (
+       |  SELECT vec_id, sqrt(list_sum(list(scc ORDER BY s))) AS dnorm
+       |  FROM asg GROUP BY vec_id),
+       |q AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       |  FROM v WHERE vec_id < $nQ),
+       |qs AS (
+       |  SELECT q.vec_id AS query_id, t.s,
+       |    list_slice(q.e, t.s * $sub + 1, (t.s + 1) * $sub) AS qes
+       |  FROM q, range(0, $m) t(s)),
+       |adc AS (
+       |  SELECT qs.query_id, a.vec_id AS neighbor_id,
+       |    list_sum(list(list_dot_product(qs.qes, c.ce) ORDER BY qs.s)) AS num
+       |  FROM qs JOIN asg a ON a.s = qs.s
+       |    JOIN cbn c ON c.s = a.s AND c.code = a.code
+       |  GROUP BY qs.query_id, a.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT adc.query_id, adc.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY adc.query_id
+       |        ORDER BY adc.num / (dn.dnorm * q.nrm) DESC,
+       |                 adc.neighbor_id ASC) AS rnk
+       |    FROM adc JOIN dn ON dn.vec_id = adc.neighbor_id
+       |      JOIN q ON q.vec_id = adc.query_id
+       |    WHERE adc.neighbor_id <> adc.query_id) t
+       |  WHERE rnk <= $kShort),
+       |n2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+       |SELECT query_id, neighbor_id, rnk, qcos FROM (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    list_dot_product(c.e, q.e) / (c.nrm * q.nrm) AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY sh.query_id
+       |      ORDER BY list_dot_product(c.e, q.e) / (c.nrm * q.nrm) DESC,
+       |               sh.neighbor_id ASC) AS rnk
+       |  FROM short sh JOIN n2 c ON c.vec_id = sh.neighbor_id
+       |    JOIN q ON q.vec_id = sh.query_id) t
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** IVFADC at the exact endpoint with one seqfold-mean cell: replay
     * cc (per-pos vec_id-ordered sequential mean), the residual
     * r = e − cc element-wise, the build-time norm
@@ -633,6 +743,8 @@ object Embeddings {
   val oracles: Map[String, String] = Map(
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
     "emb_ann_pq" -> annPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
+    "emb_ann_pq_refine" -> annPqRefineOracle(dim = 64, m = 8, cap = 500,
+      kc = 32, nQ = 5, kShort = 20, k = 5),
     "emb_ann_ivfpq" ->
       annIvfPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and

@@ -193,4 +193,32 @@ class IvfPqSpec extends AnyFunSuite {
       assert(searchPairs(refit, v2, 5, 5, nprobe = 4) == exact)
     } finally CacheScope.releaseAll()
   }
+
+  test("ivfPqSearchRefine: exhaustive-probe + full shortlist reproduces " +
+    "brute force over a hard-lossy index; narrow probes never lose " +
+    "recall to the refine stage") {
+    try {
+      val v = vecs
+      // kc = 8 residual codes: heavy quantization so the ADC ordering
+      // is genuinely wrong before refine
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 8,
+        kCoarse = 4, iters = 2)
+      val got = Similarity.ivfPqSearchRefine(idx, queries(v, 5), v,
+          k = 5, kShort = 1000, nprobe = 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exactTopK(v, 5, 5))
+      val exact = exactTopK(v, 5, 5)
+      def recall(pairs: Set[(Long, Long)]): Double =
+        pairs.count(exact.contains).toDouble / exact.size
+      val adc = searchPairs(idx, v, 5, 5, nprobe = 2)
+      val ref = Similarity.ivfPqSearchRefine(idx, queries(v, 5), v,
+          k = 5, kShort = 50, nprobe = 2)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      info(f"ivfpq kc=8 recall@5 nprobe=2: adc ${recall(adc)}%.3f -> " +
+        f"refined(kShort=50) ${recall(ref)}%.3f")
+      assert(recall(ref) >= recall(adc))
+    } finally CacheScope.releaseAll()
+  }
 }

@@ -154,4 +154,70 @@ class PqSpec extends AnyFunSuite {
       assert(recall >= 0.2, f"recall $recall%.3f collapsed")
     } finally CacheScope.releaseAll()
   }
+
+  test("refine exact endpoint: kShort >= corpus reproduces brute-force " +
+    "top-k exactly even over a hard-lossy index") {
+    try {
+      val v = vecs
+      // kc = 4 quantizes brutally — the shortlist covers the whole
+      // corpus, so the exact re-rank must recover brute force no
+      // matter how bad the ADC ordering underneath was
+      val idx = Similarity.pqFit(v, dim = 64, m = 8, kc = 4, iters = 1)
+      val got = Similarity.pqSearchRefine(idx, queries(v, 5), v,
+          k = 5, kShort = 1000)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == exactTopK(v, 5, 5))
+    } finally CacheScope.releaseAll()
+  }
+
+  test("refine: results come from the ADC shortlist and carry the EXACT " +
+    "cosine bit-for-bit; recall never drops below the unrefined search") {
+    try {
+      val dotc = graft.functions.DotProduct.column _
+      val v = vecs
+      val idx = Similarity.pqFit(v, dim = 64, m = 8, kc = 8, iters = 1)
+      val q = queries(v, 5)
+      val short = Similarity.pqSearch(idx, q, k = 50)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val refined = Similarity.pqSearchRefine(idx, q, v, k = 10, kShort = 50)
+      val refRows = refined.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(refRows.forall(t => short.contains((t._1, t._2))))
+      // qcos must be the exact cosine, not the ADC approximation:
+      // recompute independently with the brute-force arithmetic
+      val exactCos = v.select(col("vec_id").as("neighbor_id"), col("e"),
+          sqrt(dotc(col("e"), col("e"))).as("norm"))
+        .crossJoin(q)
+        .withColumn("cos", dotc(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      refRows.foreach { case (qid, nid, qcos) =>
+        assert(java.lang.Double.doubleToLongBits(qcos) ==
+          java.lang.Double.doubleToLongBits(exactCos((qid, nid))),
+          s"($qid,$nid): refined $qcos != exact ${exactCos((qid, nid))}")
+      }
+      val exact = exactTopK(v, 5, 10).map(t => (t._1, t._2))
+      def recall(got: Set[(Long, Long)]): Double =
+        got.count(exact.contains).toDouble / exact.size
+      val adc = Similarity.pqSearch(idx, q, k = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rAdc = recall(adc)
+      val rRef = recall(refRows.map(t => (t._1, t._2)).toSet)
+      info(f"kc=8 recall@10: adc $rAdc%.3f -> refined(kShort=50) $rRef%.3f")
+      assert(rRef >= rAdc, f"refine dropped recall: $rAdc%.3f -> $rRef%.3f")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("refine rejects kShort < k") {
+    val v = vecs
+    val idx = Similarity.pqFit(v, dim = 64, m = 8, kc = 4, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSearchRefine(idx, queries(v, 2), v, k = 10, kShort = 5)
+    }
+    assert(e.getMessage.contains("kShort"), e.getMessage)
+    CacheScope.releaseAll()
+  }
 }
