@@ -31,16 +31,30 @@ object EmbStream {
     * leave true only when the streamed query_ids live in the corpus
     * vec_id space (re-scoring corpus members); set false for EXTERNAL
     * arrivals, whose ids colliding with corpus ids must not silently
-    * drop an unrelated corpus vector from the candidates. */
+    * drop an unrelated corpus vector from the candidates.
+    *
+    * `refineRaw` (with `kShort`) switches each batch to the two-stage
+    * [[Similarity.ivfPqSearchRefine]]: the frozen index shortlists
+    * kShort candidates, then exact cosine re-ranks them from the raw
+    * vector table — which is as frozen as the index itself (same
+    * reference corpus, typically the parquet the index was fit from),
+    * so per-query independence and the union≡batch parity argument
+    * are unchanged; the per-batch extra cost is the shortlist
+    * semi-join against `refineRaw`. */
   def annScoreSink(queries: DataFrame, index: Similarity.IvfPqIndex,
       k: Int, nprobe: Int, outDir: String, checkpointDir: String,
-      excludeSelf: Boolean = true): StreamingQuery =
+      excludeSelf: Boolean = true,
+      refineRaw: Option[DataFrame] = None, kShort: Int = 0): StreamingQuery =
     queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.ivfPqSearch(index, batch, k, nprobe, excludeSelf)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        (refineRaw match {
+          case Some(raw) => Similarity.ivfPqSearchRefine(
+            index, batch, raw, k, kShort, nprobe, excludeSelf)
+          case None =>
+            Similarity.ivfPqSearch(index, batch, k, nprobe, excludeSelf)
+        }).write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

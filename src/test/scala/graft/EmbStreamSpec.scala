@@ -70,6 +70,39 @@ class EmbStreamSpec extends AnyFunSuite {
       assert(streamed == batch,
         s"stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed}")
       assert(streamed.size == 30, s"expected 6 queries x 5 ranks: $streamed")
+
+      // refine twin: a LOSSY frozen index (kc=8) + exact re-rank from
+      // the frozen raw vectors — per-batch refine outputs must union
+      // to the one-shot batch refine, and (kShort covering the corpus)
+      // to brute-force exact top-k
+      val lossyDir = tmp("annstream_lossy")
+      Similarity.saveIvfPqIndex(
+        Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 8,
+          kCoarse = 4, iters = 2), lossyDir.toString)
+      CacheScope.releaseAll()
+      val lossy = Similarity.loadIvfPqIndex(spark, lossyDir.toString)
+      val outDir2 = tmp("annstream_out2")
+      val ckDir2 = tmp("annstream_ck2")
+      val in2 = MemoryStream[(Long, Seq[Double], Double)]
+      val q2 = EmbStream.annScoreSink(
+        in2.toDF().toDF("query_id", "qe", "qnorm"),
+        lossy, k = 5, nprobe = 4, outDir2.toString, ckDir2.toString,
+        refineRaw = Some(v), kShort = 50)
+      try {
+        val (b1, b2) = collected.splitAt(3)
+        in2.addData(b1.toSeq); q2.processAllAvailable()
+        in2.addData(b2.toSeq); q2.processAllAvailable()
+      } finally q2.stop()
+      val streamedRef = spark.read.parquet(outDir2.toString)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batchRef = Similarity.ivfPqSearchRefine(lossy,
+          broadcast(qrows), v, k = 5, kShort = 50, nprobe = 4)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamedRef == batchRef,
+        s"stream-only: ${streamedRef -- batchRef}, " +
+          s"batch-only: ${batchRef -- streamedRef}")
     } finally {
       CacheScope.releaseAll()
       tmps.foreach { p =>
