@@ -211,6 +211,32 @@ class PqSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("refine plan: raw vectors join the broadcast shortlist IN PLACE — " +
+    "the only exchange above the candidate join is the final rank " +
+    "window over nQ*kShort rows") {
+    try {
+      val v = vecs
+      val dir = java.nio.file.Files.createTempDirectory("pqr_plan").toString
+      Similarity.savePqIndex(
+        Similarity.pqFit(v, dim = 64, m = 8, kc = 8, iters = 1), dir)
+      CacheScope.releaseAll()
+      val idx = Similarity.loadPqIndex(spark, dir)
+      val p = Similarity.pqSearchRefine(idx, queries(v, 5), v,
+          k = 5, kShort = 20)
+        .queryExecution.executedPlan.toString
+      // refine segment = everything above the first BroadcastHashJoin
+      // (the shortlist/query sides print below it): exactly the final
+      // rank window's ONE exchange, and NO scan — the raw vectors
+      // feed the join in place, never hash-shuffled on vec_id
+      val joinAt = p.indexOf("BroadcastHashJoin")
+      assert(joinAt > 0, p)
+      val refineSide = p.substring(0, joinAt)
+      assert("Exchange hashpartitioning".r.findAllIn(refineSide).size == 1, p)
+      assert(!refineSide.contains("FileScan"), p)
+      assert(!p.contains("SortMergeJoin (vec_id"), p)
+    } finally CacheScope.releaseAll()
+  }
+
   test("refine rejects kShort < k") {
     val v = vecs
     val idx = Similarity.pqFit(v, dim = 64, m = 8, kc = 4, iters = 1)
