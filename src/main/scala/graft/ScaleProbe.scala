@@ -841,6 +841,59 @@ object ScaleProbe {
               "m" -> m.toInt, "kc" -> kc.toInt, "train_n" -> train.toInt,
               "topk" -> kk, "k_short" -> ks, "n_queries" -> nQ))
           } finally deleteRecursively(idxDir)
+        case Array("ivfpqr", m, kc, kCoarse, train, topk, kShort, tag @ _*)
+            if tag.size <= 1 =>
+          // r17: refine over IVFADC — the production two-knob config
+          // (nprobe widens the scored fraction, kShort deepens the
+          // exact pass). Fixed nprobe = 4; measures ADC vs refined
+          // recall on the same probed cells.
+          val kk = topk.toInt
+          val ks = kShort.toInt
+          val nQ = 50
+          val np = 4
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("ivfpqrprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = m.toInt, kc = kc.toInt,
+                kCoarse = kCoarse.toInt, iters = 3, trainN = train.toInt),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val exact = exactTopK(v, nQ, kk)
+            val qside = broadcast(v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm")))
+            val t1 = System.nanoTime()
+            val adc = graft.operators.Similarity.ivfPqSearch(idx, qside, kk, np)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val adcSecs = (System.nanoTime() - t1) / 1e9
+            val adcRecall = adc.count(exact.contains).toDouble / exact.size
+            val t2 = System.nanoTime()
+            val ref = graft.operators.Similarity.ivfPqSearchRefine(
+                idx, qside, v.select(col("vec_id"), col("e")), kk, ks, np)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val refSecs = (System.nanoTime() - t2) / 1e9
+            val refRecall = ref.count(exact.contains).toDouble / exact.size
+            println(f"[probe] ivfpqr m=$m%s kc=$kc%s kCoarse=$kCoarse%s " +
+              f"train=$train%s nprobe=$np kShort=$ks%d " +
+              f"adc=$adcRecall%.4f ($adcSecs%.2f s) -> " +
+              f"refined=$refRecall%.4f ($refSecs%.2f s)")
+            (exact.size.toLong, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "adc_secs" -> math.rint(adcSecs * 1000) / 1000,
+              "refine_secs" -> math.rint(refSecs * 1000) / 1000,
+              "recall_adc" -> math.rint(adcRecall * 10000) / 10000,
+              "recall_refined" -> math.rint(refRecall * 10000) / 10000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> kCoarse.toInt,
+              "nprobe" -> np, "train_n" -> train.toInt,
+              "topk" -> kk, "k_short" -> ks, "n_queries" -> nQ))
+          } finally deleteRecursively(idxDir)
         case Array("ivfpqs", m, kc, kCoarse, train, topk, tag @ _*)
             if tag.size <= 1 =>
           // r17: sampled-training IVFADC — the ivfpq probe with
