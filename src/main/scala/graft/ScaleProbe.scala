@@ -841,6 +841,58 @@ object ScaleProbe {
               "m" -> m.toInt, "kc" -> kc.toInt, "train_n" -> train.toInt,
               "topk" -> kk, "k_short" -> ks, "n_queries" -> nQ))
           } finally deleteRecursively(idxDir)
+        case Array("knn", m, kc, kCoarse, train, topk, np, nq, tag @ _*)
+            if tag.size <= 1 =>
+          // r17: bulk kNN-graph construction — `nq` corpus vectors as
+          // a NON-broadcast query side against the full corpus via
+          // ivfPqKnnJoin (map-side probe/tarr, cluster-co-partitioned
+          // scoring join). Reports graph rows/s and sampled recall
+          // (exact kNN computed for the 50 lowest query ids only —
+          // the full exact graph is the quadratic wall this operator
+          // exists to avoid).
+          val kk = topk.toInt
+          val nQ = nq.toInt
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("knnprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = m.toInt, kc = kc.toInt,
+                kCoarse = kCoarse.toInt, iters = 3, trainN = train.toInt),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val qside = v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm"))
+            val t1 = System.nanoTime()
+            val graph = graft.operators.Similarity.ivfPqKnnJoin(
+              idx, qside, kk, np.toInt)
+            val outDir = java.nio.file.Files.createTempDirectory("knnout")
+            graph.write.mode("overwrite").parquet(outDir.toString)
+            val joinSecs = (System.nanoTime() - t1) / 1e9
+            val written = spark.read.parquet(outDir.toString)
+            val rows = written.count()
+            val sample = written.filter(col("query_id") < 50)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            val exact = exactTopK(v, 50, kk)
+            val recall = sample.count(exact.contains).toDouble / exact.size
+            deleteRecursively(outDir)
+            println(f"[probe] knn nq=$nQ%d k=$kk%d nprobe=${np.toInt}%d " +
+              f"graph=$rows%d rows in $joinSecs%.1f s " +
+              f"(${rows / joinSecs}%.0f rows/s) sampled recall=$recall%.4f")
+            (rows, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "join_secs" -> math.rint(joinSecs * 1000) / 1000,
+              "graph_rows_per_s" -> math.rint(rows / joinSecs),
+              "sampled_recall" -> math.rint(recall * 10000) / 10000,
+              "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> kCoarse.toInt,
+              "nprobe" -> np.toInt, "train_n" -> train.toInt,
+              "topk" -> kk, "n_queries" -> nQ))
+          } finally deleteRecursively(idxDir)
         case Array("ivfpqr", m, kc, kCoarse, train, topk, kShort, tag @ _*)
             if tag.size <= 1 =>
           // r17: refine over IVFADC — the production two-knob config

@@ -516,13 +516,16 @@ object Similarity {
   }
 
   /** Σ_s tarr[s·kc + codes[s]] folded in subspace order from 0.0 —
-    * m O(1) lookups per row, deterministic association. */
+    * m O(1) lookups per row, deterministic association. Native
+    * codegen'd kernel ([[graft.functions.AdcFold]]) since late r17:
+    * bit-identical to the aggregate(zip_with(…, sequence(0, m−1),
+    * element_at), 0d, +) HOF it replaced (oracle hashes re-gated
+    * unchanged), ~an order of magnitude cheaper per pair — this is
+    * THE per-candidate cost of every PQ-family search, and the bulk
+    * kNN join evaluates it hundreds of millions of times. */
   private def adcFold(codes: Column, tarr: Column, m: Int,
       kc: Int): Column =
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(m - 1)),
-        (c, s) => element_at(tarr, s * kc + c + lit(1))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.AdcFold.column(codes, tarr, kc)
 
   /** Persist / reload a [[PqIndex]] (parquet artifact). Load validates
     * the stamped meta row and re-derives m/dim from it — a caller can
@@ -882,6 +885,120 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "qcos", "cluster")
+  }
+
+  /** Bulk kNN-graph construction over the IVFADC index: every row of
+    * `queries` — CORPUS-scale, emphatically NOT broadcast — gets its k
+    * approximate nearest neighbors. This is the missing bulk form of
+    * [[ivfPqSearch]]: the broadcast formulation serves interactive
+    * nQ-small lookups, but building the kNN graph that feeds
+    * clustering / dedup / curation needs every vector as a query, and
+    * a corpus cannot sit on the broadcast side.
+    *
+    * Plan shape (the whole point): cell probing and the per-query
+    * dense ADC lookup table both build MAP-SIDE against two one-row
+    * broadcast arrays (the coarse cells, and the residual codebooks
+    * densified slot-wise — the [[ivfAssign]] fold precedent), so the
+    * query side never shuffles to rank cells; the scoring join then
+    * co-partitions BOTH sides on `cluster` (a shuffled equi-join —
+    * scored pairs = Σ_cell |queries probing cell|·|cell codes|, the
+    * IVF restriction's own cost model; AQE splits skewed cells), and
+    * the per-query rank window is the only query-keyed exchange, its
+    * input pre-capped map-side by WindowGroupLimit.
+    *
+    * Arithmetic is bit-identical to [[ivfPqSearch]] (same qdotcc /
+    * csim / tarr / adcFold expressions, same (csim DESC, cluster ASC)
+    * cell ranking and (qcos DESC, neighbor_id ASC) result ranking), so
+    * IvfPqSpec pins knn-join ≡ broadcast-search on the same index.
+    * Only the degenerate zero-norm query differs: its all-NaN cell
+    * sims sort last here (ascending struct sort) vs first under the
+    * broadcast path's DESC rank — both then produce zero output rows
+    * (NaN qcos is dropped), so the contract is unchanged.
+    *
+    * `queries` carries (query_id, qe, qnorm). Compose with
+    * [[refineExactBulk]] for an exact-re-ranked graph. */
+  def ivfPqKnnJoin(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"ivfPqKnnJoin: nprobe must be >= 1, got $nprobe")
+    val m = index.m
+    val kc = index.kc
+    val sub = index.dim / m
+    // one broadcast row: coarse cells as an array (cluster, ce, scc)
+    val cellsArr = broadcast(index.coarse.groupBy().agg(
+      array_sort(collect_list(struct(
+        col("cluster"), col("ce"), col("scc")))).as("cells")))
+    // one broadcast row: residual codebooks densified to slot order
+    // (slot = s·kc + code; holes zero-filled — an assigned code always
+    // exists, so a hole is never read: the adcTable contract)
+    val spark = queries.sparkSession
+    val grid = spark.range(m.toLong * kc).select(
+      (col("id") / kc).cast("int").as("s"),
+      (col("id") % kc).cast("int").as("code"))
+    val cbArr = broadcast(grid
+      .join(index.codebooks.select(col("s"), col("code"), col("ce")),
+        Seq("s", "code"), "left")
+      .withColumn("ce",
+        coalesce(col("ce"), array_repeat(lit(0.0), sub)))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(
+          (col("s") * kc + col("code")).as("slot"),
+          struct(col("s"), col("ce")).as("entry")))),
+        t => t.getField("entry")).as("cb")))
+    // map-side: rank cells per query (csim DESC, cluster ASC — the
+    // ivfPqSearch convention, as an ascending struct sort), keep
+    // nprobe; build the per-query dense tarr once
+    val probed = queries.crossJoin(cellsArr).crossJoin(cbArr)
+      .withColumn("pc", slice(array_sort(transform(col("cells"), c => {
+        val qd = dot(col("qe"), c.getField("ce"))
+        struct(
+          (-(qd / (col("qnorm") * sqrt(c.getField("scc"))))).as("negsim"),
+          c.getField("cluster").as("cluster"), qd.as("qdotcc"))
+      })), 1, nprobe))
+      .withColumn("tarr", transform(col("cb"), e =>
+        dot(slice(col("qe"), e.getField("s") * sub + 1, lit(sub)),
+          e.getField("ce"))))
+      .select(col("query_id"), col("qnorm"), col("tarr"),
+        explode(col("pc")).as("p"))
+      .select(col("query_id"), col("qnorm"), col("tarr"),
+        col("p.cluster").as("cluster"), col("p.qdotcc").as("qdotcc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    index.codes.join(probed, "cluster")
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cluster"),
+        ((col("qdotcc") + adcFold(col("codes"), col("tarr"), m, kc)) /
+          (col("dnorm") * col("qnorm"))).as("qcos"))
+      .filter(!isnan(col("qcos")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos", "cluster")
+  }
+
+  /** Bulk exact re-rank — [[refineExact]] for a corpus-scale
+    * shortlist (e.g. [[ivfPqKnnJoin]] output, n·kShort rows): the
+    * shortlist hash-joins the raw vectors on vec_id instead of
+    * broadcasting, queries likewise; the rank window input is still
+    * only the shortlist rows. Same exact arithmetic and ranking as
+    * [[refineExact]]. */
+  def refineExactBulk(shortlist: DataFrame, queries: DataFrame,
+      raw: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    raw.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(shortlist.select(col("query_id"), col("neighbor_id")),
+        "neighbor_id")
+      .join(queries.select(col("query_id"), col("qe"), col("qnorm")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("e"), col("qe")) /
+          (sqrt(dot(col("e"), col("e"))) * col("qnorm"))).as("qcos"))
+      .filter(!isnan(col("qcos")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qcos")
   }
 
   /** Persist / reload an [[IvfPqIndex]] (parquet artifact, stamped

@@ -451,6 +451,43 @@ object Embeddings {
     graft.operators.Similarity.ivfPqSearch(idx, q, 5, nprobe = 1)
   }
 
+  /** #41k Bulk kNN-graph construction
+    * ([[graft.operators.Similarity.ivfPqKnnJoin]] — EVERY corpus
+    * vector is a query, none of them broadcast: the cell probe and
+    * dense ADC table build map-side, the scoring join co-partitions
+    * on cluster) at the [[embAnnIvfPq]] exact endpoint: one
+    * seqfold-mean cell, kc = 300 ≥ corpus, so the graph is the exact
+    * residual-ADC kNN graph and the oracle is the SAME
+    * decomposition-replay as emb_ann_ivfpq with nQ = the whole
+    * capped corpus — 300 queries × top-3 instead of 5 × top-5 (the
+    * cap is 300 here, not 500: 90k exactly-replayed pairs already
+    * prove the association and the smaller fit keeps the per-round
+    * bench cost honest for a constant-cost demo).
+    * IvfPqSpec pins the bulk formulation bit-identical to the
+    * broadcast path on a lossy multi-cell index, where this oracle
+    * cannot see. Constant cost at every sf (the cap bounds both
+    * sides). */
+  def embKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).filter(col("vec_id") < 300)
+    val seqMean = aggregate(
+      transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+        t => t.getField("x")),
+      lit(0.0), (acc, x) => acc + x) / count(lit(1))
+    val cc = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(seqMean.as("cx"))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("ce"))
+      .select(lit(0).as("cluster"), col("ce"),
+        dot(col("ce"), col("ce")).as("scc"))
+    val idx = graft.operators.Similarity.ivfPqFitWithCoarse(
+      v.select(col("vec_id"), col("e")), cc,
+      dim = 64, m = 8, kc = 300, kCoarse = 1, iters = 1)
+    val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("norm").as("qnorm"))
+    graft.operators.Similarity.ivfPqKnnJoin(idx, q, k = 3, nprobe = 1)
+  }
+
   private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
       iters: Int): DataFrame = {
     val v = graft.CacheScope.persistTracked(
@@ -534,6 +571,7 @@ object Embeddings {
     "emb_ann_pq" -> (embAnnPq _),
     "emb_ann_pq_refine" -> (embAnnPqRefine _),
     "emb_ann_ivfpq" -> (embAnnIvfPq _),
+    "emb_knn_join" -> (embKnnJoin _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -747,6 +785,8 @@ object Embeddings {
       kc = 32, nQ = 5, kShort = 20, k = 5),
     "emb_ann_ivfpq" ->
       annIvfPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
+    "emb_knn_join" ->
+      annIvfPqOracle(dim = 64, m = 8, cap = 300, nQ = 300, k = 3),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

@@ -194,6 +194,60 @@ class IvfPqSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("ivfPqKnnJoin: the bulk (non-broadcast-query) formulation is " +
+    "bit-identical to ivfPqSearch on the same lossy index, for every " +
+    "corpus vector as a query") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 2)
+      val allQ = v.select(col("vec_id").as("query_id"), col("e").as("qe"))
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct.column(col("qe"), col("qe"))))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long, Int)] =
+        df.select("query_id", "neighbor_id", "rnk", "qcos", "cluster")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)),
+            r.getInt(4))).toSet
+      val bulk = rows(Similarity.ivfPqKnnJoin(idx, allQ, k = 5, nprobe = 2))
+      val bcast = rows(Similarity.ivfPqSearch(idx, broadcast(allQ),
+        k = 5, nprobe = 2))
+      assert(bulk == bcast,
+        s"bulk-only: ${(bulk -- bcast).take(3)}, " +
+          s"bcast-only: ${(bcast -- bulk).take(3)}")
+      assert(bulk.nonEmpty)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("ivfPqKnnJoin exact endpoint: kc >= corpus + exhaustive nprobe " +
+    "builds the EXACT kNN graph; refineExactBulk re-ranks a bulk " +
+    "shortlist identically to the broadcast refine") {
+    try {
+      val v = vecs
+      val idx = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+        kCoarse = 4, iters = 2)
+      val allQ = v.select(col("vec_id").as("query_id"), col("e").as("qe"))
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct.column(col("qe"), col("qe"))))
+      val graph = Similarity.ivfPqKnnJoin(idx, allQ, k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(graph == exactTopK(v, nQ = 1000000, k = 5))
+      // bulk refine of a lossy bulk shortlist == broadcast refine of
+      // the same shortlist (both exact-cosine re-ranks, same rows)
+      val lossy = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 8,
+        kCoarse = 4, iters = 2)
+      val short = Similarity.ivfPqKnnJoin(lossy, allQ, k = 20, nprobe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val bulkRef = rows(Similarity.refineExactBulk(short, allQ, v, k = 5))
+      val bcastRef = rows(Similarity.ivfPqSearchRefine(lossy,
+        broadcast(allQ), v, k = 5, kShort = 20, nprobe = 2))
+      assert(bulkRef == bcastRef)
+    } finally CacheScope.releaseAll()
+  }
+
   test("ivfPqSearchRefine: exhaustive-probe + full shortlist reproduces " +
     "brute force over a hard-lossy index; narrow probes never lose " +
     "recall to the refine stage") {
