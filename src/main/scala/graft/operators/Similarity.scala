@@ -955,9 +955,12 @@ object Similarity {
           (-(qd / (col("qnorm") * sqrt(c.getField("scc"))))).as("negsim"),
           c.getField("cluster").as("cluster"), qd.as("qdotcc"))
       })), 1, nprobe))
-      .withColumn("tarr", transform(col("cb"), e =>
-        dot(slice(col("qe"), e.getField("s") * sub + 1, lit(sub)),
-          e.getField("ce"))))
+      // native kernel: one tight nested loop per query builds the
+      // whole m·kc-slot table (the transform+slice+dot HOF it
+      // replaces is 41M interpreted frames at 20k queries — see
+      // graft.functions.AdcTable; bit-identical per slot)
+      .withColumn("tarr",
+        graft.functions.AdcTable.column(col("qe"), col("cb"), sub))
       .select(col("query_id"), col("qnorm"), col("tarr"),
         explode(col("pc")).as("p"))
       .select(col("query_id"), col("qnorm"), col("tarr"),
