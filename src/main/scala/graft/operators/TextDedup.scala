@@ -71,6 +71,63 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** FUZZY cross-corpus decontamination — the paraphrased-contamination
+    * case [[crossCorpusOverlap]]'s exact n-gram collisions can miss:
+    * MinHash-ESTIMATED shingle Jaccard between training docs and
+    * benchmark docs, banded LSH for candidates (a train doc pairs with
+    * a bench doc iff some band agrees), verification against the
+    * k-wide signature table only — posting lists never join.
+    *
+    * One signature/band build covers BOTH corpora (the caller supplies
+    * predicates splitting the shared doc_id space — one shingle pass,
+    * and the oracle replays a single chain); the band join is then
+    * CROSS-corpus: train-side rows × bench-side rows, never a
+    * self-join, so the 100 TB train side meets only the (tiny,
+    * AQE-broadcast) bench side per bucket.
+    *
+    * `md5Hash = true` is the engine-portable family
+    * ([[minhashMd5Pairs]]'s trade: ~3-10× per-shingle cost, DuckDB
+    * hash-exact — requires power-of-two k so est = agree/k is an exact
+    * binary fraction); false = seeded murmur3, the production hash
+    * (rows-only, same estimator — the §8 trade). Output:
+    * (doc_id, bench_id, est_jaccard). */
+  def crossCorpusFuzzy(docs: DataFrame, isBench: Column, n: Int = 3,
+      k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      md5Hash: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    if (md5Hash) require(k > 0 && (k & (k - 1)) == 0,
+      s"k=$k must be a power of two for bit-exact agree/$k")
+    val rpb = k / bands
+    def sigCol(j: Int): Column =
+      if (md5Hash) min(md5(concat(lit(s"$j:"), col("shingle"))))
+      else min(hash(lit(j), col("shingle")))
+    val sigs = graft.CacheScope.persistTracked(
+      shingleArrays(docs, n)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy("doc_id")
+        .agg(sigCol(0).as("h0"), (1 until k).map(j => sigCol(j).as(s"h$j")): _*)
+        .withColumn("bench", isBench))
+    val bandRows = sigs.select(col("doc_id"), col("bench"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bandRows.filter(!col("bench")).as("a")
+      .join(bandRows.filter(col("bench")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), cand("doc_id") === col("a.doc_id"))
+      .join(sigs.as("b"), cand("bench_id") === col("b.doc_id"))
+      .select(cand("doc_id"), cand("bench_id"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+  }
+
   /** Exact Jaccard near-dup pairs at threshold tau via PREFIX-FILTERED
     * posting-list self-join (AllPairs/PPJoin family): under a global
     * rarest-first total order on shingles (document frequency, then

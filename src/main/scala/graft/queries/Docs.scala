@@ -96,6 +96,24 @@ object Docs {
       n = 5, minShared = 5L)
   }
 
+  /** #56c FUZZY benchmark decontamination (r17): MinHash-estimated
+    * shingle Jaccard between train and bench docs — the
+    * paraphrased-contamination net behind [[docDecontaminate]]'s
+    * exact 5-gram collisions. Same bench stand-in (the doc_id%10
+    * slice), md5 hash family so the whole chain — signatures, band
+    * buckets, the CROSS-corpus candidate join, the agree/16 estimator
+    * — replays hash-exact in DuckDB (k = 16 a power of two ⇒ the
+    * estimate is an exact binary fraction, the minhashMd5Pairs rule);
+    * production swaps md5Hash = false for seeded murmur3, the
+    * family's documented §8 trade. One signature build covers both
+    * corpora: one shingle pass, and the bench side of the band join
+    * is the tiny side at any real scale. */
+  def docDecontaminateFuzzy(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup.crossCorpusFuzzy(
+      Tables.documents(s, d).select("doc_id", "text"),
+      isBench = pmod(col("doc_id"), lit(10)) === 0,
+      n = 3, k = 16, bands = 4, tau = 0.5, md5Hash = true)
+
   /** #38 MinHash + LSH near-dup (rows-only: DuckDB cannot reproduce
     * Spark's Murmur3 hash family). k=16 permutations via seeded murmur3
     * (hash(seed, shingle) — codegen'd), 4 bands × 4 rows; band-bucket
@@ -771,6 +789,7 @@ object Docs {
     "doc_pipeline_e2e" -> (docPipelineE2e _),
     "doc_pipeline_scale" -> (docPipelineScale _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_decontaminate_fuzzy" -> (docDecontaminateFuzzy _),
     "doc_pack" -> (docPack _),
     "doc_shard_order" -> (docShardOrder _),
     "doc_mixture" -> (docMixture _))
@@ -825,6 +844,41 @@ object Docs {
 
   private val minhashMd5Oracle: String =
     s"WITH $minhashMd5Ctes\nSELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"
+
+  /** Fuzzy-decontamination replay: the minhashMd5 chain with a
+    * CROSS-corpus candidate join (train × bench on band agreement)
+    * instead of the self-join — k/bands/hash family in lockstep with
+    * [[docDecontaminateFuzzy]]'s Spark twin. */
+  private val decontaminateFuzzyOracle: String = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val sigCols = (0 until k)
+      .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (rpb * b until rpb * (b + 1)).map(j => s"h$j").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  $shingleCte),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY 1),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+       |SELECT cand.doc_id AS doc_id, cand.bench_id AS bench_id,
+       |  CAST($agree AS DOUBLE) / $k AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = cand.doc_id
+       |JOIN sig sb ON sb.doc_id = cand.bench_id
+       |WHERE CAST($agree AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
 
   /** doc_pipeline_scale oracle: the e2e gate/dedup/sample CTEs composed
     * with the SAME generated MinHash chain as doc_minhash_md5 (raw
@@ -993,6 +1047,7 @@ object Docs {
         |FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.neighbor_id
         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "doc_minhash_md5" -> minhashMd5Oracle,
+    "doc_decontaminate_fuzzy" -> decontaminateFuzzyOracle,
     "doc_simhash_md5" -> simhashMd5Oracle,
     "doc_pipeline_scale" -> pipelineScaleOracle,
     "doc_dedup_exact" ->

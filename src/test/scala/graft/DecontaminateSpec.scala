@@ -98,4 +98,50 @@ class DecontaminateSpec extends AnyFunSuite {
       s"stream-only: ${streamed -- batch}, batch-only: ${batch -- streamed}")
     assert(batch.nonEmpty, "corpus has no planted contamination; vacuous")
   }
+
+  test("crossCorpusFuzzy: a light paraphrase of a bench doc is flagged " +
+    "with a high estimate, unrelated docs are not, pairs are strictly " +
+    "cross-corpus, and md5/murmur3 families agree on the verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // doc 100 (bench) = 30 words; doc 1 (train) appends two words — a
+    // light paraphrase: 28 of 30 3-shingles survive. doc 2 shares
+    // nothing. doc 110 (bench) is a verbatim copy of bench doc 100:
+    // bench×bench must NOT pair even though est would be 1.0.
+    val para = ((0 until 30).map(i => s"b$i") ++ Seq("x0", "x1")).mkString(" ")
+    val clean = (0 until 40).map(i => s"c$i").mkString(" ")
+    val docs = df(Seq(1L -> para, 2L -> clean,
+      100L -> benchText, 110L -> benchText))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    for (md5 <- Seq(true, false)) {
+      val got = TextDedup.crossCorpusFuzzy(docs, isBench,
+        n = 3, k = 16, bands = 4, tau = 0.5, md5Hash = md5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val flaggedTrain = got.map(_._1).toSet
+      assert(flaggedTrain == Set(1L), s"md5=$md5: $got")
+      // doc 1 pairs with BOTH bench copies; every estimate is high
+      assert(got.map(t => (t._1, t._2)).toSet == Set(1L -> 100L, 1L -> 110L),
+        s"md5=$md5: $got")
+      got.foreach { case (_, _, est) =>
+        assert(est >= 0.5 && est <= 1.0, s"md5=$md5: $got") }
+      // strictly cross-corpus: no bench id ever appears on the train
+      // side (the 100/110 verbatim pair is invisible by design)
+      assert(got.forall(t => t._1 % 10 != 0 && t._2 % 10 == 0))
+    }
+  }
+
+  test("crossCorpusFuzzy rejects a non-power-of-two k only for the " +
+    "md5 (oracle-exact) family") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = df(Seq(1L -> "a b c d e", 10L -> "a b c d e"))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.crossCorpusFuzzy(docs, isBench, k = 12, bands = 4,
+        md5Hash = true)
+    }
+    assert(e.getMessage.contains("power of two"), e.getMessage)
+    // murmur3 production family has no such constraint
+    TextDedup.crossCorpusFuzzy(docs, isBench, k = 12, bands = 4,
+      md5Hash = false).collect()
+    CacheScope.releaseAll()
+  }
 }

@@ -369,12 +369,17 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("emb_ann_pq: map-side ADC — dense lookup table broadcast against the " +
-    "codes (never the reverse), scoring is the zip_with fold (no per-subspace " +
-    "explode of the corpus), rank pruned map-side before the window exchange") {
+    "codes (never the reverse), scoring is the native adc_fold kernel (no " +
+    "per-subspace explode of the corpus), rank pruned map-side before the " +
+    "window exchange") {
     try {
       val p = planOf("emb_ann_pq")
       assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
-      assert(p.contains("zip_with"), p)
+      // late r17: the interpreted zip_with fold became the codegen'd
+      // AdcFold kernel (bit-identical; AdcFoldSpec) — pin the kernel
+      // and the absence of the HOF it replaced
+      assert(p.contains("adc_fold"), p)
+      assert(!p.contains("zip_with"), p)
       // WindowGroupLimit twice: partial (map-side, pre-exchange) + final —
       // only ≤ k·nQ candidate rows cross the rank shuffle
       assert(occurrences(p, "WindowGroupLimit") == 2, p)
