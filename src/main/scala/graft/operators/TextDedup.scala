@@ -128,6 +128,54 @@ object TextDedup {
       .filter(col("est_jaccard") >= tau)
   }
 
+  /** MinHash signature table (doc_id, h0‥h_{k−1}) for
+    * [[crossCorpusFuzzy]]'s two hash families — built once per corpus
+    * side so the streaming sink can freeze the bench side. */
+  def fuzzySigs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      md5Hash: Boolean = false): DataFrame = {
+    def sigCol(j: Int): Column =
+      if (md5Hash) min(md5(concat(lit(s"$j:"), col("shingle"))))
+      else min(hash(lit(j), col("shingle")))
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(sigCol(0).as("h0"), (1 until k).map(j => sigCol(j).as(s"h$j")): _*)
+  }
+
+  /** [[crossCorpusFuzzy]] against a PREBUILT bench signature table —
+    * the streaming form: the bench side is signed once ([[fuzzySigs]])
+    * and frozen for the query lifetime; each arriving train batch
+    * signs only itself. A train doc's signature depends on nothing
+    * but its own shingles and a verdict on nothing but the frozen
+    * bench table, so per-batch outputs union to the batch sweep —
+    * parity by construction, pinned in DecontaminateSpec. */
+  def crossCorpusFuzzyAgainst(train: DataFrame, benchSigs: DataFrame,
+      n: Int = 3, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      md5Hash: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rpb = k / bands
+    val trainSigs = fuzzySigs(train, n, k, md5Hash)
+    def bandRows(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bandRows(trainSigs).as("a")
+      .join(bandRows(benchSigs).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(trainSigs.as("a"), cand("doc_id") === col("a.doc_id"))
+      .join(benchSigs.as("b"), cand("bench_id") === col("b.doc_id"))
+      .select(cand("doc_id"), cand("bench_id"),
+        (agree.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+  }
+
   /** Exact Jaccard near-dup pairs at threshold tau via PREFIX-FILTERED
     * posting-list self-join (AllPairs/PPJoin family): under a global
     * rarest-first total order on shingles (document frequency, then

@@ -297,6 +297,58 @@ object DocStream {
     q
   }
 
+  /** Streaming FUZZY decontamination — the on-arrival twin of
+    * `doc_decontaminate_fuzzy` (SURVEY §2c #56c): the bench side is
+    * MinHash-signed once ([[graft.operators.TextDedup.fuzzySigs]])
+    * and frozen for the query lifetime; each arriving train batch
+    * signs itself and runs the cross-corpus band join + agree/k
+    * estimate against the frozen table. A verdict depends only on
+    * the doc's own shingles and the frozen bench signatures, so the
+    * union of per-batch outputs IS the batch sweep (parity by
+    * construction, DecontaminateSpec-pinned). Same cache lifecycle
+    * discipline as [[decontaminateSink]]. */
+  def decontaminateFuzzySink(train: DataFrame, bench: DataFrame,
+      outDir: String, checkpointDir: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, tau: Double = 0.5,
+      md5Hash: Boolean = false): StreamingQuery = {
+    val benchSigs = graft.operators.TextDedup
+      .fuzzySigs(bench, n, k, md5Hash)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q =
+      try train.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.TextDedup.crossCorpusFuzzyAgainst(
+              batch, benchSigs, n, k, bands, tau, md5Hash)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .start()
+      catch {
+        case t: Throwable => benchSigs.unpersist(blocking = false); throw t
+      }
+    val spark = train.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          benchSigs.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      benchSigs.unpersist(blocking = false)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
   /** Streaming per-domain admission cap (the incremental twin of
     * `doc_domain_cap`, SURVEY §2c #61): at most `cap` documents per
     * source are ADMITTED over the stream's lifetime; later arrivals
