@@ -132,7 +132,13 @@ object Bench {
               s""""total":${math.rint(cur * 1000) / 1000},""" +
               s""""prev_total":${math.rint(old * 1000) / 1000}}""")
           }
-        } catch { case _: Throwable => None }
+        } catch {
+          // NonFatal only: an OOM/interrupt during the bench must not
+          // be silently converted into shared_prev=null
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"shared_prev: failed to parse $p: $e")
+            None
+        }
       }.getOrElse("null")
     }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"excluded":$excludedJson,"build_charged_to":$chargedJson,"shared_prev":$sharedJson,"runs":$runs,"sf":"$sfDir"}"""

@@ -28,13 +28,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * adcTable contract) the kernel NULLs where the HOF under Spark 4
   * ANSI eval threw and failed the query — the strictly safer edge,
   * pinned in AdcFoldSpec. The
-  * HOF additionally read `m` as a literal where this kernel uses
-  * codes.length; call sites build the codes array with exactly m
-  * entries ([[graft.operators.Similarity]] pqFit's sorted collect), so
-  * the two never diverge outside unreachable malformed rows —
-  * AdcFoldSpec pins the differential on randomized inputs.
+  * HOF additionally read `m` as a literal; since r18 the kernel does
+  * too — `m` is a constructor param and [[AdcFold.isInvalid]] NULLs
+  * any row whose codes array is not exactly m long, restoring the
+  * HOF's null-on-length-mismatch behavior on corrupted artifacts
+  * (zip_with against sequence(0, m−1) padded/truncated to m, so a
+  * short codes row nulled the sum rather than summing a plausible
+  * partial) — AdcFoldSpec pins the differential on randomized inputs.
   */
-case class AdcFold(left: Expression, right: Expression, kc: Int)
+case class AdcFold(left: Expression, right: Expression, m: Int, kc: Int)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -52,13 +54,13 @@ case class AdcFold(left: Expression, right: Expression, kc: Int)
   override protected def nullSafeEval(c: Any, t: Any): Any = {
     val codes = c.asInstanceOf[ArrayData]
     val tarr = t.asInstanceOf[ArrayData]
-    if (AdcFold.isInvalid(codes, tarr, kc)) null
+    if (AdcFold.isInvalid(codes, tarr, m, kc)) null
     else AdcFold.compute(codes, tarr, kc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, t) => s"""
-      |if (graft.functions.AdcFold.isInvalid($c, $t, $kc)) {
+      |if (graft.functions.AdcFold.isInvalid($c, $t, $m, $kc)) {
       |  ${ev.isNull} = true;
       |} else {
       |  ${ev.value} = graft.functions.AdcFold.compute($c, $t, $kc);
@@ -70,10 +72,12 @@ case class AdcFold(left: Expression, right: Expression, kc: Int)
 }
 
 object AdcFold {
-  /** Null code / null table slot / out-of-bounds slot ⇒ the HOF's
-    * element_at-NULL propagates through the sum; mirror it exactly. */
-  def isInvalid(codes: ArrayData, tarr: ArrayData, kc: Int): Boolean = {
-    val m = codes.numElements()
+  /** Null code / null table slot / out-of-bounds slot / codes array
+    * not exactly m long ⇒ the HOF's element_at-NULL (or zip_with pad)
+    * propagates through the sum; mirror it exactly. */
+  def isInvalid(codes: ArrayData, tarr: ArrayData, m: Int,
+      kc: Int): Boolean = {
+    if (codes.numElements() != m) return true
     val n = tarr.numElements()
     var s = 0
     while (s < m) {
@@ -98,8 +102,8 @@ object AdcFold {
     sum
   }
 
-  def column(codes: Column, tarr: Column, kc: Int): Column =
+  def column(codes: Column, tarr: Column, m: Int, kc: Int): Column =
     org.apache.spark.sql.graft.Shims.column(
       AdcFold(org.apache.spark.sql.graft.Shims.expression(codes),
-        org.apache.spark.sql.graft.Shims.expression(tarr), kc))
+        org.apache.spark.sql.graft.Shims.expression(tarr), m, kc))
 }

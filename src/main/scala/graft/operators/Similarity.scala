@@ -525,7 +525,7 @@ object Similarity {
     * kNN join evaluates it hundreds of millions of times. */
   private def adcFold(codes: Column, tarr: Column, m: Int,
       kc: Int): Column =
-    graft.functions.AdcFold.column(codes, tarr, kc)
+    graft.functions.AdcFold.column(codes, tarr, m, kc)
 
   /** Persist / reload a [[PqIndex]] (parquet artifact). Load validates
     * the stamped meta row and re-derives m/dim from it — a caller can

@@ -98,15 +98,11 @@ object TextDedup {
     if (md5Hash) require(k > 0 && (k & (k - 1)) == 0,
       s"k=$k must be a power of two for bit-exact agree/$k")
     val rpb = k / bands
-    def sigCol(j: Int): Column =
-      if (md5Hash) min(md5(concat(lit(s"$j:"), col("shingle"))))
-      else min(hash(lit(j), col("shingle")))
+    // ONE signature definition for the whole family: [[fuzzySigs]] is
+    // the single place the per-permutation min-hash column is built
+    // (batch and streaming sides cannot drift)
     val sigs = graft.CacheScope.persistTracked(
-      shingleArrays(docs, n)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy("doc_id")
-        .agg(sigCol(0).as("h0"), (1 until k).map(j => sigCol(j).as(s"h$j")): _*)
-        .withColumn("bench", isBench))
+      fuzzySigs(docs, n, k, md5Hash).withColumn("bench", isBench))
     val bandRows = sigs.select(col("doc_id"), col("bench"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))
@@ -151,10 +147,26 @@ object TextDedup {
     * parity by construction, pinned in DecontaminateSpec. */
   def crossCorpusFuzzyAgainst(train: DataFrame, benchSigs: DataFrame,
       n: Int = 3, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
-      md5Hash: Boolean = false): DataFrame = {
+      md5Hash: Boolean = false): DataFrame =
+    // the signature build is the expensive pass (shingle explode +
+    // k-way min aggregate); it feeds BOTH the band join and the
+    // verification join, so cache it for the CacheScope lifecycle
+    // (Verify/Bench consume-then-release). Streaming callers with
+    // their own per-batch lifecycle persist/unpersist around
+    // [[crossCorpusFuzzySigsJoin]] instead (decontaminateFuzzySink).
+    crossCorpusFuzzySigsJoin(
+      graft.CacheScope.persistTracked(fuzzySigs(train, n, k, md5Hash)),
+      benchSigs, k, bands, tau)
+
+  /** The band-join + signature-verification core of the fuzzy
+    * cross-corpus family, over two PREBUILT [[fuzzySigs]] tables.
+    * Callers own the trainSigs lifecycle: it is referenced twice in
+    * this plan (band join and verification join), so an uncached
+    * trainSigs recomputes its shingle pass twice. */
+  def crossCorpusFuzzySigsJoin(trainSigs: DataFrame, benchSigs: DataFrame,
+      k: Int = 16, bands: Int = 4, tau: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rpb = k / bands
-    val trainSigs = fuzzySigs(train, n, k, md5Hash)
     def bandRows(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("|", (rpb * b until rpb * (b + 1)).map(j => col(s"h$j")): _*)): _*))

@@ -319,9 +319,17 @@ object DocStream {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.TextDedup.crossCorpusFuzzyAgainst(
-              batch, benchSigs, n, k, bands, tau, md5Hash)
+          // per-batch lifecycle: the batch signature table feeds both
+          // the band join and the verification join, so cache it for
+          // exactly this batch (a CacheScope persist would accumulate
+          // for the lifetime of the stream)
+          val sigs = graft.operators.TextDedup
+            .fuzzySigs(batch, n, k, md5Hash)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try graft.operators.TextDedup
+            .crossCorpusFuzzySigsJoin(sigs, benchSigs, k, bands, tau)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          finally sigs.unpersist(blocking = false)
           ()
         }
         .start()

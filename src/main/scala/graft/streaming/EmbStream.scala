@@ -44,7 +44,12 @@ object EmbStream {
   def annScoreSink(queries: DataFrame, index: Similarity.IvfPqIndex,
       k: Int, nprobe: Int, outDir: String, checkpointDir: String,
       excludeSelf: Boolean = true,
-      refineRaw: Option[DataFrame] = None, kShort: Int = 0): StreamingQuery =
+      refineRaw: Option[DataFrame] = None, kShort: Int = 0): StreamingQuery = {
+    // fail at sink construction, not on the first micro-batch:
+    // ivfPqSearchRefine re-validates per batch, but a misconfigured
+    // sink must not start cleanly and then kill the streaming query
+    require(refineRaw.isEmpty || kShort >= k,
+      s"annScoreSink: kShort=$kShort must be >= k=$k when refineRaw is set")
     queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -58,4 +63,5 @@ object EmbStream {
         ()
       }
       .start()
+  }
 }

@@ -61,7 +61,7 @@ class AdcFoldSpec extends AnyFunSuite {
       (Seq(3, 3, 3), Seq.tabulate(12)(i => -0.0 + i * 1e-300)),
       (Seq(0, 0, 0), Seq.fill(12)(0.0)))
     val df = frame(rows)
-      .withColumn("k", graft.functions.AdcFold.column(col("codes"), col("tarr"), kc))
+      .withColumn("k", graft.functions.AdcFold.column(col("codes"), col("tarr"), m, kc))
       .withColumn("h", hof(col("codes"), col("tarr"), m, kc))
       .select(col("k"), col("h")).collect()
     df.foreach { r =>
@@ -76,7 +76,7 @@ class AdcFoldSpec extends AnyFunSuite {
     // code 3 in subspace 2 -> slot 11, but tarr has only 8 entries
     val bad = frame(Seq((Seq(0, 1, 3), Seq.tabulate(8)(_.toDouble))))
     val k = bad
-      .withColumn("k", graft.functions.AdcFold.column(col("codes"), col("tarr"), kc))
+      .withColumn("k", graft.functions.AdcFold.column(col("codes"), col("tarr"), 3, kc))
       .select(col("k")).collect()(0)
     assert(k.isNullAt(0), k)
     // the replaced HOF under Spark 4 ANSI eval fails the whole query
@@ -88,13 +88,32 @@ class AdcFoldSpec extends AnyFunSuite {
     assert(e.toString.toLowerCase.contains("invalid"), e.toString)
   }
 
+  test("codes array not exactly m long NULLs the sum — a partially " +
+    "corrupted artifact row scores NULL, never a plausible partial") {
+    val kc = 4
+    val rows = frame(Seq(
+      (Seq(0, 1), Seq.tabulate(12)(_.toDouble)),        // too short
+      (Seq(0, 1, 2, 3), Seq.tabulate(16)(_.toDouble)))) // too long
+    val got = rows
+      .withColumn("k", graft.functions.AdcFold.column(
+        col("codes"), col("tarr"), 3, kc))
+      .select(col("k")).collect()
+    got.foreach(r => assert(r.isNullAt(0), r))
+    // and the HOF it replaced NULLs the same rows (zip_with pads the
+    // short side with null; element_at(null) is null) — differential
+    val h = rows
+      .withColumn("h", hof(col("codes"), col("tarr"), 3, kc))
+      .select(col("h")).collect()
+    h.foreach(r => assert(r.isNullAt(0), r))
+  }
+
   test("generated code path compiles (no interpreted fallback in a " +
     "whole-stage context)") {
     val kc = 2
     val n = spark.range(100).select(
         array(lit(0), lit(1)).cast("array<int>").as("codes"),
         array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)).as("tarr"))
-      .select(graft.functions.AdcFold.column(col("codes"), col("tarr"), kc).as("v"))
+      .select(graft.functions.AdcFold.column(col("codes"), col("tarr"), 2, kc).as("v"))
       .filter(col("v") === 5.0).count()
     assert(n == 100L)
   }
