@@ -893,6 +893,67 @@ object ScaleProbe {
               "nprobe" -> np.toInt, "train_n" -> train.toInt,
               "topk" -> kk, "n_queries" -> nQ))
           } finally deleteRecursively(idxDir)
+        case Array("knndedup", m, kc, kCoarse, train, topk, np, nq, tau,
+            tag @ _*) if tag.size <= 1 =>
+          // r18: graph-based semantic dedup — the knn probe's bulk
+          // graph composed into mutual edges at tau -> connected
+          // components -> keep-smallest (operators/GraphDedup).
+          // Reports the composition's own cost on top of the graph
+          // build and the verdict shape (groups, drop fraction).
+          val kk = topk.toInt
+          val nQ = nq.toInt
+          val tauD = tau.toDouble
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("knndprobe")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = m.toInt, kc = kc.toInt,
+                kCoarse = kCoarse.toInt, iters = 3, trainN = train.toInt),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val qside = v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("query_id"), col("e").as("qe"),
+                col("norm").as("qnorm"))
+            val t1 = System.nanoTime()
+            val graph = graft.operators.Similarity.ivfPqKnnJoin(
+              idx, qside, kk, np.toInt)
+            val gDir = java.nio.file.Files.createTempDirectory("knndgraph")
+            graph.write.mode("overwrite").parquet(gDir.toString)
+            val graphSecs = (System.nanoTime() - t1) / 1e9
+            val written = spark.read.parquet(gDir.toString)
+            val gRows = written.count()
+            val nodes = v.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("id"))
+            val t2 = System.nanoTime()
+            val verdict = graft.operators.GraphDedup
+              .knnGraphDedup(written, nodes, tauD)
+              .groupBy("keep").agg(count(lit(1)).as("n"),
+                countDistinct(col("component")).as("n_comp"))
+              .collect().map(r =>
+                r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+            val dedupSecs = (System.nanoTime() - t2) / 1e9
+            deleteRecursively(gDir)
+            val kept = verdict.get(true).map(_._1).getOrElse(0L)
+            val dropped = verdict.get(false).map(_._1).getOrElse(0L)
+            val groups = verdict.get(true).map(_._2).getOrElse(0L)
+            println(f"[probe] knndedup nq=$nQ%d k=$kk%d tau=$tauD%.2f " +
+              f"graph=$gRows%d rows ($graphSecs%.1f s) dedup " +
+              f"$dedupSecs%.1f s: kept=$kept%d dropped=$dropped%d " +
+              f"groups=$groups%d")
+            (kept + dropped, Map[String, Any](
+              "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+              "graph_secs" -> math.rint(graphSecs * 1000) / 1000,
+              "dedup_secs" -> math.rint(dedupSecs * 1000) / 1000,
+              "graph_rows" -> gRows, "kept" -> kept, "dropped" -> dropped,
+              "components" -> groups, "tau" -> tauD,
+              "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> kCoarse.toInt,
+              "nprobe" -> np.toInt, "train_n" -> train.toInt,
+              "topk" -> kk, "n_queries" -> nQ))
+          } finally deleteRecursively(idxDir)
         case Array("ivfpqr", m, kc, kCoarse, train, topk, kShort, tag @ _*)
             if tag.size <= 1 =>
           // r17: refine over IVFADC — the production two-knob config

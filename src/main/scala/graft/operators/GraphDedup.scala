@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-based semantic deduplication — the cluster-FREE form of
+  * SemDeDup (Abbas et al. 2023 approximate semantic dedup with a
+  * k-means partition first; here the duplicate groups emerge from the
+  * kNN graph itself, so no cluster boundary can separate a true
+  * near-duplicate pair): mutual-kNN edges at a cosine threshold →
+  * connected components → keep the smallest id per component (the
+  * canonical-selection rule the text-dedup family already uses).
+  *
+  * Input graph rows are [[Similarity.ivfPqKnnJoin]] output —
+  * (query_id, neighbor_id, qcos, …) with query_id ranging over the
+  * whole corpus — or any equivalently-shaped kNN edge list (e.g. an
+  * exact brute-force graph; GraphDedupSpec pins the two equal at the
+  * exact-index endpoint).
+  *
+  * Mutuality is the standard robustness filter (Brito et al. 1997
+  * mutual-kNN consistency): a hub vector that appears in thousands of
+  * top-k lists contributes an edge only toward neighbors it
+  * reciprocates, so hubs cannot glue unrelated regions into one
+  * mega-component. The qcos ≥ τ gate is evaluated on BOTH directions'
+  * scores; under an exact graph they coincide, under a lossy ADC
+  * graph each direction is scored from its own query's lookup table,
+  * and requiring both keeps the verdict symmetric.
+  *
+  * 100 TB scale notes:
+  * - The graph is n·k rows of ids+doubles — vectors and documents
+  *   never enter this operator. The mutual join is a self equi-join
+  *   on the reversed key pair, shuffled by (query_id, neighbor_id):
+  *   2·n·k rows, no skew amplification (each side contributes at most
+  *   k rows per key by construction).
+  * - Components run on the surviving mutual edges (≤ n·k/2, sparse in
+  *   practice) through [[ConnectedComponents.assign]]'s
+  *   large-star/small-star loop — O(log² n) rounds over an edge list,
+  *   per-round state one (Long, Long) frame.
+  * - The keep verdict is a projection (id == component-min by the CC
+  *   labeling), and membership counts partial-aggregate map-side.
+  */
+object GraphDedup {
+
+  /** Mutual-kNN edge list from a directed kNN graph: (u, v) with
+    * u < v, kept iff v ∈ kNN(u) ∧ u ∈ kNN(v) and BOTH directed scores
+    * pass `tau`. Output columns (u, v, qcos_uv, qcos_vu). */
+  def mutualKnnEdges(graph: DataFrame, tau: Double): DataFrame = {
+    val fwd = graph.select(col("query_id").as("u"),
+      col("neighbor_id").as("v"), col("qcos").as("qcos_uv"))
+      .filter(col("u") < col("v") && col("qcos_uv") >= tau)
+    val rev = graph.select(col("neighbor_id").as("u"),
+      col("query_id").as("v"), col("qcos").as("qcos_vu"))
+      .filter(col("u") < col("v") && col("qcos_vu") >= tau)
+    fwd.join(rev, Seq("u", "v"))
+  }
+
+  /** Semantic-dedup verdict per node: component label (= smallest id
+    * in the duplicate group), group size, and keep = canonical
+    * (smallest id — deterministic, replayable). `nodes` is the full
+    * id universe (one `id` column); isolated nodes form singleton
+    * components and are always kept. */
+  def knnGraphDedup(graph: DataFrame, nodes: DataFrame,
+      tau: Double): DataFrame = {
+    val edges = mutualKnnEdges(graph, tau).select("u", "v")
+    val comp = ConnectedComponents.assign(edges)
+    val labeled = nodes.join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, "component")
+      .select(col("id"), col("component"), col("n_members"),
+        (col("id") === col("component")).as("keep"))
+  }
+}

@@ -467,8 +467,15 @@ object Embeddings {
     * broadcast path on a lossy multi-cell index, where this oracle
     * cannot see. Constant cost at every sf (the cap bounds both
     * sides). */
-  def embKnnJoin(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d).filter(col("vec_id") < 300)
+  def embKnnJoin(s: SparkSession, d: String): DataFrame =
+    exactKnnGraph(s, d, cap = 300, k = 3)
+
+  /** The #41k/#42d shared exact-endpoint graph: `cap`-long corpus, one
+    * seqfold-mean cell, kc = cap ≥ corpus so the residual ADC scores
+    * are exact and DuckDB replays the whole graph. */
+  private def exactKnnGraph(s: SparkSession, d: String, cap: Int,
+      k: Int): DataFrame = {
+    val v = vecs(s, d).filter(col("vec_id") < cap)
     val seqMean = aggregate(
       transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
         t => t.getField("x")),
@@ -482,10 +489,29 @@ object Embeddings {
         dot(col("ce"), col("ce")).as("scc"))
     val idx = graft.operators.Similarity.ivfPqFitWithCoarse(
       v.select(col("vec_id"), col("e")), cc,
-      dim = 64, m = 8, kc = 300, kCoarse = 1, iters = 1)
+      dim = 64, m = 8, kc = cap, kCoarse = 1, iters = 1)
     val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"),
       col("norm").as("qnorm"))
-    graft.operators.Similarity.ivfPqKnnJoin(idx, q, k = 3, nprobe = 1)
+    graft.operators.Similarity.ivfPqKnnJoin(idx, q, k = k, nprobe = 1)
+  }
+
+  /** #42d Graph-based semantic dedup
+    * ([[graft.operators.GraphDedup.knnGraphDedup]] — the cluster-FREE
+    * SemDeDup: mutual-kNN edges at qcos ≥ τ from the [[embKnnJoin]]
+    * exact-endpoint graph, connected components, keep-smallest per
+    * component). τ = 0.4 is the emb_neardup family's
+    * documented cosine threshold — at sf0.01 it keeps 19 of the 306
+    * mutual edges, yielding real multi-member duplicate groups.
+    * Oracle: the SAME graph decomposition-replay as emb_knn_join,
+    * composed with the recursive-CTE walk the cluster oracles already
+    * use. Constant cost at every sf (the 300 cap bounds all sides). */
+  def embKnnDedup(s: SparkSession, d: String): DataFrame = {
+    val g = exactKnnGraph(s, d, cap = 300, k = 3)
+    val nodes = vecs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(g, nodes, tau = 0.4)
+      .select(col("id").as("vec_id"), col("component"),
+        col("n_members"), col("keep"))
   }
 
   private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
@@ -572,6 +598,7 @@ object Embeddings {
     "emb_ann_pq_refine" -> (embAnnPqRefine _),
     "emb_ann_ivfpq" -> (embAnnIvfPq _),
     "emb_knn_join" -> (embKnnJoin _),
+    "emb_knn_dedup" -> (embKnnDedup _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -733,14 +760,19 @@ object Embeddings {
     * qd + (t0+…+t7) with the parenthesization [[embAnnIvfPq]]'s plan
     * evaluates — each partial a sequential list_dot_product over a
     * list_slice. */
-  private def annIvfPqOracle(dim: Int, m: Int, cap: Int, nQ: Int,
+  /** The residual-ADC graph decomposition-replay as a CTE body
+    * (without the WITH keyword), ending in
+    * g AS (query_id, neighbor_id, rnk, qcos) — shared by the
+    * emb_ann_ivfpq / emb_knn_join oracles and composable with the
+    * recursive component walk (emb_knn_dedup). */
+  private def annIvfPqGraphCtes(dim: Int, m: Int, cap: Int, nQ: Int,
       k: Int): String = {
     val sub = dim / m
     def partials(f: Int => String): String =
       (0 until m).map(f).mkString(" + ")
     def sl(a: String, s: Int): String =
       s"list_slice($a, ${s * sub + 1}, ${(s + 1) * sub})"
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings WHERE vec_id < $cap),
        |ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
@@ -761,8 +793,8 @@ object Embeddings {
        |q AS (SELECT v.vec_id, v.e,
        |  sqrt(list_dot_product(v.e, v.e)) AS nrm,
        |  list_dot_product(v.e, cc.ce) AS qd
-       |  FROM v CROSS JOIN cc WHERE v.vec_id < $nQ)
-       |SELECT query_id, neighbor_id, rnk, qcos, 0 AS cluster FROM (
+       |  FROM v CROSS JOIN cc WHERE v.vec_id < $nQ),
+       |g AS (SELECT query_id, neighbor_id, rnk, qcos FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    (q.qd + (${partials(s =>
             s"list_dot_product(${sl("q.e", s)}, ${sl("c.re", s)})")}))
@@ -773,8 +805,40 @@ object Embeddings {
        |        / (n.dn * q.nrm) DESC, c.vec_id ASC) AS rnk
        |  FROM q JOIN r c ON c.vec_id <> q.vec_id
        |    JOIN n ON n.vec_id = c.vec_id) t
-       |WHERE rnk <= $k""".stripMargin
+       |WHERE rnk <= $k)""".stripMargin
   }
+
+  private def annIvfPqOracle(dim: Int, m: Int, cap: Int, nQ: Int,
+      k: Int): String =
+    s"""WITH ${annIvfPqGraphCtes(dim, m, cap, nQ, k)}
+       |SELECT query_id, neighbor_id, rnk, qcos, 0 AS cluster
+       |FROM g""".stripMargin
+
+  /** emb_knn_dedup: the emb_knn_join graph replay + mutual edges at
+    * tau (both directed scores) + the recursive component walk (the
+    * doc_dedup_clusters pattern) + keep-smallest. */
+  private def knnDedupOracle(dim: Int, m: Int, cap: Int, k: Int,
+      tau: Double): String =
+    s"""WITH RECURSIVE ${annIvfPqGraphCtes(dim, m, cap, cap, k)},
+       |mutual AS (
+       |  SELECT a.query_id AS u, a.neighbor_id AS v2
+       |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+       |    AND b.neighbor_id = a.query_id
+       |  WHERE a.query_id < a.neighbor_id
+       |    AND a.qcos >= $tau AND b.qcos >= $tau),
+       |edges AS (SELECT u, v2 FROM mutual
+       |          UNION SELECT v2, u FROM mutual),
+       |walk(id, r2) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nn
+       |  UNION
+       |  SELECT w.id, e2.v2 FROM walk w JOIN edges e2 ON e2.u = w.r2),
+       |comp AS (SELECT id, MIN(r2) AS component FROM walk GROUP BY id)
+       |SELECT v.vec_id,
+       |  COALESCE(c.component, v.vec_id) AS component,
+       |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, v.vec_id))
+       |    AS n_members,
+       |  v.vec_id = COALESCE(c.component, v.vec_id) AS keep
+       |FROM v LEFT JOIN comp c ON c.id = v.vec_id""".stripMargin
 
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
@@ -787,6 +851,8 @@ object Embeddings {
       annIvfPqOracle(dim = 64, m = 8, cap = 500, nQ = 5, k = 5),
     "emb_knn_join" ->
       annIvfPqOracle(dim = 64, m = 8, cap = 300, nQ = 300, k = 3),
+    "emb_knn_dedup" ->
+      knnDedupOracle(dim = 64, m = 8, cap = 300, k = 3, tau = 0.4),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

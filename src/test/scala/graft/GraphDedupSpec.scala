@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{GraphDedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-based semantic dedup (operators/GraphDedup): mutual-kNN
+  * semantics, hub containment, and the end-to-end pin — dedup over the
+  * ivfPqKnnJoin exact-endpoint graph equals dedup over the brute-force
+  * exact cosine graph, because at kc ≥ corpus with one coarse cell the
+  * residual ADC scores ARE the exact scores. */
+class GraphDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.spark
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  private def graphDf(rows: Seq[(Long, Long, Double)]): DataFrame =
+    rows.toDF("query_id", "neighbor_id", "qcos")
+
+  test("mutualKnnEdges keeps only reciprocated pairs with BOTH " +
+    "directed scores over tau") {
+    val g = graphDf(Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.9),   // mutual, both pass
+      (3L, 4L, 0.9),                   // one-directional (4 never lists 3)
+      (5L, 6L, 0.9), (6L, 5L, 0.3),   // mutual but one side under tau
+      (7L, 8L, 0.3), (8L, 7L, 0.3)))  // mutual, both under tau
+    val got = GraphDedup.mutualKnnEdges(g, tau = 0.5)
+      .select("u", "v").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("a hub in many top-k lists cannot glue regions it does not " +
+    "reciprocate: components stay separate") {
+    // hub 0 appears in everyone's list; hub's own list only holds 1, 2
+    val g = graphDf(Seq(
+      (1L, 0L, 0.9), (2L, 0L, 0.9), (3L, 0L, 0.9), (4L, 0L, 0.9),
+      (0L, 1L, 0.9), (0L, 2L, 0.9),
+      (3L, 4L, 0.8), (4L, 3L, 0.8)))
+    val nodes = (0L to 4L).toDF("id")
+    val got = GraphDedup.knnGraphDedup(g, nodes, tau = 0.5)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    // {0,1,2} via the reciprocated hub edges; {3,4} separate
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L)
+    assert(got(3L) == 3L && got(4L) == 3L)
+  }
+
+  test("keep = smallest id per component; isolated nodes are " +
+    "singletons and kept; n_members counts the whole group") {
+    val g = graphDf(Seq(
+      (10L, 11L, 0.9), (11L, 10L, 0.9),
+      (11L, 12L, 0.9), (12L, 11L, 0.9)))
+    val nodes = Seq(10L, 11L, 12L, 99L).toDF("id")
+    val got = GraphDedup.knnGraphDedup(g, nodes, tau = 0.5)
+      .select("id", "component", "n_members", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((10L, 3L, true)))
+    assert(got(11L) == ((10L, 3L, false)))
+    assert(got(12L) == ((10L, 3L, false)))
+    assert(got(99L) == ((99L, 1L, true)))
+  }
+
+  test("dedup over the exact-endpoint ivfPqKnnJoin graph == dedup " +
+    "over the brute-force exact cosine graph") {
+    try {
+      val dotc = graft.functions.DotProduct.column _
+      val v = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("norm", sqrt(dotc(col("e"), col("e"))))
+      val k = 4
+      // brute-force exact graph
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qcos").desc, col("neighbor_id").asc)
+      val exact = v.select(col("vec_id").as("neighbor_id"),
+          col("e").as("ne"), col("norm").as("nn"))
+        .crossJoin(broadcast(v.select(col("vec_id").as("query_id"),
+          col("e").as("qe"), col("norm").as("qnorm"))))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("qcos",
+          dotc(col("ne"), col("qe")) / (col("nn") * col("qnorm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qcos")
+      // exact-endpoint bulk graph: kc >= corpus, one coarse cell
+      val idx = Similarity.ivfPqFit(v.select("vec_id", "e"),
+        dim = 64, m = 8, kc = 500, kCoarse = 1, iters = 1)
+      val bulk = Similarity.ivfPqKnnJoin(idx,
+        v.select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("norm").as("qnorm")), k = k, nprobe = 1)
+      val nodes = v.select(col("vec_id").as("id"))
+      val tau = 0.35
+      def verdicts(g: DataFrame): Map[Long, (Long, Long, Boolean)] =
+        GraphDedup.knnGraphDedup(g, nodes, tau)
+          .select("id", "component", "n_members", "keep")
+          .as[(Long, Long, Long, Boolean)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val ve = verdicts(exact)
+      val vb = verdicts(bulk)
+      assert(ve == vb)
+      // and the fixture is non-trivial: some group has > 1 member
+      assert(ve.values.exists(_._2 > 1L))
+    } finally CacheScope.releaseAll()
+  }
+}
