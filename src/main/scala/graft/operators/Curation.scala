@@ -197,13 +197,25 @@ object Curation {
     val flagged = docc.join(first, "span")
       .withColumn("canonical",
         col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
-    def cover(c: DataFrame): DataFrame = c
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
-      .distinct()
-    val excised = cover(flagged.filter(!col("canonical")))
-      .join(cover(flagged.filter(col("canonical"))),
+    val excised = cover(flagged.filter(!col("canonical")), n)
+      .join(cover(flagged.filter(col("canonical")), n),
         Seq("doc_id", "idx"), "left_anti")
+    rebuildExcised(ws, words, excised)
+  }
+
+  /** Word-index cover of span occurrences: (doc_id, idx) for every
+    * word position any (doc_id, pos) span row touches. */
+  private def cover(c: DataFrame, n: Int): DataFrame = c
+    .select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+    .distinct()
+
+  /** Shared excision tail of the span family: drop `excised`
+    * (doc_id, idx) word positions from `words`, reassemble per-doc
+    * text in index order, and account n_words = n_kept + n_removed
+    * (token conservation — CurationSpec pins it per row). */
+  private def rebuildExcised(ws: DataFrame, words: DataFrame,
+      excised: DataFrame): DataFrame = {
     val rebuilt = words.join(excised, Seq("doc_id", "idx"), "left_anti")
       .groupBy("doc_id")
       .agg(
@@ -217,5 +229,41 @@ object Curation {
       .withColumn("n_removed", col("n_words") - col("n_kept"))
       .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
       .select("doc_id", "n_words", "n_kept", "n_removed", "text_clean")
+  }
+
+  /** Span-level benchmark decontamination — the EXCISION form of Lee
+    * et al. 2022 §6.2 (whole-doc flagging is
+    * [[graft.operators.TextDedup.crossCorpusOverlap]]): every train
+    * occurrence of any word n-gram that appears anywhere in the
+    * benchmark corpus is cut out of the training text; the benchmark
+    * itself is never modified. This is [[removeDupSpans]] with the
+    * canonical-protection rule replaced by "bench occurrences are
+    * never canonical" — train-side copies are all excised, and no
+    * train-side canonical cover protects a contaminated word.
+    *
+    * 100 TB scale: the bench side reduces to a DISTINCT span-string
+    * set (eval suites are MBs — AQE broadcasts it), so the only
+    * corpus-sized shuffles are the train posting rows keyed by span
+    * string and the (doc_id, idx) excision cover; document text
+    * reassembles once per doc in the final aggregate, exactly like
+    * [[removeDupSpans]]. Output: (doc_id, n_words, n_kept,
+    * n_removed, text_clean) over the train corpus only. */
+  def decontaminateSpans(train: DataFrame, bench: DataFrame,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 words")
+    val ws = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = ws.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("idx", "word")))
+    val occ = ws.select(col("doc_id"),
+      posexplode(graft.functions.NGramInstances.column(col("ws"), n))
+        .as(Seq("pos", "span")))
+    // distinct-per-doc is enough (ShingleNGrams) — only span identity
+    // matters on the bench side, never positions
+    val benchSpans = bench
+      .select(explode(graft.functions.ShingleNGrams.column(
+        split(col("text"), " "), n)).as("span"))
+      .distinct()
+    val excised = cover(occ.join(benchSpans, "span"), n)
+    rebuildExcised(ws, words, excised)
   }
 }

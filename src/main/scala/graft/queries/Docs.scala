@@ -216,6 +216,21 @@ object Docs {
     graft.operators.Curation.removeDupSpans(
       Tables.documents(s, d).select("doc_id", "text"), 8)
 
+  /** #56d Span-level benchmark decontamination
+    * ([[graft.operators.Curation.decontaminateSpans]] — the EXCISION
+    * form of Lee et al. 2022 §6.2: [[docDecontaminate]] flags whole
+    * train docs, this cuts the leaked 8-gram spans out of the train
+    * text and leaves the benchmark untouched). Same bench stand-in as
+    * the rest of the decontamination family (the doc_id%10 slice).
+    * Only span strings and (doc_id, idx) covers shuffle — the bench
+    * span set is broadcast-sized at any real scale. */
+  def docDecontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.operators.Curation.decontaminateSpans(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), n = 8)
+  }
+
   /** #39 SimHash near-dup (rows-only: Spark-side hash family): the
     * codegen'd SimHash64 Catalyst expression gives a 64-bit signature per
     * doc; candidates pair on equal 8-bit bands (pigeonhole guarantees any
@@ -786,6 +801,7 @@ object Docs {
     "doc_dedup_canon" -> (docDedupCanon _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_dedup_spans_remove" -> (docDedupSpansRemove _),
+    "doc_decontaminate_spans" -> (docDecontaminateSpans _),
     "doc_pipeline_e2e" -> (docPipelineE2e _),
     "doc_pipeline_scale" -> (docPipelineScale _),
     "doc_decontaminate" -> (docDecontaminate _),
@@ -1244,6 +1260,35 @@ object Docs {
         |  FROM rk WHERE r = 1),
         |rem AS (SELECT doc_id, idx FROM remcov
         |  ANTI JOIN keepcov USING (doc_id, idx)),
+        |badl AS (SELECT doc_id, list(idx) AS bidx FROM rem GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - COALESCE(len(bidx), 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(len(bidx), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_filter(ws,
+        |    (x, i) -> COALESCE(NOT list_contains(bidx, i), TRUE)), ' '), '')
+        |    AS text_clean
+        |FROM w LEFT JOIN badl USING (doc_id)""".stripMargin,
+    "doc_decontaminate_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |bw AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |occ AS (
+        |  SELECT doc_id, o.pos AS pos, o.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(ws) - 6, 1)),
+        |      i -> {'pos': i, 'span': array_to_string(ws[i:i+7], ' ')})) AS o
+        |    FROM w) t),
+        |bsp AS (
+        |  SELECT DISTINCT o.span AS span FROM (
+        |    SELECT unnest(list_transform(
+        |      range(1, greatest(len(ws) - 6, 1)),
+        |      i -> {'pos': i, 'span': array_to_string(ws[i:i+7], ' ')})) AS o
+        |    FROM bw) t),
+        |rem AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM occ JOIN bsp USING (span)),
         |badl AS (SELECT doc_id, list(idx) AS bidx FROM rem GROUP BY 1)
         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
         |  CAST(len(ws) - COALESCE(len(bidx), 0) AS BIGINT) AS n_kept,

@@ -204,4 +204,38 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("text_clean") =!= col("text"))
     assert(joined.count() == 0)
   }
+
+  test("decontaminateSpans: a planted bench quote is excised from " +
+    "EVERY train occurrence and survives in bench; train-only dup " +
+    "spans are untouched") {
+    import spark.implicits._
+    val quote = (0 until 8).map(i => s"q$i") // the leaked bench span
+    val trainDup = (0 until 8).map(i => s"t$i") // train-internal dup
+    def noise(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val train = Seq(
+      (1L, s"${noise("a", 10)} ${quote.mkString(" ")} ${noise("b", 10)}"),
+      (2L, s"${quote.mkString(" ")} ${noise("c", 5)}"),
+      (3L, s"${trainDup.mkString(" ")} ${noise("d", 9)}"),
+      (4L, s"${noise("e", 4)} ${trainDup.mkString(" ")}"),
+      (5L, noise("f", 20))).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"${noise("g", 3)} ${quote.mkString(" ")} ${noise("h", 3)}"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateSpans(train, bench, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    out.foreach { case (id, nw, nk, nr, _) =>
+      assert(nw == nk + nr, s"doc $id: $nw != $nk + $nr") }
+    val cleaned = out.map(r => (r._1, r._5))
+    // the quote is gone from ALL train docs — no canonical protection
+    // on the train side (the bench copy is the canonical one)
+    assert(spanOccurrences(cleaned, quote) == 0,
+      s"quote still present: ${cleaned.mkString("; ")}")
+    // train-internal duplication is NOT this operator's business
+    assert(spanOccurrences(cleaned, trainDup) == 2)
+    // uncontaminated train docs come back verbatim
+    assert(cleaned.find(_._1 == 5L).get._2 == noise("f", 20))
+    // bench rows never enter the output (train corpus only)
+    assert(!out.exists(_._1 == 100L))
+  }
 }
