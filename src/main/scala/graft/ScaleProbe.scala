@@ -313,10 +313,17 @@ object ScaleProbe {
     * probes (one definition so the two probes can never measure recall
     * against different baselines). Harness-side collect of nQ·k id
     * pairs only, never corpus rows. */
-  private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] = {
+  private def exactTopK(v: DataFrame, nQ: Int, k: Int): Set[(Long, Long)] =
+    exactTopKFor(v, v.filter(col("vec_id") < nQ), k)
+
+  /** exactTopK against an explicit query subset of v-shaped rows
+    * (vec_id, e, norm) — any predicate: the refit probe queries
+    * DRIFTED ids, not the 0..nQ prefix. */
+  private def exactTopKFor(v: DataFrame, q: DataFrame,
+      k: Int): Set[(Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val dotc = graft.functions.DotProduct.column _
-    val qside = broadcast(v.filter(col("vec_id") < nQ)
+    val qside = broadcast(q
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm")))
     val w = Window.partitionBy("query_id")
@@ -709,6 +716,85 @@ object ScaleProbe {
             deleteRecursively(outDir)
             deleteRecursively(ckDir)
           }
+        case Array("annappend", n) =>
+          // r18: streaming ANN-index maintenance — fit+persist an
+          // IVFADC index ONCE, then rate-source synthetic NEW vectors
+          // through EmbStream.ivfPqAppendSink (map-side encode against
+          // the frozen artifacts, per-batch delta subtrees) and
+          // measure sustained vectors/s absorbed; then fold the
+          // deltas back in and check the staleness meta counted every
+          // absorbed row
+          val target = n.toLong
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("annapp_idx")
+          val dlDir = java.nio.file.Files.createTempDirectory("annapp_delta")
+          val ckDir = java.nio.file.Files.createTempDirectory("annapp_ck")
+          try {
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = 8, kc = 64, kCoarse = 16, iters = 2),
+              idxDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            CacheScope.releaseAll()
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val corpusRows = v.count()
+            val vstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 2000L)
+              .option("numPartitions", 32).load()
+              .selectExpr(
+                s"value + ${corpusRows}L AS vec_id", // fresh id space
+                """transform(sequence(0, 63), j ->
+                  |  (cast(pmod(value * 131 + j * 17, 2001) as double)
+                  |   - 1000.0) / 1000.0) AS e"""
+                  .stripMargin.replaceAll("\n", ""))
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.EmbStream.ivfPqAppendSink(
+                vstream, idx, dlDir.toString, ckDir.toString)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "annappend probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              val folded = graft.operators.Similarity
+                .loadIvfPqIndexWithDeltas(spark, idxDir.toString,
+                  dlDir.toString)
+              val appended = folded.meta.select("n_appended")
+                .collect()(0).getLong(0)
+              require(appended >= done,
+                s"annappend: meta counted $appended < $done absorbed")
+              require(folded.codes.count() == corpusRows + appended,
+                "annappend: folded codes != base + deltas")
+              println(f"[probe] annappend ${done / secs}%.0f vectors/s " +
+                f"($done vectors in $secs%.1f s, folded n_appended=" +
+                f"$appended) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "vectors_per_s" -> math.rint(done / secs),
+                "corpus_rows" -> corpusRows, "n_appended" -> appended,
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(dlDir)
+            deleteRecursively(ckDir)
+          }
         case Array("ivfpq", m, kc, kCoarse, topk, tag @ _*) if tag.size <= 1 =>
           // r15: IVFADC at probe scale — coarse cells + PQ on
           // residuals, persisted/reloaded artifact, nprobe recall
@@ -893,6 +979,70 @@ object ScaleProbe {
               "nprobe" -> np.toInt, "train_n" -> train.toInt,
               "topk" -> kk, "n_queries" -> nQ))
           } finally deleteRecursively(idxDir)
+        case Array("refit", m, kc, kCoarse, train, topk) =>
+          // r18: refit-policy calibration — how fast does a FROZEN
+          // index degrade as drifted vectors append? Base = the lower
+          // id half; drift = the upper half with dimensions REVERSED
+          // (same norms, decorrelated from the fitted cells — genuine
+          // distribution shift, deterministic). For each append
+          // fraction, measure recall@k ON THE DRIFTED QUERIES of
+          // (a) the appended frozen index vs (b) a full refit, plus
+          // the needsRefit verdict at the 0.5 default. The (a)-(b)
+          // gap curve is the evidence behind the default.
+          val kk = topk.toInt
+          val nQ = 50
+          val np = kCoarse.toInt // exhaustive cells: isolate codebook drift
+          val v0 = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val n = v0.count()
+          val half = n / 2
+          val base = v0.filter(col("vec_id") < half)
+          val drift = CacheScope.persistTracked(
+            v0.filter(col("vec_id") >= half)
+              .select((col("vec_id") + n).as("vec_id"),
+                reverse(col("e")).as("e"), col("norm")))
+          val idx = graft.operators.Similarity.ivfPqFit(
+            base, dim = 64, m = m.toInt, kc = kc.toInt,
+            kCoarse = kCoarse.toInt, iters = 3, trainN = train.toInt)
+          val fracs = Seq(0.1, 0.5, 1.0)
+          val curve = fracs.map { frac =>
+            val nAdd = (half * frac).toLong
+            val add = drift.filter(col("vec_id") < n + nAdd)
+            val grown = CacheScope.persistTracked(base.unionByName(add))
+            // drifted queries: the first nQ appended vectors
+            val q = drift.filter(col("vec_id") < n + nQ)
+            val exact = exactTopKFor(grown, q, kk)
+            val qside = broadcast(q.select(col("vec_id").as("query_id"),
+              col("e").as("qe"), col("norm").as("qnorm")))
+            def recall(i: graft.operators.Similarity.IvfPqIndex): Double = {
+              val got = graft.operators.Similarity
+                .ivfPqSearch(i, qside, kk, np)
+                .select("query_id", "neighbor_id")
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+              got.count(exact.contains).toDouble / exact.size
+            }
+            val app = graft.operators.Similarity.ivfPqAppend(idx, add)
+            val rApp = recall(app)
+            val stale = graft.operators.Similarity.needsRefit(app)
+            val refit = graft.operators.Similarity.ivfPqFit(
+              grown, dim = 64, m = m.toInt, kc = kc.toInt,
+              kCoarse = kCoarse.toInt, iters = 3, trainN = train.toInt)
+            val rRefit = recall(refit)
+            println(f"[probe] refit frac=$frac%.1f appended=$nAdd%d " +
+              f"recall_appended=$rApp%.4f recall_refit=$rRefit%.4f " +
+              f"needsRefit(0.5)=$stale")
+            (frac, nAdd, rApp, rRefit, stale)
+          }
+          (n, Map[String, Any](
+            "m" -> m.toInt, "kc" -> kc.toInt, "k_coarse" -> kCoarse.toInt,
+            "train_n" -> train.toInt, "topk" -> kk, "nprobe" -> np,
+            "n_base" -> half, "n_queries" -> nQ) ++
+            curve.flatMap { case (f, nA, rA, rR, st) =>
+              val tag = s"frac_${(f * 100).toInt}"
+              Seq(s"${tag}_appended" -> nA,
+                s"${tag}_recall_appended" -> math.rint(rA * 10000) / 10000,
+                s"${tag}_recall_refit" -> math.rint(rR * 10000) / 10000,
+                s"${tag}_needs_refit" -> st)
+            }.toMap)
         case Array("knndedup", m, kc, kCoarse, train, topk, np, nq, tau,
             tag @ _*) if tag.size <= 1 =>
           // r18: graph-based semantic dedup — the knn probe's bulk

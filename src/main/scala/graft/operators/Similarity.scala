@@ -787,6 +787,29 @@ object Similarity {
     * vec_id creates a duplicate row, same as writing it twice into any
     * append-only store). */
   def ivfPqAppend(index: IvfPqIndex, newV: DataFrame): IvfPqIndex = {
+    val appended = ivfPqEncode(index, newV)
+    // lazy staleness bump: the counter rides the plan, no action here
+    // — counted from the INPUT (one distinct-id scan), not the encode
+    // plan, which would otherwise re-run on every meta read
+    val metaBase =
+      if (index.meta.columns.contains("n_appended")) index.meta
+      else index.meta.withColumn("n_appended", lit(0L))
+    val meta = metaBase
+      .crossJoin(newV.agg(count_distinct(col("vec_id")).as("_batch")))
+      .withColumn("n_appended", col("n_appended") + col("_batch"))
+      .drop("_batch")
+    IvfPqIndex(index.m, index.dim, index.kc, index.kCoarse, index.coarse,
+      index.codebooks, index.codes.unionByName(appended), meta)
+  }
+
+  /** The encode-only step of [[ivfPqAppend]]: new vectors
+    * coarse-assigned and residual-PQ-encoded against the FROZEN cells
+    * and codebooks, dnorm folded exactly as at build time. Returns
+    * rows in the index.codes schema — the unit a streaming append
+    * sink writes as an idempotent per-batch delta
+    * ([[graft.streaming.EmbStream.ivfPqAppendSink]]) and
+    * [[loadIvfPqIndexWithDeltas]] folds back in. */
+  def ivfPqEncode(index: IvfPqIndex, newV: DataFrame): DataFrame = {
     val m = index.m
     val kc = index.kc
     val dim = index.dim
@@ -820,22 +843,8 @@ object Similarity {
       .agg(first(col("cluster")).as("cluster"),
         transform(array_sort(collect_list(struct(col("s"), col("code")))),
           t => t.getField("code")).as("codes"))
-    val appended = ivfPqCodesWithDnorm(coarse, index.codebooks, dim, m,
-      newCodes)
-    // lazy staleness bump: the counter rides the plan, no action here
-    // — counted from the INPUT (one distinct-id scan), not newCodes,
-    // whose encode plan would otherwise re-run on every meta read
-    val metaBase =
-      if (index.meta.columns.contains("n_appended")) index.meta
-      else index.meta.withColumn("n_appended", lit(0L))
-    val meta = metaBase
-      .crossJoin(newV.agg(count_distinct(col("vec_id")).as("_batch")))
-      .withColumn("n_appended", col("n_appended") + col("_batch"))
-      .drop("_batch")
-    IvfPqIndex(m, dim, kc, index.kCoarse, coarse, index.codebooks,
-      index.codes.unionByName(
-        appended.select(index.codes.columns.map(col): _*)),
-      meta)
+    ivfPqCodesWithDnorm(coarse, index.codebooks, dim, m, newCodes)
+      .select(index.codes.columns.map(col): _*)
   }
 
   /** IVFADC top-k cosine search: each query ranks the coarse cells by
@@ -1025,6 +1034,68 @@ object Similarity {
       needsCluster = true)
     IvfPqIndex(m, row(0).getInt(1), kc, row(0).getInt(3),
       spark.read.parquet(s"$dir/coarse"), codebooks, codes, meta)
+  }
+
+  /** [[loadIvfPqIndex]] + fold-in of streaming append deltas: reads
+    * every `batch_id=N` code-delta subtree a
+    * [[graft.streaming.EmbStream.ivfPqAppendSink]] wrote under
+    * `deltaDir`, unions it with the base codes, and bumps
+    * `n_appended` by the delta row count (lazily — the counter rides
+    * the plan like [[ivfPqAppend]]'s). Cells and codebooks are the
+    * frozen base artifacts, so the loaded index searches exactly like
+    * the batch [[ivfPqAppend]] of the same vectors (EmbStreamSpec
+    * pins stream-appended ≡ batch-appended ≡ refit at the exact
+    * endpoint). A missing/empty deltaDir loads the base unchanged. */
+  def loadIvfPqIndexWithDeltas(spark: org.apache.spark.sql.SparkSession,
+      dir: String, deltaDir: String): IvfPqIndex = {
+    val base = loadIvfPqIndex(spark, dir)
+    val path = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDeltas = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasDeltas) base
+    else {
+      val deltas = spark.read.parquet(deltaDir)
+        .select(base.codes.columns.map(col): _*)
+      checkPqArtifacts("loadIvfPqIndexWithDeltas", deltaDir, base.m,
+        base.kc, base.codebooks, deltas, needsCluster = true)
+      val metaBase =
+        if (base.meta.columns.contains("n_appended")) base.meta
+        else base.meta.withColumn("n_appended", lit(0L))
+      val meta = metaBase
+        .crossJoin(deltas.agg(count(lit(1)).as("_batch")))
+        .withColumn("n_appended", col("n_appended") + col("_batch"))
+        .drop("_batch")
+      IvfPqIndex(base.m, base.dim, base.kc, base.kCoarse, base.coarse,
+        base.codebooks, base.codes.unionByName(deltas), meta)
+    }
+  }
+
+  /** Refit policy — makes the `n_appended` staleness counter
+    * actionable: true when the appended fraction of the index
+    * (appended rows / rows the cells+codebooks were FIT on) exceeds
+    * `maxAppendFraction`. Frozen centroids quantize a drifting
+    * distribution progressively worse; the PROBES `refit:*` curve on
+    * the clustered gmm corpus measures the decay (appended-index
+    * recall on drifted queries vs a refit index at 10%/50%/100%
+    * append fractions) and motivates the 0.5 default: below ~50%
+    * append the frozen index tracks the refit closely, beyond it the
+    * gap is the dominant recall loss and a refit pays for itself.
+    * Reads one 1-row meta collect + one codes count (parquet
+    * footer-cheap); an index with no appends never needs a refit by
+    * this policy. */
+  def needsRefit(index: IvfPqIndex,
+      maxAppendFraction: Double = 0.5): Boolean = {
+    require(maxAppendFraction > 0.0,
+      s"needsRefit: maxAppendFraction must be > 0, got $maxAppendFraction")
+    val appended =
+      if (!index.meta.columns.contains("n_appended")) 0L
+      else index.meta.select("n_appended").collect()(0).getLong(0)
+    if (appended == 0L) false
+    else {
+      val base = index.codes.count() - appended
+      base <= 0L || appended.toDouble / base > maxAppendFraction
+    }
   }
 
   /** Within-cluster SemDeDup pruning core (Abbas et al. 2023 — the

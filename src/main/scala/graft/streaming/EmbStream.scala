@@ -64,4 +64,33 @@ object EmbStream {
       }
       .start()
   }
+
+  /** Streaming ANN-index maintenance — the append twin of
+    * [[Similarity.ivfPqAppend]] (which is batch-only): each arriving
+    * micro-batch of vectors (vec_id, e: array<double>) is
+    * coarse-assigned and residual-PQ-encoded against the FROZEN base
+    * index ([[Similarity.ivfPqEncode]] — map-side, no corpus
+    * shuffle), and ONLY the encoded code rows are written, as an
+    * idempotent `batch_id=N` delta subtree (replay overwrites itself
+    * — the qcCountsSink discipline). The base artifact is never
+    * rewritten: readers fold the deltas in at load time through
+    * [[Similarity.loadIvfPqIndexWithDeltas]], so a 100 TB base index
+    * absorbs a stream at per-batch cost proportional to the batch,
+    * not the corpus. Encoding depends on nothing but the frozen base
+    * and the batch's own rows, so the union of per-batch deltas IS
+    * the batch [[Similarity.ivfPqAppend]] of the whole stream —
+    * parity by construction, pinned in EmbStreamSpec together with
+    * the exact-endpoint refit equivalence. Staleness accounting
+    * (`n_appended`) happens at load, where the delta count is known. */
+  def ivfPqAppendSink(vectors: DataFrame, index: Similarity.IvfPqIndex,
+      deltaDir: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfPqEncode(index, batch)
+          .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -115,4 +115,87 @@ class EmbStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ivfPqAppendSink: stream-appended deltas fold to the batch " +
+    "ivfPqAppend, and at the exact endpoint to brute-force exact " +
+    "search (refit equivalence)") {
+    implicit val sql = spark.sqlContext
+    val tmps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tmp(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmps += p; p
+    }
+    try {
+      val v = vecs
+      // streamed batch = copies of vectors 0..99 under fresh ids (the
+      // IvfPqSpec exact-endpoint construction: a copy lands in its
+      // original's cell with the same residual, whose exact code the
+      // kc >= |corpus| codebook already carries) — so the folded index
+      // is exact over the grown corpus and all three must agree hard
+      val dup = v.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val v2 = v.unionByName(dup)
+      val idxDir = tmp("appsink_idx")
+      Similarity.saveIvfPqIndex(
+        Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+          kCoarse = 4, iters = 2),
+        idxDir.toString)
+      CacheScope.releaseAll()
+      val frozen = Similarity.loadIvfPqIndex(spark, idxDir.toString)
+
+      val deltaDir = tmp("appsink_delta")
+      val ckDir = tmp("appsink_ck")
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = EmbStream.ivfPqAppendSink(
+        in.toDF().toDF("vec_id", "e"),
+        frozen, deltaDir.toString, ckDir.toString)
+      val rows = dup.select("vec_id", "e")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      try {
+        val (b1, b2) = rows.splitAt(50)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val folded = Similarity.loadIvfPqIndexWithDeltas(
+        spark, idxDir.toString, deltaDir.toString)
+      // staleness accounting: every streamed row is counted
+      assert(folded.meta.select("n_appended").collect()(0).getLong(0) ==
+        100L)
+      assert(folded.codes.count() == 600L)
+
+      val qrows = v2.filter(col("vec_id") < 6)
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct.column(col("e"), col("e"))))
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("qnorm"))
+      def pairs(idx: Similarity.IvfPqIndex): Set[(Long, Long, Int)] =
+        Similarity.ivfPqSearch(idx, broadcast(qrows), k = 5, nprobe = 4)
+          .select("query_id", "neighbor_id", "rnk")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+      val streamed = pairs(folded)
+      // batch-append twin on the same frozen base
+      assert(streamed == pairs(Similarity.ivfPqAppend(frozen, dup)))
+      // exact endpoint: kc >= grown corpus + exhaustive nprobe ⇒ the
+      // stream-folded index searches like a full refit
+      assert(streamed == pairs(Similarity.ivfPqFit(v2, dim = 64, m = 8,
+        kc = 600, kCoarse = 4, iters = 2)))
+      // the appended copies rank as their originals' top neighbors:
+      // every query (a dup'd original) must see its +1000 twin first
+      assert((0L until 6L).forall(qid =>
+        streamed.contains((qid, qid + 1000L, 1))))
+    } finally {
+      CacheScope.releaseAll()
+      tmps.foreach { p =>
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
+  }
 }

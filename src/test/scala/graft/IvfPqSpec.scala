@@ -194,6 +194,43 @@ class IvfPqSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("needsRefit: fires when appended/base exceeds the threshold, " +
+    "never on a fresh fit, and survives the artifact round-trip") {
+    try {
+      val v = vecs
+      val fresh = Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 16,
+        kCoarse = 4, iters = 1)
+      assert(!Similarity.needsRefit(fresh))
+      assert(!Similarity.needsRefit(fresh, maxAppendFraction = 0.001))
+      // append 100 onto a 500-row base: fraction 0.2
+      val dup = v.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val app = Similarity.ivfPqAppend(fresh, dup)
+      assert(!Similarity.needsRefit(app, maxAppendFraction = 0.5))
+      assert(Similarity.needsRefit(app, maxAppendFraction = 0.1))
+      // boundary: fraction == threshold does NOT fire (strict >)
+      assert(!Similarity.needsRefit(app, maxAppendFraction = 0.2))
+      // the verdict reads persisted meta the same way
+      val dir = java.nio.file.Files.createTempDirectory("needsrefit")
+      try {
+        Similarity.saveIvfPqIndex(app, dir.toString)
+        val re = Similarity.loadIvfPqIndex(spark, dir.toString)
+        assert(Similarity.needsRefit(re, maxAppendFraction = 0.1))
+        assert(!Similarity.needsRefit(re, maxAppendFraction = 0.5))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      require(!Similarity.needsRefit(fresh, 0.5))
+      intercept[IllegalArgumentException] {
+        Similarity.needsRefit(fresh, maxAppendFraction = 0.0)
+      }
+    } finally CacheScope.releaseAll()
+  }
+
   test("ivfPqKnnJoin: the bulk (non-broadcast-query) formulation is " +
     "bit-identical to ivfPqSearch on the same lossy index, for every " +
     "corpus vector as a query") {
