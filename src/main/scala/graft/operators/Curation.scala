@@ -249,6 +249,28 @@ object Curation {
     * [[removeDupSpans]]. Output: (doc_id, n_words, n_kept,
     * n_removed, text_clean) over the train corpus only. */
   def decontaminateSpans(train: DataFrame, bench: DataFrame,
+      n: Int = 8): DataFrame =
+    decontaminateSpansAgainst(train, benchSpanSet(bench, n), n)
+
+  /** The DISTINCT span-string set of a benchmark corpus — the frozen
+    * side of span-level decontamination (distinct-per-doc via
+    * ShingleNGrams is enough: only span identity matters on the bench
+    * side, never positions). Streaming callers build it once and
+    * persist it for the query lifetime. */
+  def benchSpanSet(bench: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 words")
+    bench
+      .select(explode(graft.functions.ShingleNGrams.column(
+        split(col("text"), " "), n)).as("span"))
+      .distinct()
+  }
+
+  /** [[decontaminateSpans]] against a PREBUILT bench span set — the
+    * streaming form: a doc's excision depends on nothing but its own
+    * words and the frozen span set, so per-batch outputs union to the
+    * batch sweep (parity by construction, pinned in
+    * StreamingDedupSpec). */
+  def decontaminateSpansAgainst(train: DataFrame, benchSpans: DataFrame,
       n: Int = 8): DataFrame = {
     require(n >= 2, "span length must be >= 2 words")
     val ws = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -257,12 +279,6 @@ object Curation {
     val occ = ws.select(col("doc_id"),
       posexplode(graft.functions.NGramInstances.column(col("ws"), n))
         .as(Seq("pos", "span")))
-    // distinct-per-doc is enough (ShingleNGrams) — only span identity
-    // matters on the bench side, never positions
-    val benchSpans = bench
-      .select(explode(graft.functions.ShingleNGrams.column(
-        split(col("text"), " "), n)).as("span"))
-      .distinct()
     val excised = cover(occ.join(benchSpans, "span"), n)
     rebuildExcised(ws, words, excised)
   }

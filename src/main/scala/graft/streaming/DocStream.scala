@@ -248,6 +248,65 @@ object DocStream {
     * DecontaminateSpec). Output is idempotent under micro-batch replay:
     * each batch overwrites its own batch_id=N subtree, the same
     * exactly-once pattern as EventStream.batchedSink. */
+  /** Query-scoped cache lifecycle: unpersist `cached` when `q`
+    * terminates, covering the died-in-first-batch race (unpersist is
+    * idempotent). A long-lived session may run many streams — frozen
+    * reference tables must not outlive their query. */
+  private def releaseOnTermination(
+      q: StreamingQuery, cached: DataFrame): StreamingQuery = {
+    val spark = cached.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          cached.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      cached.unpersist(blocking = false)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
+  /** Streaming SPAN-level decontamination — the on-arrival twin of
+    * `doc_decontaminate_spans` (SURVEY §2c #56d): the DISTINCT bench
+    * span set is built once ([[graft.operators.Curation.benchSpanSet]],
+    * broadcast-sized for real eval suites) and frozen for the query
+    * lifetime; each arriving train batch excises every occurrence of a
+    * bench span from its own text
+    * ([[graft.operators.Curation.decontaminateSpansAgainst]]). A doc's
+    * excision depends on nothing but its own words and the frozen span
+    * set, so the union of per-batch outputs IS the batch sweep —
+    * parity by construction, pinned in StreamingDedupSpec. Idempotent
+    * batch_id=N subtrees. */
+  def decontaminateSpansSink(train: DataFrame, bench: DataFrame,
+      outDir: String, checkpointDir: String, n: Int = 8): StreamingQuery = {
+    val benchSpans = graft.operators.Curation.benchSpanSet(bench, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q =
+      try train.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Curation
+            .decontaminateSpansAgainst(batch, benchSpans, n)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+        }
+        .start()
+      catch {
+        case t: Throwable => benchSpans.unpersist(blocking = false); throw t
+      }
+    releaseOnTermination(q, benchSpans)
+  }
+
   def decontaminateSink(train: DataFrame, bench: DataFrame, outDir: String,
       checkpointDir: String, n: Int = 5, minShared: Long = 5L): StreamingQuery = {
     val benchGrams = graft.operators.TextDedup
@@ -271,30 +330,7 @@ object DocStream {
         // start() failed: no query will ever terminate — free the cache
         case t: Throwable => benchGrams.unpersist(blocking = false); throw t
       }
-    // the bench cache is query-scoped, not session-scoped: free it when
-    // THIS query terminates (a long-lived session may run many streams)
-    val spark = train.sparkSession
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          benchGrams.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
-    // a query that died in its first micro-batch may have posted
-    // QueryTerminated before the listener registered: unpersist is
-    // idempotent, so cover the race directly
-    if (!q.isActive) {
-      benchGrams.unpersist(blocking = false)
-      spark.streams.removeListener(listener)
-    }
-    q
+    releaseOnTermination(q, benchGrams)
   }
 
   /** Streaming FUZZY decontamination — the on-arrival twin of
@@ -336,25 +372,7 @@ object DocStream {
       catch {
         case t: Throwable => benchSigs.unpersist(blocking = false); throw t
       }
-    val spark = train.sparkSession
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          benchSigs.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
-    if (!q.isActive) {
-      benchSigs.unpersist(blocking = false)
-      spark.streams.removeListener(listener)
-    }
-    q
+    releaseOnTermination(q, benchSigs)
   }
 
   /** Streaming per-domain admission cap (the incremental twin of

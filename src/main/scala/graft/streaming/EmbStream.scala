@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sqrt}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Streaming similarity search against a FROZEN ANN index — the
@@ -64,6 +65,49 @@ object EmbStream {
       }
       .start()
   }
+
+  /** Online semantic-dedup ADMISSION — the ingest-time form of the
+    * SemDeDup / [[graft.operators.GraphDedup]] family: an arriving
+    * vector is admitted iff its nearest neighbor in the FROZEN
+    * reference index scores below `tau` (no kept near-duplicate
+    * already covers it). Output per vector: (vec_id, admit, nn_id,
+    * nn_qcos) — nn columns NULL when the index returns no finite
+    * neighbor, which always admits.
+    *
+    * Frozen-reference contract (the domain-cap admission discipline):
+    * arrivals are judged against the CURATED reference corpus only —
+    * two near-identical vectors arriving in the same stream are BOTH
+    * admitted if neither resembles a reference vector. That is the
+    * deliberate trade that keeps verdicts per-row independent (union
+    * of batches ≡ the batch filter — parity by construction, pinned
+    * in EmbStreamSpec); close the loop by periodically folding
+    * admitted vectors in through [[ivfPqAppendSink]] +
+    * [[Similarity.loadIvfPqIndexWithDeltas]] and re-freezing.
+    * Idempotent batch_id=N subtrees. */
+  def semanticAdmitSink(vectors: DataFrame, index: Similarity.IvfPqIndex,
+      tau: Double, nprobe: Int, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qside = batch.select(col("vec_id").as("query_id"),
+            col("e").as("qe"))
+          .withColumn("qnorm", sqrt(
+            graft.functions.DotProduct.column(col("qe"), col("qe"))))
+        // external arrivals: ids must not self-exclude corpus rows
+        val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
+            excludeSelf = false)
+          .select(col("query_id").as("vec_id"),
+            col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
+        batch.select("vec_id").join(nn, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),
+            col("nn_id"), col("nn_qcos"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /** Streaming ANN-index maintenance — the append twin of
     * [[Similarity.ivfPqAppend]] (which is batch-only): each arriving

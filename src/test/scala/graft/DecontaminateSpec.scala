@@ -99,6 +99,44 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "corpus has no planted contamination; vacuous")
   }
 
+  test("streaming SPAN decontamination: per-batch excisions equal the " +
+    "batch sweep (parity by construction)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val bench = docs.filter(org.apache.spark.sql.functions
+      .pmod($"doc_id", org.apache.spark.sql.functions.lit(10)) === 0)
+    val train = docs.filter(org.apache.spark.sql.functions
+      .pmod($"doc_id", org.apache.spark.sql.functions.lit(10)) =!= 0)
+    val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val out = java.nio.file.Files.createTempDirectory("dspan_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dspan_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.decontaminateSpansSink(
+      in.toDF().toDF("doc_id", "text"), bench, out, ckpt, n = 8)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_words", "n_kept", "n_removed", "text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val streamed = key(spark.read.parquet(out))
+    val batch = key(graft.operators.Curation
+      .decontaminateSpans(train, bench, 8))
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}, " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+    // non-vacuous: the corpus carries planted contamination to excise
+    assert(streamed.exists(_._4 > 0L), "no spans excised; vacuous")
+  }
+
   test("crossCorpusFuzzy: a light paraphrase of a bench doc is flagged " +
     "with a high estimate, unrelated docs are not, pairs are strictly " +
     "cross-corpus, and md5/murmur3 families agree on the verdicts") {

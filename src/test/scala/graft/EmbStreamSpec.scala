@@ -116,6 +116,90 @@ class EmbStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticAdmitSink: per-batch admission verdicts equal the " +
+    "batch filter against the frozen reference, and near-dups of " +
+    "reference vectors are rejected") {
+    implicit val sql = spark.sqlContext
+    val tmps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tmp(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmps += p; p
+    }
+    try {
+      val v = vecs
+      // reference index over the corpus at the exact endpoint, so the
+      // nn_qcos of a VERBATIM copy is exactly 1.0
+      val idxDir = tmp("admit_idx")
+      Similarity.saveIvfPqIndex(
+        Similarity.ivfPqFit(v, dim = 64, m = 8, kc = 500,
+          kCoarse = 4, iters = 2),
+        idxDir.toString)
+      CacheScope.releaseAll()
+      val frozen = Similarity.loadIvfPqIndex(spark, idxDir.toString)
+
+      // arrivals: 10 verbatim copies of reference vectors (must be
+      // REJECTED at any tau < 1) + 10 fresh vectors (admitted unless
+      // the corpus happens to carry a near-dup — judged per-row)
+      val copies = v.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 5000)
+      val fresh = v.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 6000)
+        .withColumn("e", transform(col("e"), x => -x))
+      val arrivals = copies.unionByName(fresh)
+      val rows = arrivals.select("vec_id", "e")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+
+      val outDir = tmp("admit_out")
+      val ckDir = tmp("admit_ck")
+      val in = MemoryStream[(Long, Seq[Double])]
+      val tau = 0.99
+      val q = EmbStream.semanticAdmitSink(
+        in.toDF().toDF("vec_id", "e"),
+        frozen, tau = tau, nprobe = 4, outDir.toString, ckDir.toString)
+      try {
+        val (b1, b2) = rows.splitAt(10)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.read.parquet(outDir.toString)
+        .select("vec_id", "admit")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(streamed.size == 20)
+      // every verbatim copy is rejected; its nearest neighbor is its
+      // original at qcos 1.0 >= tau
+      (5000L until 5010L).foreach(id =>
+        assert(!streamed(id), s"copy $id admitted"))
+      // batch parity: the same verdict from a one-shot batch filter
+      val qside = arrivals.select(col("vec_id").as("query_id"),
+          col("e").as("qe"))
+        .withColumn("qnorm", sqrt(
+          graft.functions.DotProduct.column(col("qe"), col("qe"))))
+      val batchVerdicts = Similarity.ivfPqSearch(frozen,
+          broadcast(qside), k = 1, nprobe = 4, excludeSelf = false)
+        .select(col("query_id"), col("qcos"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1) < tau)).toMap
+      val batch = streamed.keys.map(id =>
+        id -> batchVerdicts.getOrElse(id, true)).toMap
+      assert(streamed == batch,
+        s"diff: ${streamed.toSet -- batch.toSet}")
+      // non-vacuous both ways
+      assert(streamed.values.exists(identity))
+      assert(streamed.values.exists(!_))
+    } finally {
+      CacheScope.releaseAll()
+      tmps.foreach { p =>
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
+  }
+
   test("ivfPqAppendSink: stream-appended deltas fold to the batch " +
     "ivfPqAppend, and at the exact endpoint to brute-force exact " +
     "search (refit equivalence)") {
