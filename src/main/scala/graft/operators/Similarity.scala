@@ -1074,16 +1074,21 @@ object Similarity {
   /** Refit policy — makes the `n_appended` staleness counter
     * actionable: true when the appended fraction of the index
     * (appended rows / rows the cells+codebooks were FIT on) exceeds
-    * `maxAppendFraction`. Frozen centroids quantize a drifting
-    * distribution progressively worse; the PROBES `refit:*` curve on
-    * the clustered gmm corpus measures the decay (appended-index
-    * recall on drifted queries vs a refit index at 10%/50%/100%
-    * append fractions) and motivates the 0.5 default: below ~50%
-    * append the frozen index tracks the refit closely, beyond it the
-    * gap is the dominant recall loss and a refit pays for itself.
-    * Reads one 1-row meta collect + one codes count (parquet
-    * footer-cheap); an index with no appends never needs a refit by
-    * this policy. */
+    * `maxAppendFraction`. The PROBES `refit:*` curve (gmm corpus,
+    * dimension-REVERSED appends — hard distribution shift) keeps the
+    * policy honest about what a refit buys: recall on drifted queries
+    * decays mostly because the corpus drifted (0.238 → ~0.10 for the
+    * refit itself at 100% append), while the frozen-codebook penalty
+    * on top of that is small at this code budget (appended 0.218 vs
+    * refit 0.238 at 10%; within query-sampling noise of each other at
+    * 50-100% — the appended index even reads higher at 50%). So the
+    * 0.5 default is a STALENESS ACCOUNTING guard — bound how much of
+    * the index the fit never saw, refresh cells/codebooks on the next
+    * maintenance window — not a measured recall cliff; raise m or add
+    * the refine stage when drifted-query recall itself is the problem
+    * (§8 nprobe note). Reads one 1-row meta collect + one codes count
+    * (parquet footer-cheap); an index with no appends never needs a
+    * refit by this policy. */
   def needsRefit(index: IvfPqIndex,
       maxAppendFraction: Double = 0.5): Boolean = {
     require(maxAppendFraction > 0.0,
