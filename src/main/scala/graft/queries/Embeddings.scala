@@ -472,8 +472,17 @@ object Embeddings {
 
   /** The #41k/#42d shared exact-endpoint graph: `cap`-long corpus, one
     * seqfold-mean cell, kc = cap ≥ corpus so the residual ADC scores
-    * are exact and DuckDB replays the whole graph. */
+    * are exact and DuckDB replays the whole graph. Memoized per
+    * session (the QueryMemo mine-once semantic): emb_knn_join RETURNS
+    * the graph and emb_knn_dedup CONSUMES it — one fit+scoring pass
+    * feeds both query products, and the memoized frame is n·k id+
+    * double rows, never vectors. */
   private def exactKnnGraph(s: SparkSession, d: String, cap: Int,
+      k: Int): DataFrame =
+    graft.QueryMemo.cached(s, s"knn_graph:cap=$cap:k=$k:$d")(
+      buildExactKnnGraph(s, d, cap, k))
+
+  private def buildExactKnnGraph(s: SparkSession, d: String, cap: Int,
       k: Int): DataFrame = {
     val v = vecs(s, d).filter(col("vec_id") < cap)
     val seqMean = aggregate(
