@@ -716,6 +716,71 @@ object ScaleProbe {
             deleteRecursively(outDir)
             deleteRecursively(ckDir)
           }
+        case Array("spanstream", n) =>
+          // r18: streaming span-level decontamination — synthetic
+          // ~30-word docs rate-stream through decontaminateSpansSink
+          // against a frozen 20-doc bench built from the SAME
+          // deterministic vocab formula. A span's identity here is its
+          // first word's residue mod 5000 (consecutive words step +7),
+          // so the bench covers 20·23/5000 ≈ 9% of span space — real
+          // partial contamination, neither vacuous nor saturating
+          val target = n.toLong
+          val docExpr = """array_join(transform(sequence(1, 30),
+            |  i -> concat('w', pmod(value * 31 + i * 7, 5000))), ' ')
+            |AS text""".stripMargin.replaceAll("\n", "")
+          val bench = spark.range(20).selectExpr("id AS value")
+            .selectExpr("value AS doc_id", docExpr)
+          val src = spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 20000L)
+            .option("numPartitions", 32).load()
+            .selectExpr("value AS doc_id", docExpr)
+          val outDir = java.nio.file.Files.createTempDirectory("spanstream_out")
+          val ckDir = java.nio.file.Files.createTempDirectory("spanstream_ck")
+          try {
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.DocStream.decontaminateSpansSink(
+                src, bench, outDir.toString, ckDir.toString, n = 8)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "spanstream probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              // rate from the OUTPUT rows (one per doc): numInputRows
+              // is only the stop trigger — it over-counts if the plan
+              // ever scans its source more than once per trigger
+              val out = spark.read.parquet(outDir.toString)
+              val excised = out.filter(col("n_removed") > 0).count()
+              val rows = out.count()
+              require(excised > 0, "spanstream: zero excisions — vacuous")
+              require(excised < rows,
+                "spanstream: every doc excised — bench saturates span space")
+              println(f"[probe] spanstream ${rows / secs}%.0f docs/s " +
+                f"($rows docs in $secs%.1f s; $excised excised) " +
+                f"${listener.stats}")
+              (rows, Map[String, Any](
+                "docs_per_s" -> math.rint(rows / secs),
+                "excised_docs" -> excised, "out_rows" -> rows,
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(outDir)
+            deleteRecursively(ckDir)
+          }
         case Array("annappend", n) =>
           // r18: streaming ANN-index maintenance — fit+persist an
           // IVFADC index ONCE, then rate-source synthetic NEW vectors
@@ -1006,10 +1071,11 @@ object ScaleProbe {
           val fracs = Seq(0.1, 0.5, 1.0)
           val curve = fracs.map { frac =>
             val nAdd = (half * frac).toLong
-            val add = drift.filter(col("vec_id") < n + nAdd)
+            // drift ids live in [n + half, n + n): take the first nAdd
+            val add = drift.filter(col("vec_id") < n + half + nAdd)
             val grown = CacheScope.persistTracked(base.unionByName(add))
             // drifted queries: the first nQ appended vectors
-            val q = drift.filter(col("vec_id") < n + nQ)
+            val q = drift.filter(col("vec_id") < n + half + nQ)
             val exact = exactTopKFor(grown, q, kk)
             val qside = broadcast(q.select(col("vec_id").as("query_id"),
               col("e").as("qe"), col("norm").as("qnorm")))

@@ -295,9 +295,14 @@ object DocStream {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Curation
-            .decontaminateSpansAgainst(batch, benchSpans, n)
+          // the excision plan scans its input three times (occurrence
+          // postings, word rows, and the reassembly tail) — pin the
+          // batch so a real source is read once per trigger, not three
+          val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+          try graft.operators.Curation
+            .decontaminateSpansAgainst(b, benchSpans, n)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          finally b.unpersist(blocking = false)
           ()
         }
         .start()
