@@ -91,20 +91,26 @@ object EmbStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qside = batch.select(col("vec_id").as("query_id"),
-            col("e").as("qe"))
-          .withColumn("qnorm", sqrt(
-            graft.functions.DotProduct.column(col("qe"), col("qe"))))
-        // external arrivals: ids must not self-exclude corpus rows
-        val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
-            excludeSelf = false)
-          .select(col("query_id").as("vec_id"),
-            col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
-        batch.select("vec_id").join(nn, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),
-            col("nn_id"), col("nn_qcos"))
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // the verdict joins the batch against its own search result —
+        // two scans; pin it so a real source is read once per trigger
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val qside = b.select(col("vec_id").as("query_id"),
+              col("e").as("qe"))
+            .withColumn("qnorm", sqrt(
+              graft.functions.DotProduct.column(col("qe"), col("qe"))))
+          // external arrivals: ids must not self-exclude corpus rows
+          val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
+              excludeSelf = false)
+            .select(col("query_id").as("vec_id"),
+              col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
+          b.select("vec_id").join(nn, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),
+              col("nn_id"), col("nn_qcos"))
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        } finally b.unpersist(blocking = false)
         ()
       }
       .start()
