@@ -269,7 +269,7 @@ object Curation {
     * streaming form: a doc's excision depends on nothing but its own
     * words and the frozen span set, so per-batch outputs union to the
     * batch sweep (parity by construction, pinned in
-    * StreamingDedupSpec). */
+    * DecontaminateSpec). */
   def decontaminateSpansAgainst(train: DataFrame, benchSpans: DataFrame,
       n: Int = 8): DataFrame = {
     require(n >= 2, "span length must be >= 2 words")

@@ -722,8 +722,13 @@ object Similarity {
       pq.codes.drop("dnorm")
         .join(assigned.select(col("vec_id"), col("cluster")), "vec_id"))
     import v.sparkSession.implicits._
+    // n_base rides the plan lazily (the ivfPqAppend bump discipline):
+    // materialized once into parquet by saveIvfPqIndex, it lets
+    // needsRefit answer from two meta longs without ever re-executing
+    // the encode plan behind `codes`
     val meta = Seq((m, dim, kc, kCoarse, iters, 0L))
       .toDF("m", "dim", "kc", "k_coarse", "iters", "n_appended")
+      .crossJoin(v.agg(count_distinct(col("vec_id")).as("n_base")))
     IvfPqIndex(m, dim, kc, kCoarse, coarse, pq.codebooks, codes, meta)
   }
 
@@ -1051,8 +1056,23 @@ object Similarity {
     val base = loadIvfPqIndex(spark, dir)
     val path = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a batch_id=N subtree may exist with no committed part files (an
+    // empty replayed micro-batch, or an aborted first write leaving
+    // only _temporary) — the documented contract is "no deltas loads
+    // the base unchanged", so require a READABLE data file, not just
+    // a directory name, before handing the path to the parquet reader
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) !name.startsWith("_") && !name.startsWith(".") &&
+          hasDataFile(st.getPath)
+        else !name.startsWith("_") && !name.startsWith(".")
+      }
     val hasDeltas = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+      fs.listStatus(path).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          hasDataFile(st.getPath)
+      }
     if (!hasDeltas) base
     else {
       val deltas = spark.read.parquet(deltaDir)
@@ -1086,19 +1106,27 @@ object Similarity {
     * the index the fit never saw, refresh cells/codebooks on the next
     * maintenance window — not a measured recall cliff; raise m or add
     * the refine stage when drifted-query recall itself is the problem
-    * (§8 nprobe note). Reads one 1-row meta collect + one codes count
-    * (parquet footer-cheap); an index with no appends never needs a
-    * refit by this policy. */
+    * (§8 nprobe note). Answers from the 1-row meta alone (n_base is
+    * stamped at fit, n_appended by appends; only pre-r18 artifacts
+    * without n_base fall back to a codes count); an index with no
+    * appends never needs a refit by this policy. */
   def needsRefit(index: IvfPqIndex,
       maxAppendFraction: Double = 0.5): Boolean = {
     require(maxAppendFraction > 0.0,
       s"needsRefit: maxAppendFraction must be > 0, got $maxAppendFraction")
+    val metaCols = index.meta.columns.toSet
     val appended =
-      if (!index.meta.columns.contains("n_appended")) 0L
+      if (!metaCols.contains("n_appended")) 0L
       else index.meta.select("n_appended").collect()(0).getLong(0)
     if (appended == 0L) false
     else {
-      val base = index.codes.count() - appended
+      // n_base (stamped at fit since r18) answers from the 1-row meta;
+      // pre-r18 artifacts fall back to counting codes — for those,
+      // persist or reload the index first if the encode plan is hot
+      val base =
+        if (metaCols.contains("n_base"))
+          index.meta.select("n_base").collect()(0).getLong(0)
+        else index.codes.count() - appended
       base <= 0L || appended.toDouble / base > maxAppendFraction
     }
   }

@@ -233,21 +233,6 @@ object DocStream {
     judged.union(short)
   }
 
-  /** Streaming benchmark decontamination (the incremental twin of
-    * `doc_decontaminate`, SURVEY §2c #56): incoming training documents
-    * are checked against the benchmark suites ON ARRIVAL, so a
-    * contaminated doc never reaches the training set — instead of a
-    * nightly cross-corpus sweep.
-    *
-    * Shape: the bench posting list (eval suites — broadcast-sized at
-    * any real scale) is shingled ONCE and persisted for the query's
-    * lifetime; each micro-batch runs the BATCH operator's posting-list
-    * equi join against it. Train docs are judged independently of each
-    * other, so the union of per-batch outputs IS the batch operator's
-    * result over the full stream — parity by construction (pinned by
-    * DecontaminateSpec). Output is idempotent under micro-batch replay:
-    * each batch overwrites its own batch_id=N subtree, the same
-    * exactly-once pattern as EventStream.batchedSink. */
   /** Query-scoped cache lifecycle: unpersist `cached` when `q`
     * terminates, covering the died-in-first-batch race (unpersist is
     * idempotent). A long-lived session may run many streams — frozen
@@ -284,7 +269,7 @@ object DocStream {
     * ([[graft.operators.Curation.decontaminateSpansAgainst]]). A doc's
     * excision depends on nothing but its own words and the frozen span
     * set, so the union of per-batch outputs IS the batch sweep —
-    * parity by construction, pinned in StreamingDedupSpec. Idempotent
+    * parity by construction, pinned in DecontaminateSpec. Idempotent
     * batch_id=N subtrees. */
   def decontaminateSpansSink(train: DataFrame, bench: DataFrame,
       outDir: String, checkpointDir: String, n: Int = 8): StreamingQuery = {
@@ -312,6 +297,21 @@ object DocStream {
     releaseOnTermination(q, benchSpans)
   }
 
+  /** Streaming benchmark decontamination (the incremental twin of
+    * `doc_decontaminate`, SURVEY §2c #56): incoming training documents
+    * are checked against the benchmark suites ON ARRIVAL, so a
+    * contaminated doc never reaches the training set — instead of a
+    * nightly cross-corpus sweep.
+    *
+    * Shape: the bench posting list (eval suites — broadcast-sized at
+    * any real scale) is shingled ONCE and persisted for the query's
+    * lifetime; each micro-batch runs the BATCH operator's posting-list
+    * equi join against it. Train docs are judged independently of each
+    * other, so the union of per-batch outputs IS the batch operator's
+    * result over the full stream — parity by construction (pinned by
+    * DecontaminateSpec). Output is idempotent under micro-batch replay:
+    * each batch overwrites its own batch_id=N subtree, the same
+    * exactly-once pattern as EventStream.batchedSink. */
   def decontaminateSink(train: DataFrame, bench: DataFrame, outDir: String,
       checkpointDir: String, n: Int = 5, minShared: Long = 5L): StreamingQuery = {
     val benchGrams = graft.operators.TextDedup
