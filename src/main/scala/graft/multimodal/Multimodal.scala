@@ -14,16 +14,37 @@ case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
 /** One sampled frame of a video/audio blob. */
 case class Frame(media_id: Long, frame_idx: Int, offset: Int, checksum: Long)
 
+/** Decode verdict + exact pixel statistics of one media payload
+  * (REAL decode — see [[PnmCodec]]): integer sum so the mean replays
+  * bit-exactly as sum/count in any engine. `decoded` false = the
+  * payload is not a parseable PNM (stats columns null-equivalent
+  * zeros; a real build would route such rows to the JPEG/PNG codec
+  * or a dead-letter side output). */
+case class RasterStats(media_id: Long, decoded: Boolean, width: Int,
+    height: Int, channels: Int, n_pixels: Int, px_sum: Long,
+    px_min: Int, px_max: Int)
+
+/** One media payload resized to fixed dimensions, pixels serialized
+  * as a comma-joined string (engine-portable for the oracle). */
+case class ResizedRow(media_id: Long, width: Int, height: Int,
+    pixels: String)
+
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition so one task holds one
   * codec context (the real-world decode libraries are heavyweight to
   * initialize — the per-partition shape is the part that matters at
   * 100 TB, where a row-at-a-time UDF would re-init per record).
   *
-  * The decode kernels themselves are STUBS — this container has no
-  * image/audio codecs — replaced by a deterministic fake that hashes the
+  * Decode honesty, tier by tier (r18): the PNM family (binary
+  * PGM/PPM) decodes FOR REAL — [[PnmCodec]] is a zero-dependency
+  * parser, and resize/stats/feature steps below it operate on actual
+  * pixels (mm_decode / mm_resize replay the pixel arithmetic from the
+  * source bytes in DuckDB). Compressed codecs (JPEG/PNG/audio) remain
+  * STUBS — this container has no codec libraries — behind the same
+  * signatures, replaced by a deterministic fake that hashes the
   * payload. The Spark-side plumbing (schema, encoders, partitioning,
-  * per-partition batching, flatMap fan-out) is real and tested.
+  * per-partition batching, flatMap fan-out) is real and tested either
+  * way.
   */
 object Multimodal {
 
@@ -73,6 +94,44 @@ object Multimodal {
         val off = f * strideBytes
         val end = math.min(off + strideBytes, m.bytes.length)
         Frame(m.media_id, f, off, checksum(java.util.Arrays.copyOfRange(m.bytes, off, end)))
+      }
+    }
+  }
+
+  /** REAL decode + exact pixel statistics, one parse per row,
+    * per-partition iteration (no codec context needed for PNM, but
+    * the shape matches the compressed-codec path that does). */
+  def decodeStats(media: Dataset[Media]): Dataset[RasterStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        PnmCodec.decode(m.bytes) match {
+          case Some(r) =>
+            val (sum, mn, mx) = PnmCodec.stats(r)
+            RasterStats(m.media_id, decoded = true, r.width, r.height,
+              r.channels, r.pixels.length, sum, mn, mx)
+          case None =>
+            RasterStats(m.media_id, decoded = false, 0, 0, 0, 0, 0L, 0, 0)
+        }
+      }
+    }
+  }
+
+  /** REAL pixel resize: decode, nearest-neighbor resample (pure
+    * integer source mapping — replays exactly cross-engine), emit the
+    * resized samples as a portable comma-joined string. Undecodable
+    * payloads yield an empty pixel string (the dead-letter shape). */
+  def resizePixels(media: Dataset[Media], dw: Int,
+      dh: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        PnmCodec.decode(m.bytes) match {
+          case Some(r) =>
+            val rs = PnmCodec.resizeNearest(r, dw, dh)
+            ResizedRow(m.media_id, dw, dh, rs.pixels.mkString(","))
+          case None => ResizedRow(m.media_id, dw, dh, "")
+        }
       }
     }
   }
