@@ -29,6 +29,21 @@ case class RasterStats(media_id: Long, decoded: Boolean, width: Int,
 case class ResizedRow(media_id: Long, width: Int, height: Int,
     pixels: String)
 
+/** Deterministic pixel-feature embedding of one media payload (r19 —
+  * the image → embedding bridge): `e` is the gw·gh grid of mean-pooled
+  * patch intensities, centered by the image's own mean. `decoded`
+  * false (empty `e`) = unparseable payload OR raster smaller than the
+  * grid — the dead-letter shape. */
+case class MediaEmbedding(media_id: Long, decoded: Boolean,
+    e: Array[Double])
+
+/** Decode verdict + exact PCM sample statistics of one audio payload
+  * (REAL decode — see [[WavCodec]]): integer sum of int16 samples so
+  * the mean replays bit-exactly as sum/count in any engine. */
+case class AudioStats(media_id: Long, decoded: Boolean, channels: Int,
+    sample_rate: Int, n_samples: Int, s_sum: Long, s_min: Int,
+    s_max: Int)
+
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition so one task holds one
   * codec context (the real-world decode libraries are heavyweight to
@@ -131,6 +146,103 @@ object Multimodal {
             val rs = PnmCodec.resizeNearest(r, dw, dh)
             ResizedRow(m.media_id, dw, dh, rs.pixels.mkString(","))
           case None => ResizedRow(m.media_id, dw, dh, "")
+        }
+      }
+    }
+  }
+
+  /** Mean-pooled grid-patch feature kernel (r19 — the image →
+    * embedding bridge the ANN/dedup tier consumes): partition the
+    * raster into a gw×gh grid (patch (gy,gx) covers pixel rows
+    * [⌊gy·h/gh⌋, ⌊(gy+1)·h/gh⌋) × cols [⌊gx·w/gw⌋, ⌊(gx+1)·w/gw⌋),
+    * channel-pooled), each feature = the patch's exact integer pixel
+    * sum / its pixel count, centered by the image's own global mean.
+    *
+    * Why this exact arithmetic: integer sums ⇒ the only float ops are
+    * one division per patch and one subtraction — the identical IEEE
+    * sequence any engine evaluates from the same bytes, so the
+    * embedding (and every cosine downstream) replays bit-exactly in
+    * DuckDB. The per-image centering is the photometric
+    * normalization that makes cosine discriminative: raw intensity
+    * vectors of unrelated images all sit in the positive orthant
+    * (cos > 0.9 corpus-wide); centered ones behave like Pearson
+    * correlation of the pixel layout. */
+  def gridFeatureVec(r: Raster, gw: Int, gh: Int): Array[Double] = {
+    require(gw > 0 && gh > 0, s"feature grid must be positive: ${gw}x$gh")
+    require(r.width >= gw && r.height >= gh,
+      s"raster ${r.width}x${r.height} smaller than feature grid ${gw}x$gh")
+    var total = 0L
+    var i = 0
+    while (i < r.pixels.length) { total += r.pixels(i); i += 1 }
+    val mu = total.toDouble / r.pixels.length
+    val out = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * r.height / gh; val y1 = (gy + 1) * r.height / gh
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * r.width / gw; val x1 = (gx + 1) * r.width / gw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var c = 0
+            while (c < r.channels) {
+              sum += r.pixels((y * r.width + x) * r.channels + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (y1 - y0).toLong * (x1 - x0) * r.channels
+        out(gy * gw + gx) = sum.toDouble / cnt - mu
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Decode + grid-feature embedding, per-partition (the
+    * [[extractFeatures]] shape with a REAL kernel): each payload
+    * becomes an `e: array<double>` row the existing similarity/dedup
+    * operators consume unchanged. Undecodable payloads — and rasters
+    * smaller than the grid, whose patches would be empty — get the
+    * dead-letter row (decoded = false, empty e). */
+  def embedMedia(media: Dataset[Media], gw: Int,
+      gh: Int): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        PnmCodec.decode(m.bytes) match {
+          case Some(r) if r.width >= gw && r.height >= gh =>
+            MediaEmbedding(m.media_id, decoded = true,
+              gridFeatureVec(r, gw, gh))
+          case _ =>
+            MediaEmbedding(m.media_id, decoded = false,
+              Array.empty[Double])
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode + exact PCM sample statistics ([[WavCodec]] —
+    * the [[decodeStats]] twin for the second modality). Integer
+    * arithmetic only, so every column replays from the source bytes
+    * in any engine. */
+  def audioStats(media: Dataset[Media]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        WavCodec.decode(m.bytes) match {
+          case Some(a) =>
+            val (sum, mn, mx) = WavCodec.stats(a)
+            AudioStats(m.media_id, decoded = true, a.channels,
+              a.sampleRate, a.samples.length, sum, mn, mx)
+          case None =>
+            AudioStats(m.media_id, decoded = false, 0, 0, 0, 0L, 0, 0)
         }
       }
     }

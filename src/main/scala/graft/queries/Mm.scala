@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.multimodal.{Media, Multimodal}
+import graft.multimodal.{Media, Multimodal, PcmAudio, WavCodec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,10 +62,11 @@ object Mm {
     header ++ body
   }
 
-  private def pgmMedia(s: SparkSession, d: String) = {
+  private def pgmMedia(s: SparkSession, d: String,
+      cap: Long = Long.MaxValue) = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         Media(id, "image", pgmPayload(text, 16, 8), 16, 8, 0)
@@ -90,11 +91,98 @@ object Mm {
   def mmResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizePixels(pgmMedia(s, d), 4, 4).toDF()
 
+  /** #47e Image → embedding bridge (r19): decode the PGM payload for
+    * real, mean-pool a 4×4 grid of patches (16×8 raster → 4×2-pixel
+    * patches), center by the image's own mean
+    * ([[graft.multimodal.Multimodal.gridFeatureVec]]) — integer sums
+    * plus one division and one subtraction per feature, so every
+    * value replays bit-exactly from the source bytes in DuckDB. */
+  def mmEmbed(s: SparkSession, d: String): DataFrame =
+    Multimodal.embedMedia(pgmMedia(s, d), 4, 4).toDF()
+      .select(col("media_id"), posexplode(col("e")).as(Seq("pos", "f")))
+
+  /** #42e End-to-end IMAGE near-dup dedup (r19 — the composition a
+    * multimodal corpus pipeline actually runs): real decode →
+    * [[graft.multimodal.Multimodal.gridFeatureVec]] pixel embeddings
+    * → exact cosine kNN graph (k = 3, the brute-force endpoint; the
+    * scale path swaps in [[graft.operators.Similarity.ivfPqKnnJoin]]
+    * — GraphDedupSpec pins lossy ≡ exact at the endpoint) →
+    * [[graft.operators.GraphDedup.knnGraphDedup]] mutual edges at
+    * τ = 0.99 → components → keep-smallest. τ = 0.99 on CENTERED
+    * pixel features separates the corpus's planted near-dup texts
+    * (their rasters differ in a few patches → cos ≈ 0.994-1.0) from
+    * unrelated docs (p99 ≈ 0.72). Constant cost at every sf: the 300
+    * cap bounds all sides, and the 90k-pair exact graph is one
+    * broadcast nested loop. */
+  def mmDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.DotProduct.column _
+    val v = Multimodal.embedMedia(pgmMedia(s, d, cap = 300), 4, 4).toDF()
+      .filter(col("decoded"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("norm") > 0)
+    val q = broadcast(v.select(col("media_id").as("query_id"),
+      col("e").as("qe"), col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val g = v.select(col("media_id").as("neighbor_id"), col("e"),
+        col("norm"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "qcos")
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(g, nodes, tau = 0.99)
+      .select(col("id").as("media_id"), col("component"),
+        col("n_members"), col("keep"))
+  }
+
+  /** Real WAV payload: RIFF/PCM-16 mono 8 kHz, 64 samples decoded
+    * little-endian from the doc's text byte pairs (zero-padded) — a
+    * REAL audio file [[graft.multimodal.WavCodec]] parses, built
+    * from bytes the oracle can also see. */
+  private def wavMedia(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("US-ASCII")
+        val samples = Array.tabulate(64) { j =>
+          val b0 = if (2 * j < tb.length) tb(2 * j) & 0xff else 0
+          val b1 = if (2 * j + 1 < tb.length) tb(2 * j + 1) & 0xff else 0
+          val v = b0 | (b1 << 8)
+          if (v >= 0x8000) v - 0x10000 else v
+        }
+        Media(id, "audio",
+          WavCodec.encode(PcmAudio(1, 8000, samples)), 0, 0, 8000)
+      }
+  }
+
+  /** #47f REAL audio decode (r19): every doc becomes a RIFF/PCM-16
+    * file, [[graft.multimodal.WavCodec.decode]] walks the chunk
+    * grammar for real, and the surfaced exact sample statistics are
+    * recomputed by DuckDB from the same source bytes. (The corpus is
+    * ASCII, so every int16 sample is b0 + 256·b1 < 32768 — the
+    * sign branch is exercised by MultimodalSpec's hand-built negative
+    * fixture instead.) */
+  def mmAudioStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioStats(wavMedia(s, d)).toDF()
+      .withColumn("s_mean",
+        col("s_sum").cast("double") / col("n_samples"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_embed" -> (mmEmbed _),
+    "mm_dedup" -> (mmDedup _),
+    "mm_audio_stats" -> (mmAudioStats _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -135,5 +223,97 @@ object Mm {
         |    CAST(CASE WHEN i <= len(text)
         |              THEN ord(substr(text, CAST(i AS INTEGER), 1))
         |              ELSE 0 END AS VARCHAR)), ',') AS pixels
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // the 16x8 raster's 4x4 feature grid: patch (p//4, p%4) pools the
+    // 4x2 pixel block at rows 2*(p//4).., cols 4*(p%4)..; byte index
+    // of pixel (y,x) is 16y + x (0-based -> +1 for substr). Each
+    // feature = integer patch sum / 8.0 minus the global mean
+    // sum/128.0 - the identical IEEE op sequence as gridFeatureVec
+    "mm_embed" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_transform(range(1, 129), i ->
+         |    CASE WHEN i <= len(text)
+         |         THEN ord(substr(text, CAST(i AS INTEGER), 1))
+         |         ELSE 0 END) AS px
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), p ->
+         |      CAST(list_sum(list_transform(range(0, 8), j ->
+         |        px[1 + 16*(2*(p//4) + (j//4)) + (4*(p%4) + (j%4))]
+         |      )) AS DOUBLE) / 8.0) AS pf,
+         |    CAST(list_sum(px) AS DOUBLE) / 128.0 AS mu
+         |  FROM b)
+         |SELECT doc_id AS media_id, CAST(p AS INT) AS pos,
+         |  pf[CAST(p + 1 AS INTEGER)] - mu AS f
+         |FROM f, range(0, 16) t(p)""".stripMargin,
+    // mm_embed's feature replay -> exact cosine kNN (k=3) -> mutual
+    // edges at 0.99 on both directions -> recursive component walk
+    // (the emb_knn_dedup oracle pattern over PIXEL features)
+    "mm_dedup" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, list_transform(range(1, 129), i ->
+         |    CASE WHEN i <= len(text)
+         |         THEN ord(substr(text, CAST(i AS INTEGER), 1))
+         |         ELSE 0 END) AS px
+         |  FROM documents WHERE doc_id < 300),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), p ->
+         |      CAST(list_sum(list_transform(range(0, 8), j ->
+         |        px[1 + 16*(2*(p//4) + (j//4)) + (4*(p%4) + (j%4))]
+         |      )) AS DOUBLE) / 8.0) AS pf,
+         |    CAST(list_sum(px) AS DOUBLE) / 128.0 AS mu
+         |  FROM b),
+         |c AS (SELECT doc_id, list_transform(pf, x -> x - mu) AS e FROM f),
+         |n AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM c WHERE list_dot_product(e, e) > 0),
+         |g AS (SELECT query_id, neighbor_id, qcos FROM (
+         |  SELECT a.doc_id AS query_id, b2.doc_id AS neighbor_id,
+         |    list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm) AS qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+         |      ORDER BY list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm)
+         |        DESC, b2.doc_id ASC) AS rnk
+         |  FROM n a JOIN n b2 ON a.doc_id <> b2.doc_id) t
+         |  WHERE rnk <= 3),
+         |mutual AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v2
+         |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |    AND a.qcos >= 0.99 AND b.qcos >= 0.99),
+         |edges AS (SELECT u, v2 FROM mutual
+         |          UNION SELECT v2, u FROM mutual),
+         |walk(id, r2) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nn
+         |  UNION
+         |  SELECT w.id, e2.v2 FROM walk w JOIN edges e2 ON e2.u = w.r2),
+         |comp AS (SELECT id, MIN(r2) AS component FROM walk GROUP BY id)
+         |SELECT d.doc_id AS media_id,
+         |  COALESCE(c2.component, d.doc_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, d.doc_id))
+         |    AS n_members,
+         |  d.doc_id = COALESCE(c2.component, d.doc_id) AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         |LEFT JOIN comp c2 ON c2.id = d.doc_id""".stripMargin,
+    // int16 little-endian from text byte pairs (zero-padded to 64
+    // samples); ASCII corpus -> b1 < 128 -> all samples positive, so
+    // no sign arithmetic is needed in the replay
+    "mm_audio_stats" ->
+      """WITH sm AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    (CASE WHEN 2*j + 1 <= len(text)
+        |          THEN ord(substr(text, CAST(2*j + 1 AS INTEGER), 1))
+        |          ELSE 0 END)
+        |    + 256 * (CASE WHEN 2*j + 2 <= len(text)
+        |          THEN ord(substr(text, CAST(2*j + 2 AS INTEGER), 1))
+        |          ELSE 0 END)) AS sv
+        |  FROM documents)
+        |SELECT doc_id AS media_id, TRUE AS decoded, 1 AS channels,
+        |  8000 AS sample_rate, 64 AS n_samples,
+        |  CAST(list_sum(sv) AS BIGINT) AS s_sum,
+        |  CAST(list_min(sv) AS INTEGER) AS s_min,
+        |  CAST(list_max(sv) AS INTEGER) AS s_max,
+        |  CAST(list_sum(sv) AS DOUBLE) / 64 AS s_mean
+        |FROM sm""".stripMargin)
 }
