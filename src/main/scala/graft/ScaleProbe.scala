@@ -860,6 +860,113 @@ object ScaleProbe {
             deleteRecursively(dlDir)
             deleteRecursively(ckDir)
           }
+        case Array("graphappend", n) =>
+          // r19: streaming kNN-GRAPH maintenance — the knndedup probe
+          // shows the graph BUILD is ~94% of the dedup wall, so the
+          // lifecycle answer is: build + persist the bulk graph ONCE
+          // (KnnGraph.save), then rate-source synthetic arrivals
+          // through EmbStream.knnGraphAppendSink (forward top-k delta
+          // subtrees against the frozen index) and measure vectors/s
+          // absorbed; then KnnGraph.loadWithDeltas folds the deltas
+          // (NN-Descent merge-and-truncate) and the dedup consumer
+          // re-runs over the folded graph — splitting build vs absorb
+          // vs consume, with fold-back integrity gates.
+          val target = n.toLong
+          val kk = 5
+          val np = 4
+          val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
+          val idxDir = java.nio.file.Files.createTempDirectory("gapp_idx")
+          val gDir = java.nio.file.Files.createTempDirectory("gapp_graph")
+          val dlDir = java.nio.file.Files.createTempDirectory("gapp_delta")
+          val ckDir = java.nio.file.Files.createTempDirectory("gapp_ck")
+          try {
+            val corpusRows = v.count()
+            val tb = System.nanoTime()
+            graft.operators.Similarity.saveIvfPqIndex(
+              graft.operators.Similarity.ivfPqFit(
+                v, dim = 64, m = 8, kc = 64, kCoarse = 16, iters = 2),
+              idxDir.toString)
+            val idx = graft.operators.Similarity.loadIvfPqIndex(
+              spark, idxDir.toString)
+            val qside = v.select(col("vec_id").as("query_id"),
+              col("e").as("qe"), col("norm").as("qnorm"))
+            graft.operators.KnnGraph.save(
+              graft.operators.Similarity.ivfPqKnnJoin(idx, qside, kk, np),
+              kk, np, gDir.toString)
+            val buildSecs = (System.nanoTime() - tb) / 1e9
+            CacheScope.releaseAll()
+            val vstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 2000L)
+              .option("numPartitions", 32).load()
+              .selectExpr(
+                s"value + ${corpusRows}L AS vec_id", // fresh id space
+                """transform(sequence(0, 63), j ->
+                  |  (cast(pmod(value * 131 + j * 17, 2001) as double)
+                  |   - 1000.0) / 1000.0) AS e"""
+                  .stripMargin.replaceAll("\n", ""))
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.EmbStream.knnGraphAppendSink(
+                vstream, idx, kk, np, dlDir.toString, ckDir.toString)
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "graphappend probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              val t2 = System.nanoTime()
+              val folded = graft.operators.KnnGraph.loadWithDeltas(
+                spark, gDir.toString, dlDir.toString)
+              val appended = folded.meta.select("n_appended")
+                .collect()(0).getLong(0)
+              require(appended >= done,
+                s"graphappend: meta counted $appended < $done absorbed")
+              val arrivalNodes = folded.edges
+                .filter(col("query_id") >= corpusRows)
+                .select(countDistinct(col("query_id"))).collect()(0)
+                .getLong(0)
+              require(arrivalNodes == appended,
+                s"graphappend: folded graph carries $arrivalNodes " +
+                  s"arrival nodes, meta says $appended")
+              val nodes = folded.edges.select(col("query_id").as("id"))
+                .distinct()
+              val dropped = graft.operators.GraphDedup
+                .knnGraphDedup(folded.edges, nodes, tau = 0.7)
+                .filter(!col("keep")).count()
+              val consumeSecs = (System.nanoTime() - t2) / 1e9
+              val rebuild = graft.operators.KnnGraph.needsRebuild(folded)
+              println(f"[probe] graphappend ${done / secs}%.0f vectors/s " +
+                f"($done vectors in $secs%.1f s; build $buildSecs%.1f s, " +
+                f"fold+dedup $consumeSecs%.1f s, dropped=$dropped, " +
+                f"needs_rebuild=$rebuild) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "vectors_per_s" -> math.rint(done / secs),
+                "corpus_rows" -> corpusRows, "n_appended" -> appended,
+                "fold_consume_secs" -> math.rint(consumeSecs * 1000) / 1000,
+                "dropped" -> dropped, "needs_rebuild" -> rebuild,
+                "topk" -> kk, "nprobe" -> np,
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(gDir)
+            deleteRecursively(dlDir)
+            deleteRecursively(ckDir)
+          }
         case Array("ivfpq", m, kc, kCoarse, topk, tag @ _*) if tag.size <= 1 =>
           // r15: IVFADC at probe scale — coarse cells + PQ on
           // residuals, persisted/reloaded artifact, nprobe recall

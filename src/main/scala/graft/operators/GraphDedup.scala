@@ -72,4 +72,46 @@ object GraphDedup {
       .select(col("id"), col("component"), col("n_members"),
         (col("id") === col("component")).as("keep"))
   }
+
+  /** Diversity sampling over the kNN graph (r19 — the graph's third
+    * consumer, after dedup and the kNN join): select one PROTOTYPE
+    * per dense neighborhood at a similarity floor `tau` LOWER than
+    * the dedup threshold — the data-pruning curation pass that keeps
+    * coverage while thinning redundant regions (the prototype-based
+    * selection of Sorscher et al. 2022's "Beyond neural scaling
+    * laws"; the classical objective is the k-center coreset of Sener
+    * & Savarese 2018, whose greedy is inherently sequential — this is
+    * its one-round parallel relaxation).
+    *
+    * Rule: every node's representative is the SMALLEST id in its
+    * closed neighborhood (itself ∪ its mutual-kNN neighbors at tau);
+    * the selected set is the set of representatives. Deterministic,
+    * replayable, and by construction a DOMINATING SET of the
+    * tau-graph: every node is a prototype or directly adjacent to
+    * one, so no neighborhood loses coverage (the guarantee that
+    * distinguishes this from dedup, which drops ALL non-canonical
+    * members of a component — here a long chain keeps intermediate
+    * prototypes instead of collapsing to one). Not an independent
+    * set: two adjacent prototypes can both be someone's neighborhood
+    * minimum; coverage, not sparsity, is the contract.
+    *
+    * 100 TB shape: mutual edges are ≤ k rows per node per side (the
+    * [[mutualKnnEdges]] bound), the neighborhood-min is one
+    * partial-aggregating groupBy over id+id rows, and the membership
+    * join is id-keyed — vectors and documents never enter. */
+  def diversityPrototypes(graph: DataFrame, nodes: DataFrame,
+      tau: Double): DataFrame = {
+    val e = mutualKnnEdges(graph, tau).select("u", "v")
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val nbrMin = sym.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("nmin"))
+    val rep = nodes.join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nmin"), col("id"))).as("rep"))
+    val sel = rep.select(col("rep").as("id")).distinct()
+      .withColumn("sel", lit(true))
+    rep.join(sel, Seq("id"), "left")
+      .select(col("id"), col("rep"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
 }

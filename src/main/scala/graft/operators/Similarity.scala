@@ -1126,7 +1126,14 @@ object Similarity {
       val base =
         if (metaCols.contains("n_base"))
           index.meta.select("n_base").collect()(0).getLong(0)
-        else index.codes.count() - appended
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "needsRefit: meta has no n_base stamp (pre-r18 artifact) — " +
+              "falling back to codes.count(), which EXECUTES the codes " +
+              "plan; persist or reload the index first if appends ride " +
+              "an unmaterialized encode")
+          index.codes.count() - appended
+        }
       base <= 0L || appended.toDouble / base > maxAppendFraction
     }
   }

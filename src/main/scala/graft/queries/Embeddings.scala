@@ -523,6 +523,22 @@ object Embeddings {
         col("n_members"), col("keep"))
   }
 
+  /** #42f Diversity sampling over the kNN graph
+    * ([[graft.operators.GraphDedup.diversityPrototypes]] — one
+    * prototype per dense neighborhood, a dominating set of the
+    * τ-graph). τ = 0.2 is deliberately BELOW the dedup threshold
+    * (0.4): dedup removes duplicates, this thins merely-similar
+    * regions while guaranteeing every node stays within one hop of a
+    * kept prototype. Third consumer of the memoized exact-endpoint
+    * graph — no extra build cost in a verify/bench pass. */
+  def embDiversity(s: SparkSession, d: String): DataFrame = {
+    val g = exactKnnGraph(s, d, cap = 300, k = 3)
+    val nodes = vecs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"))
+    graft.operators.GraphDedup.diversityPrototypes(g, nodes, tau = 0.2)
+      .select(col("id").as("vec_id"), col("rep"), col("selected"))
+  }
+
   private[graft] def kmeansSeqFold(v0: DataFrame, k: Int,
       iters: Int): DataFrame = {
     val v = graft.CacheScope.persistTracked(
@@ -608,6 +624,7 @@ object Embeddings {
     "emb_ann_ivfpq" -> (embAnnIvfPq _),
     "emb_knn_join" -> (embKnnJoin _),
     "emb_knn_dedup" -> (embKnnDedup _),
+    "emb_diversity" -> (embDiversity _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_scale" -> (embNeardupScale _),
@@ -849,6 +866,28 @@ object Embeddings {
        |  v.vec_id = COALESCE(c.component, v.vec_id) AS keep
        |FROM v LEFT JOIN comp c ON c.id = v.vec_id""".stripMargin
 
+  /** emb_diversity: the emb_knn_join graph replay + mutual edges at
+    * tau (both directed scores) + closed-neighborhood minimum as the
+    * representative + membership in the representative set. */
+  private def diversityOracle(dim: Int, m: Int, cap: Int, k: Int,
+      tau: Double): String =
+    s"""WITH ${annIvfPqGraphCtes(dim, m, cap, cap, k)},
+       |mutual AS (
+       |  SELECT a.query_id AS u, a.neighbor_id AS v2
+       |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+       |    AND b.neighbor_id = a.query_id
+       |  WHERE a.query_id < a.neighbor_id
+       |    AND a.qcos >= $tau AND b.qcos >= $tau),
+       |edges AS (SELECT u, v2 FROM mutual
+       |          UNION SELECT v2, u FROM mutual),
+       |nbr AS (SELECT u AS id, MIN(v2) AS nmin FROM edges GROUP BY 1),
+       |rp AS (SELECT v.vec_id AS id,
+       |  LEAST(v.vec_id, COALESCE(nb.nmin, v.vec_id)) AS rep
+       |  FROM v LEFT JOIN nbr nb ON nb.id = v.vec_id)
+       |SELECT rp.id AS vec_id, rp.rep, (s.rep IS NOT NULL) AS selected
+       |FROM rp LEFT JOIN (SELECT DISTINCT rep FROM rp) s
+       |  ON s.rep = rp.id""".stripMargin
+
   /** DuckDB twins. list_dot_product over double lists evaluates the same
     * sequential double sum as the Spark aggregate/zip_with expression. */
   val oracles: Map[String, String] = Map(
@@ -862,6 +901,8 @@ object Embeddings {
       annIvfPqOracle(dim = 64, m = 8, cap = 300, nQ = 300, k = 3),
     "emb_knn_dedup" ->
       knnDedupOracle(dim = 64, m = 8, cap = 300, k = 3, tau = 0.4),
+    "emb_diversity" ->
+      diversityOracle(dim = 64, m = 8, cap = 300, k = 3, tau = 0.2),
     // the SQ8 grid replays exactly: mn/mx are order-independent, and
     // least(floor((x - mn) / scale), 255.0) * scale + mn is the same
     // IEEE double sequence as the native kernel (Sq8.dequantized);

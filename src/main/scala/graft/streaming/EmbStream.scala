@@ -143,4 +143,36 @@ object EmbStream {
         ()
       }
       .start()
+
+  /** Streaming kNN-GRAPH maintenance (r19 — the graph sibling of
+    * [[ivfPqAppendSink]]): each arriving micro-batch of vectors
+    * (vec_id, e: array<double>) is searched against the FROZEN base
+    * index and ONLY its forward top-k edge rows are written, as an
+    * idempotent `batch_id=N` delta subtree;
+    * [[graft.operators.KnnGraph.loadWithDeltas]] folds them into the
+    * persisted graph with the NN-Descent merge-and-truncate (each
+    * forward row doubles as a reverse offer to its neighbor), so a
+    * 100 TB graph absorbs a stream at per-batch cost proportional to
+    * the batch × probed cells, never rewriting the base adjacency.
+    *
+    * Frozen-base contract (the [[semanticAdmitSink]] discipline, which
+    * keeps union-of-batches ≡ one batch search of all arrivals): every
+    * arrival is scored against the curated base corpus only, so
+    * arrival-arrival edges are NOT formed across (or within) batches —
+    * they enter at the next full rebuild, or by folding the code
+    * deltas of [[ivfPqAppendSink]] into the index and re-freezing
+    * between batches. `n_appended` staleness meta +
+    * [[graft.operators.KnnGraph.needsRebuild]] bound the drift. */
+  def knnGraphAppendSink(vectors: DataFrame,
+      index: Similarity.IvfPqIndex, k: Int, nprobe: Int,
+      deltaDir: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.KnnGraph.appendDelta(index, batch, k, nprobe,
+          deltaDir, batchId)
+        ()
+      }
+      .start()
 }

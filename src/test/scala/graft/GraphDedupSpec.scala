@@ -104,4 +104,67 @@ class GraphDedupSpec extends AnyFunSuite {
       assert(ve.values.exists(_._2 > 1L))
     } finally CacheScope.releaseAll()
   }
+
+  test("diversityPrototypes: reps are closed-neighborhood minima, " +
+    "the selected set DOMINATES the tau-graph, chains keep " +
+    "intermediate prototypes (unlike dedup), isolated nodes are " +
+    "their own prototype") {
+    // two dense neighborhoods {1,2,3} and {10,11}, a chain 20-21-22
+    // (21 bridges but 20/22 are not mutual neighbors), isolate 99
+    def sym(a: Long, b: Long) = Seq((a, b, 0.9), (b, a, 0.9))
+    val g = graphDf(
+      sym(1L, 2L) ++ sym(1L, 3L) ++ sym(2L, 3L) ++
+        sym(10L, 11L) ++ sym(20L, 21L) ++ sym(21L, 22L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 99L).toDF("id")
+    val got = GraphDedup.diversityPrototypes(g, nodes, tau = 0.5)
+      .select("id", "rep", "selected")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, true)) && got(2L) == ((1L, false)) &&
+      got(3L) == ((1L, false)))
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+    // chain: 20's neighborhood is {20,21} -> rep 20; 21 sees 20;
+    // 22 sees {21,22} -> rep 21, which IS selected (as its own and
+    // 21's? no — 21's rep is 20) — selected because 22 names it
+    assert(got(20L) == ((20L, true)))
+    assert(got(21L) == ((20L, true))) // rep'd by 20, selected FOR 22
+    assert(got(22L) == ((21L, false)))
+    // 21 is selected purely as 22's prototype: coverage over sparsity
+    val selected = got.filter(_._2._2).keySet
+    assert(selected == Set(1L, 10L, 20L, 21L, 99L))
+    assert(got(99L) == ((99L, true)))
+    // domination: every node's rep is itself or a tau-neighbor
+    val edges = GraphDedup.mutualKnnEdges(g, 0.5).select("u", "v")
+      .as[(Long, Long)].collect()
+      .flatMap(e => Seq(e, e.swap)).toSet
+    got.foreach { case (id, (rep, _)) =>
+      assert(id == rep || edges((id, rep)), s"node $id not dominated")
+      assert(got(rep)._2, s"rep $rep of $id not selected")
+    }
+    // determinism: a second evaluation is identical
+    val again = GraphDedup.diversityPrototypes(g, nodes, tau = 0.5)
+      .select("id", "rep", "selected")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
+  test("diversityPrototypes vs knnGraphDedup on the same graph: " +
+    "diversity never keeps fewer nodes, and both keep full coverage " +
+    "classes they promise") {
+    // one 5-chain: dedup collapses it to ONE canonical; diversity
+    // keeps a dominating set of it
+    def sym(a: Long, b: Long) = Seq((a, b, 0.9), (b, a, 0.9))
+    val g = graphDf(sym(1L, 2L) ++ sym(2L, 3L) ++ sym(3L, 4L) ++
+      sym(4L, 5L))
+    val nodes = (1L to 5L).toDF("id")
+    val dedupKept = GraphDedup.knnGraphDedup(g, nodes, tau = 0.5)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    val divKept = GraphDedup.diversityPrototypes(g, nodes, tau = 0.5)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+    assert(dedupKept == Set(1L)) // whole chain is one component
+    // diversity: reps are 1 (for 1,2), 2 (for 3), 3 (for 4), 4 (for 5)
+    assert(divKept == Set(1L, 2L, 3L, 4L))
+    assert(dedupKept.subsetOf(divKept))
+  }
 }
