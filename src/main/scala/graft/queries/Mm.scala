@@ -141,6 +141,33 @@ object Mm {
         col("n_members"), col("keep"))
   }
 
+  /** Binary P6 payload: real PPM header + the first w·h·3 text bytes
+    * as interleaved RGB samples (zero-padded) — the color twin of
+    * [[pgmPayload]]. */
+  private def ppmPayload(text: String, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](w * h * 3)
+    val tb = text.getBytes("US-ASCII")
+    var i = 0
+    while (i < body.length && i < tb.length) { body(i) = tb(i); i += 1 }
+    header ++ body
+  }
+
+  /** #47d' REAL resize through the P6 RGB path (r19 — the grayscale
+    * query's color twin, closing the one spec-only codec branch):
+    * 4×8 RGB → 2×2, sample triples at src (y,x) ∈ {0,4}×{0,2}, so the
+    * twelve 1-based text positions are fixed constants. */
+  def mmResizeRgb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Media(id, "image", ppmPayload(text, 4, 8), 4, 8, 0)
+      }
+    Multimodal.resizePixels(media, 2, 2).toDF()
+  }
+
   /** Real WAV payload: RIFF/PCM-16 mono 8 kHz, 64 samples decoded
     * little-endian from the doc's text byte pairs (zero-padded) — a
     * REAL audio file [[graft.multimodal.WavCodec]] parses, built
@@ -182,7 +209,8 @@ object Mm {
     "mm_resize" -> (mmResize _),
     "mm_embed" -> (mmEmbed _),
     "mm_dedup" -> (mmDedup _),
-    "mm_audio_stats" -> (mmAudioStats _))
+    "mm_audio_stats" -> (mmAudioStats _),
+    "mm_resize_rgb" -> (mmResizeRgb _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -296,6 +324,17 @@ object Mm {
          |  d.doc_id = COALESCE(c2.component, d.doc_id) AS keep
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
          |LEFT JOIN comp c2 ON c2.id = d.doc_id""".stripMargin,
+    // nearest-neighbor 4x8 RGB -> 2x2: src (y,x) in {0,4}x{0,2}, byte
+    // base ((4y + x)*3), so the twelve 1-based sampled text positions
+    // are the fixed triples below
+    "mm_resize_rgb" ->
+      """SELECT doc_id AS media_id, 2 AS width, 2 AS height,
+        |  array_to_string(list_transform(
+        |    [1,2,3,7,8,9,49,50,51,55,56,57], i ->
+        |    CAST(CASE WHEN i <= len(text)
+        |              THEN ord(substr(text, CAST(i AS INTEGER), 1))
+        |              ELSE 0 END AS VARCHAR)), ',') AS pixels
+        |FROM documents""".stripMargin,
     // int16 little-endian from text byte pairs (zero-padded to 64
     // samples); ASCII corpus -> b1 < 128 -> all samples positive, so
     // no sign arithmetic is needed in the replay
