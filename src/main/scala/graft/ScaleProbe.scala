@@ -873,7 +873,7 @@ object ScaleProbe {
           // vs consume, with fold-back integrity gates.
           val target = n.toLong
           val kk = 5
-          val np = 4
+          val np = 2 // the knndedup-proven budget: 64 cells, probe 2
           val v = CacheScope.persistTracked(vecs(spark, dir, withLabel = false))
           val idxDir = java.nio.file.Files.createTempDirectory("gapp_idx")
           val gDir = java.nio.file.Files.createTempDirectory("gapp_graph")
@@ -884,7 +884,8 @@ object ScaleProbe {
             val tb = System.nanoTime()
             graft.operators.Similarity.saveIvfPqIndex(
               graft.operators.Similarity.ivfPqFit(
-                v, dim = 64, m = 8, kc = 64, kCoarse = 16, iters = 2),
+                v, dim = 64, m = 8, kc = 256, kCoarse = 64, iters = 3,
+                trainN = 20000),
               idxDir.toString)
             val idx = graft.operators.Similarity.loadIvfPqIndex(
               spark, idxDir.toString)

@@ -170,8 +170,16 @@ object EmbStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.KnnGraph.appendDelta(index, batch, k, nprobe,
+        // the search plan reads the query side three times (cell
+        // probes, the dense ADC table, the verdict join) — pin the
+        // micro-batch so a real source is scanned once per trigger
+        // (the semanticAdmitSink discipline; unpinned, the
+        // graphappend probe measured 3x source over-read)
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try graft.operators.KnnGraph.appendDelta(index, b, k, nprobe,
           deltaDir, batchId)
+        finally b.unpersist(blocking = false)
         ()
       }
       .start()
