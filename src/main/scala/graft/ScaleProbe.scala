@@ -860,6 +860,109 @@ object ScaleProbe {
             deleteRecursively(dlDir)
             deleteRecursively(ckDir)
           }
+        case Array("mmdedup", n, dupEvery) =>
+          // r19: end-to-end IMAGE near-dup dedup at scale — synthetic
+          // 32x16 PGM corpus (4x4 block pattern from a per-image hash,
+          // so unrelated centered feature vectors are near-orthogonal),
+          // every dupEvery-th image a 1-pixel nudge of its predecessor;
+          // REAL decode -> gridFeatureVec -> the PRODUCTION graph path
+          // (ivfPqKnnJoin over pixel features) -> knnGraphDedup; gates
+          // on planted-pair recall, reports per-stage seconds.
+          import spark.implicits._
+          val total = n.toInt
+          val every = dupEvery.toInt
+          require(every >= 2, s"mmdedup: dupEvery must be >= 2, got $every")
+          def pixels(img: Long): Array[Int] = {
+            val base = if (img % every == 1 && img > 0) img - 1 else img
+            val px = new Array[Int](32 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 32) {
+                val bx = x / 8; val by = y / 4
+                // splitmix-style finalizer: a plain multiply-shift is
+                // AFFINE in the argument, which makes any two images
+                // whose block arguments differ by a constant collapse
+                // to the same centered feature vector (measured: 7.5%
+                // of unrelated pairs over cos 0.99); the xor-shift
+                // mixing drops the unrelated max to 0.758 while
+                // planted pairs stay >= 0.9999999
+                var h = (base * 131L + bx * 17L + by * 37L) *
+                  -7046029254386353131L // 0x9E3779B97F4A7C15
+                h ^= (h >>> 31)
+                h *= -4658895280553007687L // 0xBF58476D1CE4E5B9
+                h ^= (h >>> 27)
+                px(y * 32 + x) = ((h >>> 24) & 0xff).toInt
+                x += 1
+              }
+              y += 1
+            }
+            if (img % every == 1 && img > 0) px(37) = (px(37) + 2) & 0xff
+            px
+          }
+          val media = spark.range(total).map { i =>
+            graft.multimodal.Media(i, "image",
+              graft.multimodal.PnmCodec.encode(
+                graft.multimodal.Raster(32, 16, 1, pixels(i))), 32, 16, 0)
+          }
+          val t0e = System.nanoTime()
+          val feats = CacheScope.persistTracked(
+            graft.multimodal.Multimodal.embedMedia(media, 4, 4).toDF()
+              .filter(col("decoded"))
+              .select(col("media_id").as("vec_id"), col("e")))
+          val nFeats = feats.count()
+          val embedSecs = (System.nanoTime() - t0e) / 1e9
+          val t1g = System.nanoTime()
+          val idx = graft.operators.Similarity.ivfPqFit(
+            feats, dim = 16, m = 4, kc = 256, kCoarse = 64, iters = 3,
+            trainN = 20000)
+          val qside = feats.select(col("vec_id").as("query_id"),
+              col("e").as("qe"))
+            .withColumn("qnorm", sqrt(
+              graft.functions.DotProduct.column(col("qe"), col("qe"))))
+          // lossy ADC graph shortlists; EXACT cosine re-ranks the n·k
+          // shortlist rows before the tau verdict (the 41j refine
+          // pattern — a 0.99 duplicate gate on raw ADC scores would
+          // drop true dups on quantization error alone: measured
+          // planted recall 0.26 unrefined vs 1.0 refined at 2k)
+          val graph = CacheScope.persistTracked(
+            graft.operators.Similarity.refineExactBulk(
+              graft.operators.Similarity.ivfPqKnnJoin(idx, qside, 3,
+                nprobe = 2),
+              qside, feats, k = 3))
+          val gRows = graph.count()
+          val graphSecs = (System.nanoTime() - t1g) / 1e9
+          val t2d = System.nanoTime()
+          val verdict = CacheScope.persistTracked(
+            graft.operators.GraphDedup.knnGraphDedup(
+              graph, feats.select(col("vec_id").as("id")), tau = 0.99))
+          val dropped = verdict.filter(!col("keep")).count()
+          val dedupSecs = (System.nanoTime() - t2d) / 1e9
+          // planted recall: (i-1, i) pairs must share a component
+          val planted = verdict.as("a").join(verdict.as("b"),
+              col("b.id") === col("a.id") + 1 &&
+                col("a.id") % every === 0)
+            .select((col("a.component") === col("b.component"))
+              .cast("long").as("hit"))
+            .agg(sum(col("hit")).as("hits"), count(lit(1)).as("n"))
+            .collect()(0)
+          val recall = planted.getLong(0).toDouble / planted.getLong(1)
+          require(recall > 0.5,
+            f"mmdedup: planted-pair recall $recall%.3f is not above " +
+              "chance — the feature bridge or graph path is broken")
+          println(f"[probe] mmdedup n=$total%d embed $embedSecs%.1f s " +
+            f"(${nFeats / embedSecs}%.0f imgs/s) graph $graphSecs%.1f s " +
+            f"($gRows%d rows) dedup $dedupSecs%.1f s dropped=$dropped%d " +
+            f"planted_recall=$recall%.3f")
+          (nFeats, Map[String, Any](
+            "embed_secs" -> math.rint(embedSecs * 1000) / 1000,
+            "imgs_per_s" -> math.rint(nFeats / embedSecs),
+            "graph_secs" -> math.rint(graphSecs * 1000) / 1000,
+            "graph_rows" -> gRows,
+            "dedup_secs" -> math.rint(dedupSecs * 1000) / 1000,
+            "dropped" -> dropped, "dup_every" -> every,
+            "planted_pairs" -> planted.getLong(1),
+            "planted_recall" -> math.rint(recall * 10000) / 10000))
         case Array("graphappend", n) =>
           // r19: streaming kNN-GRAPH maintenance — the knndedup probe
           // shows the graph BUILD is ~94% of the dedup wall, so the

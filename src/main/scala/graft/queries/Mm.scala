@@ -106,7 +106,10 @@ object Mm {
     * [[graft.multimodal.Multimodal.gridFeatureVec]] pixel embeddings
     * → exact cosine kNN graph (k = 3, the brute-force endpoint; the
     * scale path swaps in [[graft.operators.Similarity.ivfPqKnnJoin]]
-    * — GraphDedupSpec pins lossy ≡ exact at the endpoint) →
+    * + [[graft.operators.Similarity.refineExactBulk]] — a 0.99
+    * duplicate gate must see EXACT shortlist scores, since raw ADC
+    * drops true dups on quantization error alone: the `mmdedup:*`
+    * probe measures planted recall 0.26 unrefined vs 1.00 refined) →
     * [[graft.operators.GraphDedup.knnGraphDedup]] mutual edges at
     * τ = 0.99 → components → keep-smallest. τ = 0.99 on CENTERED
     * pixel features separates the corpus's planted near-dup texts
