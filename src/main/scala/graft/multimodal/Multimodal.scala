@@ -248,6 +248,70 @@ object Multimodal {
     }
   }
 
+  /** Windowed audio-energy feature kernel (r19 — the audio twin of
+    * [[gridFeatureVec]], so BOTH real decoders feed the ANN/dedup
+    * tier): split the PCM samples into `windows` floor-boundary
+    * spans (window w covers [⌊w·n/W⌋, ⌊(w+1)·n/W⌋), channel-pooled),
+    * each feature = the window's exact integer sum of squared
+    * samples / its sample count, centered by the payload's global
+    * mean square — energy contour, the zeroth-order spectral
+    * feature. Integer sums (a 16-bit sample squares to ≤ 2³⁰; even
+    * billions of samples fit a Long) ⇒ the only float ops are one
+    * division + one subtraction per window: bit-replayable from the
+    * source bytes in any engine, like the image features. */
+  def audioEnergyVec(a: PcmAudio, windows: Int): Array[Double] = {
+    require(windows > 0, s"windows must be positive: $windows")
+    require(a.samples.length >= windows,
+      s"${a.samples.length} samples shorter than $windows windows")
+    var total = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toLong
+      total += s * s
+      i += 1
+    }
+    val mu = total.toDouble / a.samples.length
+    val out = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val i0 = w * a.samples.length / windows
+      val i1 = (w + 1) * a.samples.length / windows
+      var sum = 0L
+      var j = i0
+      while (j < i1) {
+        val s = a.samples(j).toLong
+        sum += s * s
+        j += 1
+      }
+      out(w) = sum.toDouble / (i1 - i0) - mu
+      w += 1
+    }
+    out
+  }
+
+  /** Decode + energy-contour embedding, per-partition (the
+    * [[embedMedia]] shape for the audio modality): each payload
+    * becomes an `e: array<double>` row the similarity/dedup
+    * operators consume unchanged. Undecodable payloads — and
+    * payloads with fewer samples than windows — get the dead-letter
+    * row. */
+  def embedAudio(media: Dataset[Media],
+      windows: Int): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        WavCodec.decode(m.bytes) match {
+          case Some(a) if a.samples.length >= windows =>
+            MediaEmbedding(m.media_id, decoded = true,
+              audioEnergyVec(a, windows))
+          case _ =>
+            MediaEmbedding(m.media_id, decoded = false,
+              Array.empty[Double])
+        }
+      }
+    }
+  }
+
   /** Metadata-only resize: rescales the declared dimensions; the payload
     * stays opaque (a real build re-encodes in the decode step). */
   def resizeMeta(media: Dataset[Media], maxSide: Int): Dataset[Media] = {

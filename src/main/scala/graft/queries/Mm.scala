@@ -205,6 +205,17 @@ object Mm {
       .withColumn("s_mean",
         col("s_sum").cast("double") / col("n_samples"))
 
+  /** #47g Audio → embedding bridge (r19): real WAV decode, 8-window
+    * energy contour ([[graft.multimodal.Multimodal.audioEnergyVec]])
+    * — integer sums of squared int16 samples, one division and one
+    * subtraction per window, so every value replays bit-exactly from
+    * the source bytes. Completes the pipeline-consumer story for the
+    * second modality: both real decoders now surface `e:
+    * array<double>` the ANN/dedup tier takes unchanged. */
+  def mmAudioEmbed(s: SparkSession, d: String): DataFrame =
+    Multimodal.embedAudio(wavMedia(s, d), 8).toDF()
+      .select(col("media_id"), posexplode(col("e")).as(Seq("pos", "f")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -213,7 +224,8 @@ object Mm {
     "mm_embed" -> (mmEmbed _),
     "mm_dedup" -> (mmDedup _),
     "mm_audio_stats" -> (mmAudioStats _),
-    "mm_resize_rgb" -> (mmResizeRgb _))
+    "mm_resize_rgb" -> (mmResizeRgb _),
+    "mm_audio_embed" -> (mmAudioEmbed _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -338,6 +350,28 @@ object Mm {
         |              THEN ord(substr(text, CAST(i AS INTEGER), 1))
         |              ELSE 0 END AS VARCHAR)), ',') AS pixels
         |FROM documents""".stripMargin,
+    // 64 samples -> 8 windows of 8: window w pools squares of
+    // samples 8w+1..8w+8 (1-based), feature = winSum/8.0 - total/64.0
+    // - the identical IEEE sequence as audioEnergyVec
+    "mm_audio_embed" ->
+      """WITH sm AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    (CASE WHEN 2*j + 1 <= len(text)
+        |          THEN ord(substr(text, CAST(2*j + 1 AS INTEGER), 1))
+        |          ELSE 0 END)
+        |    + 256 * (CASE WHEN 2*j + 2 <= len(text)
+        |          THEN ord(substr(text, CAST(2*j + 2 AS INTEGER), 1))
+        |          ELSE 0 END)) AS sv
+        |  FROM documents),
+        |sq AS (SELECT doc_id,
+        |  list_transform(sv, x -> CAST(x AS BIGINT) * x) AS s2,
+        |  CAST(list_sum(list_transform(sv, x -> CAST(x AS BIGINT) * x))
+        |    AS DOUBLE) / 64.0 AS mu
+        |  FROM sm)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS pos,
+        |  CAST(list_sum(list_slice(s2, CAST(8*w + 1 AS INTEGER),
+        |    CAST(8*w + 8 AS INTEGER))) AS DOUBLE) / 8.0 - mu AS f
+        |FROM sq, range(0, 8) t(w)""".stripMargin,
     // int16 little-endian from text byte pairs (zero-padded to 64
     // samples); ASCII corpus -> b1 < 128 -> all samples positive, so
     // no sign arithmetic is needed in the replay

@@ -288,6 +288,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WavCodec.decode(fixRiff(dropped.dropRight(2))).isEmpty)
   }
 
+  test("audioEnergyVec: hand-computed fixture — even and uneven " +
+    "window splits, per-payload centering, negative samples square " +
+    "positive") {
+    import graft.multimodal.{Multimodal, PcmAudio}
+    // 4 samples -> 2 windows: squares {1,9},{4,16} -> means 5,10;
+    // global mean 30/4 = 7.5 -> centered [-2.5, 2.5]
+    val a = PcmAudio(1, 8000, Array(1, -3, 2, -4))
+    assert(Multimodal.audioEnergyVec(a, 2).toSeq == Seq(-2.5, 2.5))
+    // uneven 5 -> 2: windows [0,2) and [2,5)
+    val b = PcmAudio(1, 8000, Array(1, 1, 1, 1, 1))
+    assert(Multimodal.audioEnergyVec(b, 2).toSeq == Seq(0.0, 0.0))
+    intercept[IllegalArgumentException] {
+      Multimodal.audioEnergyVec(PcmAudio(1, 8000, Array(1)), 2)
+    }
+  }
+
+  test("embedAudio: real energy contours flow end to end; " +
+    "undecodable and too-short payloads yield the dead-letter row") {
+    import graft.multimodal.{Media, Multimodal, PcmAudio, WavCodec}
+    import spark.implicits._
+    val wav = WavCodec.encode(PcmAudio(1, 8000,
+      Array(1, -3, 2, -4, 0, 0, 10, -10)))
+    val short = WavCodec.encode(PcmAudio(1, 8000, Array(5)))
+    val ds = Seq(
+      Media(1L, "audio", wav, 0, 0, 8000),
+      Media(2L, "audio", "junk".getBytes("US-ASCII"), 0, 0, 0),
+      Media(3L, "audio", short, 0, 0, 8000)).toDS()
+    val out = Multimodal.embedAudio(ds, 4).collect().sortBy(_.media_id)
+    // squares {1,9},{4,16},{0,0},{100,100}; mu = 230/8 = 28.75
+    assert(out(0).decoded && out(0).e.toSeq ==
+      Seq(5.0 - 28.75, 10.0 - 28.75, 0.0 - 28.75, 100.0 - 28.75))
+    assert(!out(1).decoded && out(1).e.isEmpty)
+    assert(!out(2).decoded && out(2).e.isEmpty)
+  }
+
   test("audioStats: real samples flow end to end; an undecodable " +
     "payload yields the dead-letter shape") {
     import graft.multimodal.{Media, Multimodal, PcmAudio, WavCodec}
