@@ -176,12 +176,18 @@ object Multimodal {
     while (i < r.pixels.length) { total += r.pixels(i); i += 1 }
     val mu = total.toDouble / r.pixels.length
     val out = new Array[Double](gw * gh)
+    // Long bounds (ADVICE r19): gy·height is Int-safe for any raster
+    // the require admits, but the same floor-boundary formula in
+    // audioEnergyVec overflowed at ~268M samples — keep the two
+    // kernels on the identical Long discipline (resizeNearest's).
     var gy = 0
     while (gy < gh) {
-      val y0 = gy * r.height / gh; val y1 = (gy + 1) * r.height / gh
+      val y0 = (gy.toLong * r.height / gh).toInt
+      val y1 = ((gy + 1).toLong * r.height / gh).toInt
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * r.width / gw; val x1 = (gx + 1) * r.width / gw
+        val x0 = (gx.toLong * r.width / gw).toInt
+        val x1 = ((gx + 1).toLong * r.width / gw).toInt
         var sum = 0L
         var y = y0
         while (y < y1) {
@@ -272,10 +278,13 @@ object Multimodal {
     }
     val mu = total.toDouble / a.samples.length
     val out = new Array[Double](windows)
+    // Long bounds (ADVICE r19): (w+1)·n overflows Int at n > 2³¹/W —
+    // a ~50-minute 48kHz stereo WAV at windows=8 — which made late
+    // windows silently emit wrong features instead of failing.
     var w = 0
     while (w < windows) {
-      val i0 = w * a.samples.length / windows
-      val i1 = (w + 1) * a.samples.length / windows
+      val i0 = (w.toLong * a.samples.length / windows).toInt
+      val i1 = ((w + 1).toLong * a.samples.length / windows).toInt
       var sum = 0L
       var j = i0
       while (j < i1) {

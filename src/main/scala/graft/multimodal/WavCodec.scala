@@ -106,7 +106,17 @@ object WavCodec {
     put16(32, a.channels * 2); put16(34, 16)
     putTag(36, "data"); put32(40, dataSize.toLong)
     var i = 0
-    while (i < a.samples.length) { put16(44 + 2 * i, a.samples(i) & 0xffff); i += 1 }
+    while (i < a.samples.length) {
+      val s = a.samples(i)
+      // fail-fast like every other encode require (ADVICE r19): an
+      // out-of-contract sample would otherwise wrap through & 0xffff
+      // and round-trip to a DIFFERENT value — silent corruption in a
+      // codec whose decoder rejects every malformed class strictly
+      require(s >= Short.MinValue && s <= Short.MaxValue,
+        s"sample $i out of int16 range: $s")
+      put16(44 + 2 * i, s & 0xffff)
+      i += 1
+    }
     out
   }
 

@@ -96,6 +96,13 @@ object KnnGraph {
   def mergeEdges(base: DataFrame, forward: DataFrame,
       k: Int): DataFrame = {
     checkEdgeCols("KnnGraph.mergeEdges", base)
+    // forward frames need no rnk (ranks are reassigned below), but a
+    // malformed hand-built delta should hit THIS message, not an
+    // opaque analysis exception from the union (ADVICE r19)
+    val fwdHave = forward.columns.toSet
+    require(Seq("query_id", "neighbor_id", "qcos").forall(fwdHave),
+      "KnnGraph.mergeEdges: forward frame must carry query_id, " +
+        s"neighbor_id, qcos; got ${forward.columns.mkString(", ")}")
     val slim = (df: DataFrame) =>
       df.select(col("query_id"), col("neighbor_id"), col("qcos"))
     val rev = forward.select(col("neighbor_id").as("query_id"),
@@ -117,10 +124,18 @@ object KnnGraph {
     * [[Similarity.loadIvfPqIndexWithDeltas]] — so arrival-arrival
     * edges are seen) and write ONLY the forward rows as an idempotent
     * `batch_id=N` delta subtree; the base artifact is never
-    * rewritten. `newVecs` carries (vec_id, e: array<double>). */
+    * rewritten. `newVecs` carries (vec_id, e: array<double>).
+    *
+    * Each delta row is stamped with the k/nprobe it was searched at
+    * (ADVICE r19): [[save]]'s whole point is that a loader can reject
+    * a graph built with a different budget, and an unstamped delta
+    * would smuggle a different budget past that check. Constant
+    * columns, not a per-subtree meta file — they dictionary-encode to
+    * nothing in parquet and survive any subtree listing order. */
   def appendDelta(index: Similarity.IvfPqIndex, newVecs: DataFrame,
       k: Int, nprobe: Int, deltaDir: String, batchId: Long): Unit = {
     forwardEdges(index, newVecs, k, nprobe)
+      .withColumn("k", lit(k)).withColumn("nprobe", lit(nprobe))
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
   }
 
@@ -167,6 +182,21 @@ object KnnGraph {
     else {
       val deltas = spark.read.parquet(deltaDir)
       checkEdgeCols("KnnGraph.loadWithDeltas", deltas)
+      // reject deltas searched at a different budget than the base
+      // graph's stamp (ADVICE r19) — one tiny agg over the stamp
+      // columns, which parquet serves from dictionary pages
+      val dHave = deltas.columns.toSet
+      require(dHave("k") && dHave("nprobe"),
+        s"KnnGraph.loadWithDeltas: deltas at $deltaDir carry no " +
+          "k/nprobe stamp (pre-r20 or hand-built) — re-append via " +
+          "KnnGraph.appendDelta, which stamps the search budget")
+      val budgets = deltas.select("k", "nprobe").distinct().collect()
+      budgets.foreach { r =>
+        require(r.getInt(0) == base.k && r.getInt(1) == base.nprobe,
+          s"KnnGraph.loadWithDeltas: delta searched at k=${r.getInt(0)}" +
+            s"/nprobe=${r.getInt(1)} but base graph is stamped " +
+            s"k=${base.k}/nprobe=${base.nprobe}")
+      }
       val forward = deltas.select(EdgeCols.map(col): _*)
       val meta = base.meta
         .crossJoin(forward.agg(
@@ -188,12 +218,9 @@ object KnnGraph {
     * of a full build — not a measured recall cliff. */
   def needsRebuild(g: KnnGraphArtifact,
       maxAppendFraction: Double = 0.5): Boolean = {
-    require(maxAppendFraction > 0.0,
-      s"needsRebuild: maxAppendFraction must be > 0, got $maxAppendFraction")
     val row = g.meta.select("n_nodes", "n_appended").collect()
     require(row.length == 1, "needsRebuild: malformed meta")
-    val (nodes, appended) = (row(0).getLong(0), row(0).getLong(1))
-    appended > 0L &&
-      (nodes <= 0L || appended.toDouble / nodes > maxAppendFraction)
+    StalenessPolicy.exceeded(row(0).getLong(0), row(0).getLong(1),
+      maxAppendFraction)
   }
 }

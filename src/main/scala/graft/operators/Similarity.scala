@@ -1134,7 +1134,8 @@ object Similarity {
               "an unmaterialized encode")
           index.codes.count() - appended
         }
-      base <= 0L || appended.toDouble / base > maxAppendFraction
+      // the threshold rule itself is shared with KnnGraph.needsRebuild
+      StalenessPolicy.exceeded(base, appended, maxAppendFraction)
     }
   }
 

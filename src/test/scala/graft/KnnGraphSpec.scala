@@ -220,6 +220,31 @@ class KnnGraphSpec extends AnyFunSuite {
       val again = KnnGraph.loadWithDeltas(spark, gDir.toString,
         dDir.toString)
       assert(edgeSet(again.edges) == foldedSet)
+
+      // budget-stamp guard (r20): a delta searched at a different
+      // k/nprobe than the base graph's stamp must be rejected at
+      // load, not silently folded
+      val badDir = tmp("kg_bad_deltas")
+      KnnGraph.appendDelta(idx, arrivals, k, nprobe = 1,
+        badDir.toString, batchId = 0L)
+      val e1 = intercept[IllegalArgumentException] {
+        KnnGraph.loadWithDeltas(spark, gDir.toString, badDir.toString)
+      }
+      assert(e1.getMessage.contains("nprobe=1"))
+      // an unstamped (hand-built / pre-r20) delta is rejected too
+      val rawDir = tmp("kg_raw_deltas")
+      batchFwd.write.mode("overwrite")
+        .parquet(rawDir.toString + "/batch_id=0")
+      val e2 = intercept[IllegalArgumentException] {
+        KnnGraph.loadWithDeltas(spark, gDir.toString, rawDir.toString)
+      }
+      assert(e2.getMessage.contains("stamp"))
+      // mergeEdges rejects a malformed forward frame by name
+      val e3 = intercept[IllegalArgumentException] {
+        KnnGraph.mergeEdges(baseG,
+          batchFwd.withColumnRenamed("qcos", "score"), k)
+      }
+      assert(e3.getMessage.contains("forward frame"))
     } finally {
       CacheScope.releaseAll()
       rmAll(tmps.toSeq)

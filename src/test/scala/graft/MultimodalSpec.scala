@@ -236,6 +236,14 @@ class MultimodalSpec extends AnyFunSuite {
     // stats pool channels with exact integer arithmetic
     assert(WavCodec.stats(mono) == (-19894L, -32768, 32767))
     assert(WavCodec.stats(PcmAudio(1, 8000, Array.empty)) == (0L, 0, 0))
+    // out-of-int16-range samples are rejected, not wrapped (r20): a
+    // wrapped sample would round-trip to a DIFFERENT value
+    for (bad <- Seq(32768, -32769, 65536)) {
+      val e = intercept[IllegalArgumentException] {
+        WavCodec.encode(PcmAudio(1, 8000, Array(0, bad)))
+      }
+      assert(e.getMessage.contains("int16 range"))
+    }
   }
 
   test("WavCodec: unknown chunks are skipped; every malformed class " +
