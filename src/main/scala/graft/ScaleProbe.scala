@@ -963,6 +963,106 @@ object ScaleProbe {
             "dropped" -> dropped, "dup_every" -> every,
             "planted_pairs" -> planted.getLong(1),
             "planted_recall" -> math.rint(recall * 10000) / 10000))
+        case Array("textdedup", n, dupEvery, npRest @ _*)
+            if npRest.size <= 1 =>
+          // r20: end-to-end semantic TEXT dedup at scale — synthetic
+          // 40-word docs whose tokens come from a per-doc splitmix
+          // hash (an effectively unbounded vocabulary, so unrelated
+          // unigram-bucket profiles are near-orthogonal: expected cos
+          // ~ 40/256), every dupEvery-th doc a one-word substitution
+          // of its predecessor (cos >= 39/40 = 0.975); raw text ->
+          // TextFeatures.unigramBucketVec -> the PRODUCTION graph
+          // path (ivfPqKnnJoin shortlists + refineExactBulk exact
+          // re-rank — a 0.95 gate needs exact shortlist scores, the
+          // mmdedup lesson) -> knnGraphDedup; gates on planted-pair
+          // recall, reports per-stage seconds.
+          import spark.implicits._
+          val total = n.toInt
+          val every = dupEvery.toInt
+          require(every >= 2, s"textdedup: dupEvery must be >= 2, got $every")
+          def words(docId: Long): Array[String] = {
+            val base = if (docId % every == 1 && docId > 0) docId - 1
+                       else docId
+            val ws = Array.tabulate(40) { j =>
+              var h = (base * 131L + j * 17L) *
+                -7046029254386353131L // 0x9E3779B97F4A7C15
+              h ^= (h >>> 31)
+              h *= -4658895280553007687L // 0xBF58476D1CE4E5B9
+              h ^= (h >>> 27)
+              s"t${h & 0xffffff}"
+            }
+            if (docId % every == 1 && docId > 0) ws(7) = ws(7) + "x"
+            ws
+          }
+          val docs = spark.range(total)
+            .map(i => (i, words(i).mkString(" ")))
+            .toDF("doc_id", "text")
+          // optional trailing :np = coarse probes (default 8): this
+          // corpus is adversarially UNCLUSTERABLE — independent
+          // random sparse profiles, near-orthogonal by construction,
+          // so the 64 k-means cells carry almost no structure and a
+          // planted dup's cell can sit anywhere in the query's cell
+          // ranking. Recall is therefore the nprobe curve itself
+          // (measured at 20k: 0.916@2, 0.990@8, 0.997@16 — identical
+          // drop SETS across m=8/16 and shortlist 3/10, the signature
+          // of a coarse-probe miss; L2-normalizing first moved
+          // nothing, 0.991@8). Real corpora cluster (the gmm `knn`
+          // probes); this records the honest worst case, per nprobe.
+          val nprobe = npRest.headOption.map(_.toInt).getOrElse(8)
+          val t0e = System.nanoTime()
+          val feats = CacheScope.persistTracked(
+            graft.operators.TextFeatures.unigramBucketVec(docs)
+              .select(col("doc_id").as("vec_id"), col("e")))
+          val nFeats = feats.count()
+          val embedSecs = (System.nanoTime() - t0e) / 1e9
+          val t1g = System.nanoTime()
+          val idx = graft.operators.Similarity.ivfPqFit(
+            feats, dim = 256, m = 16, kc = 256, kCoarse = 64, iters = 3,
+            trainN = 20000)
+          val qside = feats.select(col("vec_id").as("query_id"),
+              col("e").as("qe"))
+            .withColumn("qnorm", sqrt(
+              graft.functions.DotProduct.column(col("qe"), col("qe"))))
+          // top-10 ADC shortlist, EXACT re-rank to k=3 (the 41j
+          // refine pattern — a 0.95 gate needs exact shortlist scores)
+          val graph = CacheScope.persistTracked(
+            graft.operators.Similarity.refineExactBulk(
+              graft.operators.Similarity.ivfPqKnnJoin(idx, qside, 10,
+                nprobe = nprobe),
+              qside, feats, k = 3))
+          val gRows = graph.count()
+          val graphSecs = (System.nanoTime() - t1g) / 1e9
+          val t2d = System.nanoTime()
+          val verdict = CacheScope.persistTracked(
+            graft.operators.GraphDedup.knnGraphDedup(
+              graph, feats.select(col("vec_id").as("id")), tau = 0.95))
+          val dropped = verdict.filter(!col("keep")).count()
+          val dedupSecs = (System.nanoTime() - t2d) / 1e9
+          // planted recall: (i-1, i) pairs must share a component
+          val planted = verdict.as("a").join(verdict.as("b"),
+              col("b.id") === col("a.id") + 1 &&
+                col("a.id") % every === 0)
+            .select((col("a.component") === col("b.component"))
+              .cast("long").as("hit"))
+            .agg(sum(col("hit")).as("hits"), count(lit(1)).as("n"))
+            .collect()(0)
+          val recall = planted.getLong(0).toDouble / planted.getLong(1)
+          require(recall > 0.5,
+            f"textdedup: planted-pair recall $recall%.3f is not above " +
+              "chance — the text bridge or graph path is broken")
+          println(f"[probe] textdedup n=$total%d embed $embedSecs%.1f s " +
+            f"(${nFeats / embedSecs}%.0f docs/s) graph $graphSecs%.1f s " +
+            f"($gRows%d rows) dedup $dedupSecs%.1f s dropped=$dropped%d " +
+            f"planted_recall=$recall%.3f")
+          (nFeats, Map[String, Any](
+            "embed_secs" -> math.rint(embedSecs * 1000) / 1000,
+            "docs_per_s" -> math.rint(nFeats / embedSecs),
+            "graph_secs" -> math.rint(graphSecs * 1000) / 1000,
+            "graph_rows" -> gRows,
+            "dedup_secs" -> math.rint(dedupSecs * 1000) / 1000,
+            "dropped" -> dropped, "dup_every" -> every, "nprobe" -> nprobe,
+            "planted_pairs" -> planted.getLong(1),
+            "planted_recall" -> math.rint(recall * 10000) / 10000))
         case Array("graphappend", n) =>
           // r19: streaming kNN-GRAPH maintenance — the knndedup probe
           // shows the graph BUILD is ~94% of the dedup wall, so the

@@ -44,6 +44,18 @@ case class AudioStats(media_id: Long, decoded: Boolean, channels: Int,
     sample_rate: Int, n_samples: Int, s_sum: Long, s_min: Int,
     s_max: Int)
 
+/** Decode verdict + exact luma statistics of ONE FRAME of a video
+  * payload (REAL container decode — see [[Y4mCodec]]): integer sums,
+  * so every column replays bit-exactly from the source bytes. */
+case class FrameStats(media_id: Long, frame_idx: Int, decoded: Boolean,
+    width: Int, height: Int, n_pixels: Int, y_sum: Long, y_min: Int,
+    y_max: Int)
+
+/** Per-frame grid-feature embedding (r20 — [[MediaEmbedding]] at
+  * frame granularity, the temporal-dedup input). */
+case class FrameEmbedding(media_id: Long, frame_idx: Int,
+    decoded: Boolean, e: Array[Double])
+
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition so one task holds one
   * codec context (the real-world decode libraries are heavyweight to
@@ -316,6 +328,59 @@ object Multimodal {
           case _ =>
             MediaEmbedding(m.media_id, decoded = false,
               Array.empty[Double])
+        }
+      }
+    }
+  }
+
+  /** REAL video decode + per-frame exact luma statistics (r20 —
+    * [[Y4mCodec]], the [[decodeStats]]/[[audioStats]] sibling for the
+    * THIRD modality): one row per TRUE container frame, replacing the
+    * byte-window approximation [[sampleFrames]] documents. Integer
+    * arithmetic only, so every column replays from the source bytes
+    * in any engine. Undecodable payloads yield one dead-letter row
+    * (decoded = false, frame_idx 0, zero stats). */
+  def videoFrameStats(media: Dataset[Media]): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        Y4mCodec.decode(m.bytes) match {
+          case Some(v) =>
+            v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+              val (sum, mn, mx) = Y4mCodec.lumaStats(f)
+              FrameStats(m.media_id, idx, decoded = true, v.width,
+                v.height, f.y.length, sum, mn, mx)
+            }
+          case None =>
+            Iterator.single(FrameStats(m.media_id, 0, decoded = false,
+              0, 0, 0, 0L, 0, 0))
+        }
+      }
+    }
+  }
+
+  /** Decode + per-frame grid-feature embedding (r20 — the
+    * [[embedMedia]] shape at FRAME granularity, feeding temporal
+    * near-dup detection): each frame's luma plane goes through the
+    * SAME [[gridFeatureVec]] kernel the image tier uses (a frame is a
+    * Raster), so per-frame vectors flow into the existing
+    * similarity/dedup operators keyed by (media_id, frame_idx).
+    * Undecodable payloads — and frames smaller than the grid — get
+    * one dead-letter row. */
+  def embedVideoFrames(media: Dataset[Media], gw: Int,
+      gh: Int): Dataset[FrameEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        Y4mCodec.decode(m.bytes) match {
+          case Some(v) if v.width >= gw && v.height >= gh =>
+            v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+              FrameEmbedding(m.media_id, idx, decoded = true,
+                gridFeatureVec(Raster(v.width, v.height, 1, f.y), gw, gh))
+            }
+          case _ =>
+            Iterator.single(FrameEmbedding(m.media_id, 0,
+              decoded = false, Array.empty[Double]))
         }
       }
     }

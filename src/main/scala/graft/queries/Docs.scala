@@ -778,7 +778,75 @@ object Docs {
       .select("doc_id", "r_lex", "r_sem", "rrf")
   }
 
+  /** The #42h/#42i shared text-modality exact kNN graph (r20 — the
+    * text → embedding bridge composed with cosine kNN, the
+    * [[graft.queries.Mm.mmDedup]] composition for RAW TEXT): 256-bucket
+    * md5 unigram tf vectors
+    * ([[graft.operators.TextFeatures.unigramBucketVec]]) over the
+    * first 300 docs, exact brute-force cosine top-3 (the broadcast
+    * nested loop endpoint — the scale path is
+    * [[graft.operators.Similarity.ivfPqKnnJoin]] +
+    * [[graft.operators.Similarity.refineExactBulk]], probe-measured at
+    * 100k docs by `textdedup:*`). Memoized per session: doc_knn_dedup
+    * and doc_diversity both consume one build, n·k id+double rows. */
+  private def textKnnGraph(s: SparkSession, d: String): DataFrame =
+    QueryMemo.cached(s, s"text_knn_graph:cap=300:k=3:$d") {
+      val dot = graft.functions.DotProduct.column _
+      val v = graft.operators.TextFeatures.unigramBucketVec(
+          Tables.documents(s, d).filter(col("doc_id") < 300))
+        .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+        .filter(col("norm") > 0)
+      val q = broadcast(v.select(col("doc_id").as("query_id"),
+        col("e").as("qe"), col("norm").as("qnorm")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qcos").desc, col("neighbor_id").asc)
+      v.select(col("doc_id").as("neighbor_id"), col("e"), col("norm"))
+        .crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("qcos",
+          dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "qcos")
+    }
+
+  /** #42h End-to-end semantic TEXT dedup from raw bytes (r20 — closes
+    * for text the loop mm_dedup closed for images: until now the
+    * semantic tier entered at the synthetic `embeddings` table):
+    * [[textKnnGraph]] → [[graft.operators.GraphDedup.knnGraphDedup]]
+    * mutual edges at τ = 0.95 → components → keep-smallest. τ = 0.95
+    * on raw unigram-tf cosine separates the corpus's planted near-dup
+    * texts (word-level edits leave the unigram profile nearly intact,
+    * cos ≥ 0.985 measured) from unrelated docs drawn from the same
+    * vocabulary (p99.9 ≈ 0.875). Constant cost at every sf (the 300
+    * cap bounds all sides). */
+  def docKnnDedup(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(
+        textKnnGraph(s, d), nodes, tau = 0.95)
+      .select(col("id").as("doc_id"), col("component"),
+        col("n_members"), col("keep"))
+  }
+
+  /** #42i Diversity sampling over the TEXT graph (r20 — the
+    * [[graft.operators.GraphDedup.diversityPrototypes]] consumer for
+    * the text modality, second consumer of the memoized graph):
+    * prototypes at τ = 0.80, deliberately below the dedup threshold —
+    * dedup removes near-duplicates, this thins merely-similar lexical
+    * regions while keeping every doc within one hop of a kept
+    * prototype. */
+  def docDiversity(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
+    graft.operators.GraphDedup.diversityPrototypes(
+        textKnnGraph(s, d), nodes, tau = 0.80)
+      .select(col("id").as("doc_id"), col("rep"), col("selected"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_knn_dedup" -> (docKnnDedup _),
+    "doc_diversity" -> (docDiversity _),
     "doc_gopher" -> (docGopher _),
     "doc_bm25" -> (docBm25 _),
     "doc_hybrid_rrf" -> (docHybridRrf _),
@@ -968,7 +1036,88 @@ object Docs {
     * Spark-internal hash family — their md5-family twins above carry the
     * hash-matched evidence). Shingles are built with list_transform over
     * range — same sequence as the Spark expression. */
+  /** The doc_knn_dedup/doc_diversity shared feature+graph replay
+    * (r20): 256-bucket md5 unigram tf vectors from the raw text
+    * (bucket = first md5 byte via hex-digit strpos — the same value
+    * Spark's conv(substring(md5(w),1,2),16,10) computes), densified
+    * against range(0,256), then the exact cosine top-3 in the
+    * mm_dedup arithmetic order (same-operand-order dot, neighbor×query
+    * norm product). Counts are integers, so every dot/norm replays
+    * bit-exactly. Already stripMargin'd — safe to interpolate (no
+    * line starts '|'). */
+  private val textGraphCtes =
+    """tok AS (
+      |  SELECT doc_id, (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*16
+      |       + strpos('0123456789abcdef', substr(md5(w),2,1))-1 AS b,
+      |    COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE doc_id < 300) t
+      |  GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT d0.doc_id, r.i, CAST(COALESCE(t.tf, 0) AS DOUBLE) AS x
+      |  FROM (SELECT DISTINCT doc_id FROM tok) d0
+      |  CROSS JOIN range(0, 256) r(i)
+      |  LEFT JOIN tok t ON t.doc_id = d0.doc_id AND t.b = r.i),
+      |fv AS (SELECT doc_id, list(x ORDER BY i) AS e
+      |  FROM dense GROUP BY doc_id),
+      |n AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nrm
+      |  FROM fv WHERE list_dot_product(e, e) > 0),
+      |g AS (SELECT query_id, neighbor_id, qcos FROM (
+      |  SELECT a.doc_id AS query_id, b2.doc_id AS neighbor_id,
+      |    list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm) AS qcos,
+      |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+      |      ORDER BY list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm)
+      |        DESC, b2.doc_id ASC) AS rnk
+      |  FROM n a JOIN n b2 ON a.doc_id <> b2.doc_id) t
+      |  WHERE rnk <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the text-bridge graph replay + mutual edges at 0.95 on both
+    // directions + the recursive component walk (the mm_dedup oracle
+    // pattern over UNIGRAM-TF features)
+    "doc_knn_dedup" ->
+      s"""WITH RECURSIVE $textGraphCtes,
+         |mutual AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v2
+         |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |    AND a.qcos >= 0.95 AND b.qcos >= 0.95),
+         |edges AS (SELECT u, v2 FROM mutual
+         |          UNION SELECT v2, u FROM mutual),
+         |walk(id, r2) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nn
+         |  UNION
+         |  SELECT w.id, e2.v2 FROM walk w JOIN edges e2 ON e2.u = w.r2),
+         |comp AS (SELECT id, MIN(r2) AS component FROM walk GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(c2.component, d.doc_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, d.doc_id))
+         |    AS n_members,
+         |  d.doc_id = COALESCE(c2.component, d.doc_id) AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         |LEFT JOIN comp c2 ON c2.id = d.doc_id""".stripMargin,
+    // the same graph replay + mutual edges at 0.80 + closed-
+    // neighborhood minimum as the representative (the emb_diversity
+    // oracle pattern)
+    "doc_diversity" ->
+      s"""WITH $textGraphCtes,
+         |mutual AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v2
+         |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |    AND a.qcos >= 0.80 AND b.qcos >= 0.80),
+         |edges AS (SELECT u, v2 FROM mutual
+         |          UNION SELECT v2, u FROM mutual),
+         |nbr AS (SELECT u AS id, MIN(v2) AS nmin FROM edges GROUP BY 1),
+         |rp AS (SELECT d.doc_id AS id,
+         |  LEAST(d.doc_id, COALESCE(nb.nmin, d.doc_id)) AS rep
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         |  LEFT JOIN nbr nb ON nb.id = d.doc_id)
+         |SELECT rp.id AS doc_id, rp.rep, (s.rep IS NOT NULL) AS selected
+         |FROM rp LEFT JOIN (SELECT DISTINCT rep FROM rp) s
+         |  ON s.rep = rp.id""".stripMargin,
     "doc_gopher" ->
       """SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
         |  ellipsis_frac, alpha_frac, stop_hits,

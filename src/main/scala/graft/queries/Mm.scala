@@ -118,9 +118,25 @@ object Mm {
     * cap bounds all sides, and the 90k-pair exact graph is one
     * broadcast nested loop. */
   def mmDedup(s: SparkSession, d: String): DataFrame = {
+    val v = Multimodal.embedMedia(pgmMedia(s, d, cap = 300), 4, 4).toDF()
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(
+        exactMediaGraph(v, k = 3), nodes, tau = 0.99)
+      .select(col("id").as("media_id"), col("component"),
+        col("n_members"), col("keep"))
+  }
+
+  /** The mm_dedup / mm_audio_dedup shared exact-endpoint graph:
+    * brute-force cosine top-k over decoded media embeddings — one
+    * broadcast nested loop bounded by the 300 cap (the scale path is
+    * [[graft.operators.Similarity.ivfPqKnnJoin]] +
+    * [[graft.operators.Similarity.refineExactBulk]], probe-measured
+    * by `mmdedup:*`). */
+  private def exactMediaGraph(embedded: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = graft.functions.DotProduct.column _
-    val v = Multimodal.embedMedia(pgmMedia(s, d, cap = 300), 4, 4).toDF()
+    val v = embedded
       .filter(col("decoded"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
       .filter(col("norm") > 0)
@@ -128,20 +144,14 @@ object Mm {
       col("e").as("qe"), col("norm").as("qnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    val g = v.select(col("media_id").as("neighbor_id"), col("e"),
-        col("norm"))
+    v.select(col("media_id").as("neighbor_id"), col("e"), col("norm"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("qcos",
         dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "qcos")
-    val nodes = Tables.documents(s, d).select(col("doc_id"))
-      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
-    graft.operators.GraphDedup.knnGraphDedup(g, nodes, tau = 0.99)
-      .select(col("id").as("media_id"), col("component"),
-        col("n_members"), col("keep"))
   }
 
   /** Binary P6 payload: real PPM header + the first w·h·3 text bytes
@@ -175,10 +185,11 @@ object Mm {
     * little-endian from the doc's text byte pairs (zero-padded) — a
     * REAL audio file [[graft.multimodal.WavCodec]] parses, built
     * from bytes the oracle can also see. */
-  private def wavMedia(s: SparkSession, d: String) = {
+  private def wavMedia(s: SparkSession, d: String,
+      cap: Long = Long.MaxValue) = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("US-ASCII")
@@ -216,6 +227,82 @@ object Mm {
     Multimodal.embedAudio(wavMedia(s, d), 8).toDF()
       .select(col("media_id"), posexplode(col("e")).as(Seq("pos", "f")))
 
+  /** #42i' End-to-end AUDIO near-dup dedup (r20 — the [[mmDedup]]
+    * composition for the second modality, closing the pipeline loop
+    * for every real decoder): real WAV decode →
+    * [[graft.multimodal.Multimodal.audioEnergyVec]] energy contours →
+    * exact cosine kNN graph (k = 3, the brute-force endpoint) →
+    * [[graft.operators.GraphDedup.knnGraphDedup]] mutual edges at
+    * τ = 0.999 → components → keep-smallest. The corpus's planted
+    * near-dup docs share their first 128 bytes, so their contours are
+    * IDENTICAL (cos = 1 to 2 ulp) while the nearest unrelated pair
+    * measures 0.9967 and p99.9 ≈ 0.95 — the tight τ is what an
+    * energy-contour gate needs on 8 windows (truly perturbed audio is
+    * MultimodalSpec's planted fixture). Constant cost at every sf
+    * (the 300 cap bounds all sides). */
+  def mmAudioDedup(s: SparkSession, d: String): DataFrame = {
+    val v = Multimodal.embedAudio(wavMedia(s, d, cap = 300), 8).toDF()
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300).select(col("doc_id").as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(
+        exactMediaGraph(v, k = 3), nodes, tau = 0.999)
+      .select(col("id").as("media_id"), col("component"),
+        col("n_members"), col("keep"))
+  }
+
+  /** Real Y4M payload: YUV4MPEG2 header + 3 FRAME-delimited 4×4
+    * 4:2:0 frames whose planes are consecutive text bytes
+    * (zero-padded) — a REAL video file [[graft.multimodal.Y4mCodec]]
+    * parses, built from bytes the oracle can also see. Frame f
+    * consumes 24 text bytes: Y = positions 24f+1..24f+16 (1-based),
+    * Cb/Cr the following 4+4. */
+  private def y4mPayload(text: String, nFrames: Int): Array[Byte] = {
+    import graft.multimodal.{VideoFrame, Y4mVideo}
+    val tb = text.getBytes("US-ASCII")
+    def plane(start: Int, n: Int): Array[Int] =
+      Array.tabulate(n)(i =>
+        if (start + i < tb.length) tb(start + i) & 0xff else 0)
+    val frames = Array.tabulate(nFrames) { f =>
+      val off = f * 24
+      VideoFrame(plane(off, 16), plane(off + 16, 4), plane(off + 20, 4))
+    }
+    graft.multimodal.Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg", frames))
+  }
+
+  private def y4mMedia(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Media(id, "video", y4mPayload(text, 3), 4, 4, 0)
+      }
+  }
+
+  /** #47h REAL video container decode (r20): every doc becomes a
+    * 3-frame YUV4MPEG2 stream, [[graft.multimodal.Y4mCodec.decode]]
+    * walks the header grammar and TRUE frame boundaries for real
+    * (replacing the byte-window stub [[mmFrames]] documents), and the
+    * surfaced per-frame exact luma statistics are recomputed by
+    * DuckDB from the same source bytes. */
+  def mmVideoFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoFrameStats(y4mMedia(s, d)).toDF()
+      .withColumn("y_mean",
+        col("y_sum").cast("double") / col("n_pixels"))
+
+  /** #47i Per-frame embeddings through the SAME grid kernel the image
+    * tier uses (r20 — the temporal-dedup input): each 4×4 luma plane
+    * → 2×2 grid of mean-pooled patches, centered by the frame's own
+    * mean ([[graft.multimodal.Multimodal.gridFeatureVec]] — integer
+    * sums, one division and one subtraction per feature, bit-exact in
+    * DuckDB). Keyed by (media_id, frame_idx), the shape
+    * [[graft.operators.GraphDedup.knnGraphDedup]] consumes for
+    * temporal near-dup detection. */
+  def mmVideoEmbed(s: SparkSession, d: String): DataFrame =
+    Multimodal.embedVideoFrames(y4mMedia(s, d), 2, 2).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        posexplode(col("e")).as(Seq("pos", "f")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -225,7 +312,10 @@ object Mm {
     "mm_dedup" -> (mmDedup _),
     "mm_audio_stats" -> (mmAudioStats _),
     "mm_resize_rgb" -> (mmResizeRgb _),
-    "mm_audio_embed" -> (mmAudioEmbed _))
+    "mm_audio_embed" -> (mmAudioEmbed _),
+    "mm_audio_dedup" -> (mmAudioDedup _),
+    "mm_video_frames" -> (mmVideoFrames _),
+    "mm_video_embed" -> (mmVideoEmbed _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -372,6 +462,98 @@ object Mm {
         |  CAST(list_sum(list_slice(s2, CAST(8*w + 1 AS INTEGER),
         |    CAST(8*w + 8 AS INTEGER))) AS DOUBLE) / 8.0 - mu AS f
         |FROM sq, range(0, 8) t(w)""".stripMargin,
+    // frame fr of the 3-frame 4x4 4:2:0 stream consumes text bytes
+    // 24*fr+1 .. 24*fr+24 (1-based); its Y plane is the first 16 —
+    // exact integer stats like mm_decode, per TRUE container frame
+    "mm_video_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, fr, list_transform(range(1, 17), i ->
+        |    CASE WHEN 24*fr + i <= len(text)
+        |         THEN ord(substr(text, CAST(24*fr + i AS INTEGER), 1))
+        |         ELSE 0 END) AS py
+        |  FROM documents, range(0, 3) t(fr))
+        |SELECT doc_id AS media_id, CAST(fr AS INT) AS frame_idx,
+        |  TRUE AS decoded, 4 AS width, 4 AS height, 16 AS n_pixels,
+        |  CAST(list_sum(py) AS BIGINT) AS y_sum,
+        |  CAST(list_min(py) AS INTEGER) AS y_min,
+        |  CAST(list_max(py) AS INTEGER) AS y_max,
+        |  CAST(list_sum(py) AS DOUBLE) / 16 AS y_mean
+        |FROM b""".stripMargin,
+    // each 4x4 luma plane's 2x2 feature grid: patch (p//2, p%2) pools
+    // the 2x2 pixel block at rows 2*(p//2).., cols 2*(p%2)..; Y index
+    // of pixel (y,x) is 4y + x (0-based -> +1 for the list) — the
+    // mm_embed replay at frame granularity
+    "mm_video_embed" ->
+      """WITH b AS (
+        |  SELECT doc_id, fr, list_transform(range(1, 17), i ->
+        |    CASE WHEN 24*fr + i <= len(text)
+        |         THEN ord(substr(text, CAST(24*fr + i AS INTEGER), 1))
+        |         ELSE 0 END) AS py
+        |  FROM documents, range(0, 3) t(fr)),
+        |f2 AS (
+        |  SELECT doc_id, fr,
+        |    list_transform(range(0, 4), p ->
+        |      CAST(list_sum(list_transform(range(0, 4), j ->
+        |        py[1 + 4*(2*(p//2) + (j//2)) + (2*(p%2) + (j%2))]
+        |      )) AS DOUBLE) / 4.0) AS pf,
+        |    CAST(list_sum(py) AS DOUBLE) / 16.0 AS mu
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(fr AS INT) AS frame_idx,
+        |  CAST(p AS INT) AS pos,
+        |  pf[CAST(p + 1 AS INTEGER)] - mu AS f
+        |FROM f2, range(0, 4) t2(p)""".stripMargin,
+    // the mm_audio_embed contour replay -> exact cosine kNN (k=3) ->
+    // mutual edges at 0.999 on both directions -> recursive component
+    // walk (the mm_dedup oracle pattern over ENERGY-CONTOUR features)
+    "mm_audio_dedup" ->
+      s"""WITH RECURSIVE sm AS (
+         |  SELECT doc_id, list_transform(range(0, 64), j ->
+         |    (CASE WHEN 2*j + 1 <= len(text)
+         |          THEN ord(substr(text, CAST(2*j + 1 AS INTEGER), 1))
+         |          ELSE 0 END)
+         |    + 256 * (CASE WHEN 2*j + 2 <= len(text)
+         |          THEN ord(substr(text, CAST(2*j + 2 AS INTEGER), 1))
+         |          ELSE 0 END)) AS sv
+         |  FROM documents WHERE doc_id < 300),
+         |sq AS (SELECT doc_id,
+         |  list_transform(sv, x -> CAST(x AS BIGINT) * x) AS s2,
+         |  CAST(list_sum(list_transform(sv, x -> CAST(x AS BIGINT) * x))
+         |    AS DOUBLE) / 64.0 AS mu
+         |  FROM sm),
+         |f AS (SELECT doc_id, list_transform(range(0, 8), w ->
+         |  CAST(list_sum(list_slice(s2, CAST(8*w + 1 AS INTEGER),
+         |    CAST(8*w + 8 AS INTEGER))) AS DOUBLE) / 8.0 - mu) AS e
+         |  FROM sq),
+         |n AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM f WHERE list_dot_product(e, e) > 0),
+         |g AS (SELECT query_id, neighbor_id, qcos FROM (
+         |  SELECT a.doc_id AS query_id, b2.doc_id AS neighbor_id,
+         |    list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm) AS qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+         |      ORDER BY list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm)
+         |        DESC, b2.doc_id ASC) AS rnk
+         |  FROM n a JOIN n b2 ON a.doc_id <> b2.doc_id) t
+         |  WHERE rnk <= 3),
+         |mutual AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v2
+         |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |    AND a.qcos >= 0.999 AND b.qcos >= 0.999),
+         |edges AS (SELECT u, v2 FROM mutual
+         |          UNION SELECT v2, u FROM mutual),
+         |walk(id, r2) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nn
+         |  UNION
+         |  SELECT w.id, e2.v2 FROM walk w JOIN edges e2 ON e2.u = w.r2),
+         |comp AS (SELECT id, MIN(r2) AS component FROM walk GROUP BY id)
+         |SELECT d.doc_id AS media_id,
+         |  COALESCE(c2.component, d.doc_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, d.doc_id))
+         |    AS n_members,
+         |  d.doc_id = COALESCE(c2.component, d.doc_id) AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+         |LEFT JOIN comp c2 ON c2.id = d.doc_id""".stripMargin,
     // int16 little-endian from text byte pairs (zero-padded to 64
     // samples); ASCII corpus -> b1 < 128 -> all samples positive, so
     // no sign arithmetic is needed in the replay

@@ -208,6 +208,173 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L)._2 && out(5L)._2)
   }
 
+  test("Y4mCodec: encode-decode round trip is identity across " +
+    "colorspaces; header tags parse; lumaStats are exact") {
+    import graft.multimodal.{VideoFrame, Y4mCodec, Y4mVideo}
+    def frame(nY: Int, nC: Int, seed: Int): VideoFrame =
+      VideoFrame(Array.tabulate(nY)(i => (i * 7 + seed) % 256),
+        Array.tabulate(nC)(i => (i * 3 + seed) % 256),
+        Array.tabulate(nC)(i => (i * 5 + seed) % 256))
+    val v420 = Y4mVideo(4, 4, "420jpeg",
+      Array(frame(16, 4, 1), frame(16, 4, 9)))
+    val v444 = Y4mVideo(3, 2, "444", Array(frame(6, 6, 2)))
+    val mono = Y4mVideo(5, 3, "mono", Array(frame(15, 0, 3)))
+    for (v <- Seq(v420, v444, mono)) {
+      val back = Y4mCodec.decode(Y4mCodec.encode(v))
+      assert(back.isDefined, v.colorspace)
+      val b = back.get
+      assert(b.width == v.width && b.height == v.height &&
+        b.colorspace == v.colorspace &&
+        b.frames.length == v.frames.length)
+      b.frames.zip(v.frames).foreach { case (g, w) =>
+        assert(g.y.sameElements(w.y) && g.cb.sameElements(w.cb) &&
+          g.cr.sameElements(w.cr))
+      }
+    }
+    // absent C tag defaults to 420jpeg; frame-level tags are skipped
+    val hdr = "YUV4MPEG2 W2 H2 F30:1\nFRAME Xtag\n".getBytes("US-ASCII")
+    val planes = Array.tabulate(6)(i => (10 * i).toByte) // 4 Y + 1 + 1
+    val withTags = Y4mCodec.decode(hdr ++ planes)
+    assert(withTags.isDefined && withTags.get.colorspace == "420jpeg")
+    assert(withTags.get.frames(0).y.toSeq == Seq(0, 10, 20, 30))
+    assert(Y4mCodec.lumaStats(withTags.get.frames(0)) == (60L, 0, 30))
+  }
+
+  test("Y4mCodec: every malformed class returns None, never a " +
+    "partial frame list") {
+    import graft.multimodal.{VideoFrame, Y4mCodec, Y4mVideo}
+    val good = Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg",
+      Array(VideoFrame(Array.fill(16)(7), Array.fill(4)(8),
+        Array.fill(4)(9)))))
+    assert(Y4mCodec.decode(good).isDefined)
+    def s(x: String) = x.getBytes("US-ASCII")
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "null" -> null,
+      "empty" -> Array.empty[Byte],
+      "wrong magic" -> ("XUV4MPEG2".getBytes("US-ASCII") ++ good.drop(9)),
+      "header never terminated" -> s("YUV4MPEG2 W4 H4"),
+      "missing W" -> (s("YUV4MPEG2 H4 F25:1 C420jpeg\nFRAME\n") ++
+        Array.fill[Byte](24)(1)),
+      "missing H" -> (s("YUV4MPEG2 W4 F25:1 C420jpeg\nFRAME\n") ++
+        Array.fill[Byte](24)(1)),
+      "non-numeric W" -> s("YUV4MPEG2 Wx H4\nFRAME\n"),
+      "odd dims under 420" -> (s("YUV4MPEG2 W3 H4 C420jpeg\nFRAME\n") ++
+        Array.fill[Byte](18)(1)),
+      "unknown colorspace" -> s("YUV4MPEG2 W4 H4 C422\nFRAME\n"),
+      "unknown header tag" -> s("YUV4MPEG2 W4 H4 Q9\nFRAME\n"),
+      "empty tag value" -> s("YUV4MPEG2 W4 H4 C\nFRAME\n"),
+      "no frames" -> s("YUV4MPEG2 W4 H4 C420jpeg\n"),
+      "bad frame marker" -> (s("YUV4MPEG2 W4 H4 C420jpeg\nFRAMX\n") ++
+        Array.fill[Byte](24)(1)),
+      "truncated frame payload" -> good.dropRight(1),
+      "frame header never terminated" ->
+        s("YUV4MPEG2 W4 H4 C420jpeg\nFRAME"),
+      "second frame truncated" -> (good ++ s("FRAME\n") ++
+        Array.fill[Byte](23)(1)),
+      "garbage after last frame" -> (good ++ s("junk")))
+    cases.foreach { case (name, bytes) =>
+      assert(Y4mCodec.decode(bytes).isEmpty, name)
+    }
+    // encode fail-fast ladder
+    intercept[IllegalArgumentException] { // odd dims under 420
+      Y4mCodec.encode(Y4mVideo(3, 4, "420",
+        Array(VideoFrame(Array.fill(12)(1), Array.fill(2)(1),
+          Array.fill(2)(1)))))
+    }
+    intercept[IllegalArgumentException] { // plane size mismatch
+      Y4mCodec.encode(Y4mVideo(4, 4, "420",
+        Array(VideoFrame(Array.fill(15)(1), Array.fill(4)(1),
+          Array.fill(4)(1)))))
+    }
+    intercept[IllegalArgumentException] { // sample out of byte range
+      Y4mCodec.encode(Y4mVideo(2, 2, "mono",
+        Array(VideoFrame(Array(0, 1, 2, 256), Array.empty,
+          Array.empty))))
+    }
+  }
+
+  test("videoFrameStats + embedVideoFrames: true frame boundaries " +
+    "flow end to end; undecodable payloads dead-letter") {
+    import graft.multimodal.{Media, Multimodal, VideoFrame, Y4mCodec,
+      Y4mVideo}
+    import spark.implicits._
+    val twoFrames = Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg", Array(
+      VideoFrame(Array.tabulate(16)(i => i * 10 % 256),
+        Array.fill(4)(0), Array.fill(4)(0)),
+      VideoFrame(Array.fill(16)(200), Array.fill(4)(0),
+        Array.fill(4)(0)))))
+    val ds = Seq(
+      Media(1L, "video", twoFrames, 4, 4, 0),
+      Media(2L, "video", "not a video".getBytes("US-ASCII"), 0, 0, 0))
+      .toDS()
+    val stats = Multimodal.videoFrameStats(ds).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    assert(stats.size == 3)
+    val f0 = stats((1L, 0))
+    assert(f0.decoded && f0.n_pixels == 16 &&
+      f0.y_sum == (0 until 16).map(i => i * 10 % 256).sum)
+    assert(stats((1L, 1)).y_sum == 3200L && stats((1L, 1)).y_min == 200)
+    assert(!stats((2L, 0)).decoded)
+    // per-frame embeddings: constant frame centers to the zero vector,
+    // the varying frame does not
+    val emb = Multimodal.embedVideoFrames(ds, 2, 2).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    assert(emb((1L, 1)).e.forall(_ == 0.0))
+    assert(emb((1L, 0)).e.exists(_ != 0.0))
+    assert(!emb((2L, 0)).decoded && emb((2L, 0)).e.isEmpty)
+  }
+
+  test("embedAudio + knnGraphDedup: planted near-identical audio " +
+    "(small sample perturbation, NOT byte-identical) lands in one " +
+    "component; unrelated contours stay singletons") {
+    import graft.multimodal.{Media, Multimodal, PcmAudio, WavCodec}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def wav(f: Int => Int): Array[Byte] =
+      WavCodec.encode(PcmAudio(1, 8000, Array.tabulate(64)(f)))
+    // a loud-attack contour and its near-dup: every sample jittered
+    // by +-1 (the whole payload differs byte-for-byte, unlike the
+    // corpus's shared-prefix near-dups — this is the genuinely
+    // perturbed case the tight corpus tau never sees)
+    val attack = wav(i => if (i < 16) 20000 - 100 * i else 500 + 3 * i)
+    val attackJit = wav { i =>
+      val base = if (i < 16) 20000 - 100 * i else 500 + 3 * i
+      base + (if (i % 2 == 0) 1 else -1)
+    }
+    // unrelated shapes: a swell, and a mid-burst
+    val swell = wav(i => 100 + 300 * i)
+    val burst = wav(i => if (i >= 24 && i < 40) 25000 else 200)
+    val ds = Seq(
+      Media(0L, "audio", attack, 0, 0, 8000),
+      Media(1L, "audio", attackJit, 0, 0, 8000),
+      Media(2L, "audio", swell, 0, 0, 8000),
+      Media(3L, "audio", burst, 0, 0, 8000)).toDS()
+    val dot = graft.functions.DotProduct.column _
+    val v = Multimodal.embedAudio(ds, 8).toDF()
+      .filter(col("decoded"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("norm") > 0)
+    val q = broadcast(v.select(col("media_id").as("query_id"),
+      col("e").as("qe"), col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val g = v.select(col("media_id").as("neighbor_id"), col("e"),
+        col("norm"))
+      .crossJoin(q).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    val nodes = (0L to 3L).toDF("id")
+    val out = graft.operators.GraphDedup.knnGraphDedup(g, nodes,
+      tau = 0.999).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(0L)._1 == 0L && out(1L)._1 == 0L, // jittered pair groups
+      s"planted audio pair not grouped: $out")
+    assert(out(2L)._1 == 2L && out(3L)._1 == 3L) // unrelated singletons
+    assert(out(0L)._2 && !out(1L)._2 && out(2L)._2 && out(3L)._2)
+  }
+
   test("embedMedia dead-letter: undecodable payload and raster " +
     "smaller than the grid both yield decoded=false, empty e") {
     import graft.multimodal.{Media, Multimodal, PnmCodec, Raster}
