@@ -1141,24 +1141,54 @@ object ScaleProbe {
                   s"arrival nodes, meta says $appended")
               val nodes = folded.edges.select(col("query_id").as("id"))
                 .distinct()
-              val dropped = graft.operators.GraphDedup
+              val verdicts = graft.operators.GraphDedup
                 .knnGraphDedup(folded.edges, nodes, tau = 0.7)
-                .filter(!col("keep")).count()
+              val dropped = verdicts.filter(!col("keep")).count()
               val consumeSecs = (System.nanoTime() - t2) / 1e9
               val rebuild = graft.operators.KnnGraph.needsRebuild(folded)
-              println(f"[probe] graphappend ${done / secs}%.0f vectors/s " +
-                f"($done vectors in $secs%.1f s; build $buildSecs%.1f s, " +
-                f"fold+dedup $consumeSecs%.1f s, dropped=$dropped, " +
-                f"needs_rebuild=$rebuild) ${listener.stats}")
-              (done, Map[String, Any](
-                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
-                "vectors_per_s" -> math.rint(done / secs),
-                "corpus_rows" -> corpusRows, "n_appended" -> appended,
-                "fold_consume_secs" -> math.rint(consumeSecs * 1000) / 1000,
-                "dropped" -> dropped, "needs_rebuild" -> rebuild,
-                "topk" -> kk, "nprobe" -> np,
-                "secs" -> math.rint(secs * 1000) / 1000) ++
-                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+              // fold-then-REUSE leg (r20): persist the component map
+              // (GraphDedup.saveVerdicts) once, then time a downstream
+              // consumer reading the verdicts back instead of
+              // re-running CC — the artifact split for the dedup tail,
+              // like KnnGraph.save was for the build. Gate: the
+              // reloaded verdicts are current for THIS folded graph
+              // (needsRecompute false) and count-identical.
+              val vDir = java.nio.file.Files
+                .createTempDirectory("gapp_verdicts")
+              try {
+                val tSave = System.nanoTime()
+                graft.operators.GraphDedup.saveVerdicts(
+                  verdicts, tau = 0.7, folded.meta, vDir.toString)
+                val saveSecs = (System.nanoTime() - tSave) / 1e9
+                val tReuse = System.nanoTime()
+                val reloaded = graft.operators.GraphDedup
+                  .loadVerdicts(spark, vDir.toString)
+                val reDropped = reloaded.verdicts
+                  .filter(!col("keep")).count()
+                val reuseSecs = (System.nanoTime() - tReuse) / 1e9
+                require(reDropped == dropped,
+                  s"graphappend: reloaded verdicts dropped $reDropped" +
+                    s" != $dropped")
+                require(!graft.operators.GraphDedup.needsRecompute(
+                  reloaded, folded),
+                  "graphappend: fresh verdicts read stale")
+                println(f"[probe] graphappend ${done / secs}%.0f vectors/s " +
+                  f"($done vectors in $secs%.1f s; build $buildSecs%.1f s, " +
+                  f"fold+dedup $consumeSecs%.1f s, dropped=$dropped, " +
+                  f"verdict save $saveSecs%.1f s reuse $reuseSecs%.1f s, " +
+                  f"needs_rebuild=$rebuild) ${listener.stats}")
+                (done, Map[String, Any](
+                  "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                  "vectors_per_s" -> math.rint(done / secs),
+                  "corpus_rows" -> corpusRows, "n_appended" -> appended,
+                  "fold_consume_secs" -> math.rint(consumeSecs * 1000) / 1000,
+                  "verdict_save_secs" -> math.rint(saveSecs * 1000) / 1000,
+                  "verdict_reuse_secs" -> math.rint(reuseSecs * 1000) / 1000,
+                  "dropped" -> dropped, "needs_rebuild" -> rebuild,
+                  "topk" -> kk, "nprobe" -> np,
+                  "secs" -> math.rint(secs * 1000) / 1000) ++
+                  scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+              } finally deleteRecursively(vDir)
             } finally {
               spark.streams.removeListener(listener)
               if (qq != null && qq.isActive) {

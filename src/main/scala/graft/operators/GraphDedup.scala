@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph-based semantic deduplication — the cluster-FREE form of
@@ -99,6 +99,77 @@ object GraphDedup {
     * [[mutualKnnEdges]] bound), the neighborhood-min is one
     * partial-aggregating groupBy over id+id rows, and the membership
     * join is id-keyed — vectors and documents never enter. */
+  /** A reloaded verdict artifact: `verdicts` is the component map
+    * ((id, component, n_members, keep) — [[knnGraphDedup]] output),
+    * `meta` one stamped row carrying the dedup tau plus the SOURCE
+    * GRAPH's stamp (k, nprobe, n_nodes, n_edges, n_appended) at
+    * compute time, and honest counts of the materialized verdicts. */
+  final case class DedupVerdicts(tau: Double, verdicts: DataFrame,
+      meta: DataFrame)
+
+  private val VerdictCols = Seq("id", "component", "n_members", "keep")
+  private val GraphStampCols =
+    Seq("k", "nprobe", "n_nodes", "n_edges", "n_appended")
+
+  /** Persist a [[knnGraphDedup]] component map (r20 — the graph
+    * family's remaining derived product: CC is the expensive tail of
+    * every dedup pass, and canonical selection / diversity / mixture
+    * consumers only need the VERDICTS): parquet verdicts + a 1-row
+    * meta stamping the dedup `tau` and the source graph's
+    * [[KnnGraph]] meta, so [[needsRecompute]] can answer "is this
+    * verdict map still the current graph's?" from two 1-row reads.
+    * Counts are taken from the MATERIALIZED verdicts (re-read after
+    * write — the [[KnnGraph.save]] honesty convention). */
+  def saveVerdicts(verdicts: DataFrame, tau: Double,
+      graphMeta: DataFrame, dir: String): Unit = {
+    val have = verdicts.columns.toSet
+    require(VerdictCols.forall(have),
+      s"GraphDedup.saveVerdicts: verdict frame must carry " +
+        s"${VerdictCols.mkString(", ")}; got ${verdicts.columns.mkString(", ")}")
+    val gHave = graphMeta.columns.toSet
+    require(GraphStampCols.forall(gHave),
+      s"GraphDedup.saveVerdicts: graph meta must carry " +
+        s"${GraphStampCols.mkString(", ")}; got ${graphMeta.columns.mkString(", ")}")
+    val v = verdicts.select(VerdictCols.map(col): _*)
+    v.write.mode("overwrite").parquet(s"$dir/verdicts")
+    v.sparkSession.read.parquet(s"$dir/verdicts")
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("component")).as("n_components"))
+      .crossJoin(graphMeta.select(GraphStampCols.map(col): _*))
+      .select((lit(tau).as("tau") +: col("n_ids") +: col("n_components")
+        +: GraphStampCols.map(col)): _*)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadVerdicts(spark: SparkSession, dir: String): DedupVerdicts = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    val row = meta.select("tau").collect()
+    require(row.length == 1,
+      s"GraphDedup.loadVerdicts: malformed meta at $dir/meta")
+    val v = spark.read.parquet(s"$dir/verdicts")
+    val have = v.columns.toSet
+    require(VerdictCols.forall(have),
+      s"GraphDedup.loadVerdicts: verdict frame at $dir/verdicts must " +
+        s"carry ${VerdictCols.mkString(", ")}; got ${v.columns.mkString(", ")}")
+    DedupVerdicts(row(0).getDouble(0), v, meta)
+  }
+
+  /** True when `v` was computed over a DIFFERENT graph state than
+    * `g`'s current meta — any drift in the stamped (k, nprobe,
+    * n_nodes, n_edges, n_appended) quintuple means the component map
+    * no longer describes the graph (a fold of new deltas changes
+    * n_appended/n_edges; a rebuild changes n_nodes). Answers from the
+    * two 1-row metas alone. */
+  def needsRecompute(v: DedupVerdicts,
+      g: KnnGraph.KnnGraphArtifact): Boolean = {
+    def stamp(df: DataFrame): Seq[Any] = {
+      val r = df.select(GraphStampCols.map(col): _*).collect()
+      require(r.length == 1, "needsRecompute: malformed meta")
+      GraphStampCols.indices.map(r(0).get)
+    }
+    stamp(v.meta) != stamp(g.meta)
+  }
+
   def diversityPrototypes(graph: DataFrame, nodes: DataFrame,
       tau: Double): DataFrame = {
     val e = mutualKnnEdges(graph, tau).select("u", "v")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{GraphDedup, Similarity}
+import graft.operators.{GraphDedup, KnnGraph, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -166,5 +166,61 @@ class GraphDedupSpec extends AnyFunSuite {
     // diversity: reps are 1 (for 1,2), 2 (for 3), 3 (for 4), 4 (for 5)
     assert(divKept == Set(1L, 2L, 3L, 4L))
     assert(dedupKept.subsetOf(divKept))
+  }
+
+  test("saveVerdicts/loadVerdicts round trip is consumer-invisible; " +
+    "needsRecompute fires exactly on graph-stamp drift") {
+    val tmps = scala.collection.mutable.ArrayBuffer
+      .empty[java.nio.file.Path]
+    def tmp(p: String) = {
+      val t = java.nio.file.Files.createTempDirectory(p); tmps += t; t
+    }
+    try {
+      val gDir = tmp("gd_graph"); val vDir = tmp("gd_verdicts")
+      val edges = Seq(
+        (1L, 2L, 1, 0.9), (2L, 1L, 1, 0.9),
+        (3L, 4L, 1, 0.2), (4L, 3L, 1, 0.2))
+        .toDF("query_id", "neighbor_id", "rnk", "qcos")
+      KnnGraph.save(edges, k = 1, nprobe = 2, gDir.toString)
+      val g = KnnGraph.load(spark, gDir.toString)
+      val nodes = (1L to 5L).toDF("id")
+      val verdicts = GraphDedup.knnGraphDedup(g.edges, nodes, tau = 0.5)
+      GraphDedup.saveVerdicts(verdicts, tau = 0.5, g.meta, vDir.toString)
+      val loaded = GraphDedup.loadVerdicts(spark, vDir.toString)
+      assert(loaded.tau == 0.5)
+      def vset(df: DataFrame) =
+        df.select("id", "component", "n_members", "keep")
+          .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(vset(loaded.verdicts) == vset(verdicts))
+      // honest meta counts from the materialized verdicts
+      val m = loaded.meta.collect()(0)
+      assert(m.getAs[Long]("n_ids") == 5L &&
+        m.getAs[Long]("n_components") == 4L)
+      // same graph: current; any stamp drift (a delta fold bumps
+      // n_appended and n_edges) => recompute
+      assert(!GraphDedup.needsRecompute(loaded, g))
+      val drifted = g.copy(meta = g.meta
+        .withColumn("n_appended", lit(3L)))
+      assert(GraphDedup.needsRecompute(loaded, drifted))
+      // malformed frames hit the fail-fast messages, not an opaque
+      // analysis exception
+      val e1 = intercept[IllegalArgumentException] {
+        GraphDedup.saveVerdicts(verdicts.drop("keep"), 0.5, g.meta,
+          vDir.toString)
+      }
+      assert(e1.getMessage.contains("verdict frame"))
+      val e2 = intercept[IllegalArgumentException] {
+        GraphDedup.saveVerdicts(verdicts, 0.5,
+          g.meta.drop("n_appended"), vDir.toString)
+      }
+      assert(e2.getMessage.contains("graph meta"))
+    } finally {
+      tmps.foreach { p =>
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
   }
 }
