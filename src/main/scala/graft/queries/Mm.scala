@@ -269,10 +269,11 @@ object Mm {
     graft.multimodal.Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg", frames))
   }
 
-  private def y4mMedia(s: SparkSession, d: String) = {
+  private def y4mMedia(s: SparkSession, d: String,
+      cap: Long = Long.MaxValue) = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         Media(id, "video", y4mPayload(text, 3), 4, 4, 0)
@@ -303,6 +304,36 @@ object Mm {
       .select(col("media_id"), col("frame_idx"),
         posexplode(col("e")).as(Seq("pos", "f")))
 
+  /** #47j TEMPORAL near-dup dedup at FRAME granularity (r20 — the
+    * [[mmDedup]] composition one level down: duplicate FRAMES across
+    * and within videos, the shot/still-dedup pass a video corpus
+    * pipeline runs before training): real Y4M decode → per-frame 4×4
+    * grid features (= the centered luma pixels of a 4×4 frame — the
+    * finest grid, because 4-feature contours of random frames land
+    * arbitrarily close in angle: measured background p100 0.99996 at
+    * 2×2 vs 0.99988 at 4×4, where true duplicate frames sit at
+    * exactly 1.0) → exact cosine kNN over frame nodes (id = 3·media
+    * + frame_idx) → mutual components at τ = 0.9999. At sf0.01 this
+    * finds the 21 planted-pair frames AND two genuine cross-video
+    * byte-window coincidences. Constant cost at every sf (300-doc cap
+    * = 900 frame nodes). */
+  def mmVideoDedup(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.embedVideoFrames(y4mMedia(s, d, cap = 300),
+        4, 4).toDF()
+      .select((col("media_id") * 3 + col("frame_idx")).as("media_id"),
+        col("decoded"), col("e"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 300)
+      .select(explode(array(lit(0), lit(1), lit(2))).as("fr"),
+        col("doc_id"))
+      .select((col("doc_id") * 3 + col("fr")).as("id"))
+    graft.operators.GraphDedup.knnGraphDedup(
+        exactMediaGraph(frames, k = 3), nodes, tau = 0.9999)
+      .select(expr("id DIV 3").as("media_id"),
+        pmod(col("id"), lit(3)).cast("int").as("frame_idx"),
+        col("component"), col("n_members"), col("keep"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -315,7 +346,8 @@ object Mm {
     "mm_audio_embed" -> (mmAudioEmbed _),
     "mm_audio_dedup" -> (mmAudioDedup _),
     "mm_video_frames" -> (mmVideoFrames _),
-    "mm_video_embed" -> (mmVideoEmbed _))
+    "mm_video_embed" -> (mmVideoEmbed _),
+    "mm_video_dedup" -> (mmVideoDedup _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -502,6 +534,55 @@ object Mm {
         |  CAST(p AS INT) AS pos,
         |  pf[CAST(p + 1 AS INTEGER)] - mu AS f
         |FROM f2, range(0, 4) t2(p)""".stripMargin,
+    // per-frame 16-dim centered luma vectors (4x4 grid over a 4x4
+    // frame = the centered pixels) -> exact cosine kNN over frame
+    // nodes fid = 3*doc + fr -> mutual edges at 0.9999 -> recursive
+    // walk -> project fid back to (media_id, frame_idx)
+    "mm_video_dedup" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, fr, list_transform(range(1, 17), i ->
+         |    CASE WHEN 24*fr + i <= len(text)
+         |         THEN ord(substr(text, CAST(24*fr + i AS INTEGER), 1))
+         |         ELSE 0 END) AS py
+         |  FROM documents, range(0, 3) t(fr) WHERE doc_id < 300),
+         |f2 AS (
+         |  SELECT doc_id*3 + fr AS fid,
+         |    list_transform(py, x -> CAST(x AS DOUBLE)
+         |      - CAST(list_sum(py) AS DOUBLE) / 16.0) AS e
+         |  FROM b),
+         |n AS (SELECT fid, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM f2 WHERE list_dot_product(e, e) > 0),
+         |g AS (SELECT query_id, neighbor_id, qcos FROM (
+         |  SELECT a.fid AS query_id, b2.fid AS neighbor_id,
+         |    list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm) AS qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.fid
+         |      ORDER BY list_dot_product(a.e, b2.e) / (b2.nrm * a.nrm)
+         |        DESC, b2.fid ASC) AS rnk
+         |  FROM n a JOIN n b2 ON a.fid <> b2.fid) t
+         |  WHERE rnk <= 3),
+         |mutual AS (
+         |  SELECT a.query_id AS u, a.neighbor_id AS v2
+         |  FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |    AND b.neighbor_id = a.query_id
+         |  WHERE a.query_id < a.neighbor_id
+         |    AND a.qcos >= 0.9999 AND b.qcos >= 0.9999),
+         |edges AS (SELECT u, v2 FROM mutual
+         |          UNION SELECT v2, u FROM mutual),
+         |walk(id, r2) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) nn
+         |  UNION
+         |  SELECT w.id, e2.v2 FROM walk w JOIN edges e2 ON e2.u = w.r2),
+         |comp AS (SELECT id, MIN(r2) AS component FROM walk GROUP BY id),
+         |ids AS (SELECT doc_id*3 + fr AS id FROM
+         |  (SELECT doc_id FROM documents WHERE doc_id < 300) d,
+         |  range(0, 3) t(fr))
+         |SELECT CAST(ids.id // 3 AS BIGINT) AS media_id,
+         |  CAST(ids.id % 3 AS INT) AS frame_idx,
+         |  COALESCE(c2.component, ids.id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, ids.id))
+         |    AS n_members,
+         |  ids.id = COALESCE(c2.component, ids.id) AS keep
+         |FROM ids LEFT JOIN comp c2 ON c2.id = ids.id""".stripMargin,
     // the mm_audio_embed contour replay -> exact cosine kNN (k=3) ->
     // mutual edges at 0.999 on both directions -> recursive component
     // walk (the mm_dedup oracle pattern over ENERGY-CONTOUR features)

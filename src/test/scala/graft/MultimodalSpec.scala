@@ -324,6 +324,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!emb((2L, 0)).decoded && emb((2L, 0)).e.isEmpty)
   }
 
+  test("embedVideoFrames + knnGraphDedup: a frame repeated across " +
+    "videos lands in one component (temporal dedup); distinct frames " +
+    "stay singletons") {
+    import graft.multimodal.{Media, Multimodal, VideoFrame, Y4mCodec,
+      Y4mVideo}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fr(f: Int => Int) = VideoFrame(Array.tabulate(16)(f),
+      Array.fill(4)(0), Array.fill(4)(0))
+    val still = fr(i => (i * 13 + 5) % 256) // the shared still frame
+    val vidA = Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg",
+      Array(still, fr(i => 255 - i * 9 % 256))))
+    val vidB = Y4mCodec.encode(Y4mVideo(4, 4, "420jpeg",
+      Array(fr(i => i * i % 256), still))) // same still, different slot
+    val ds = Seq(
+      Media(0L, "video", vidA, 4, 4, 0),
+      Media(1L, "video", vidB, 4, 4, 0)).toDS()
+    val dot = graft.functions.DotProduct.column _
+    val v = Multimodal.embedVideoFrames(ds, 4, 4).toDF()
+      .filter(col("decoded"))
+      .select((col("media_id") * 2 + col("frame_idx")).as("fid"),
+        col("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("norm") > 0)
+    val q = broadcast(v.select(col("fid").as("query_id"),
+      col("e").as("qe"), col("norm").as("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val g = v.select(col("fid").as("neighbor_id"), col("e"),
+        col("norm"))
+      .crossJoin(q).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        dot(col("e"), col("qe")) / (col("norm") * col("qnorm")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    val nodes = (0L to 3L).toDF("id")
+    val out = graft.operators.GraphDedup.knnGraphDedup(g, nodes,
+      tau = 0.9999).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // fid 0 = (vidA, frame 0), fid 3 = (vidB, frame 1): the shared
+    // still groups across videos; the other two frames are singletons
+    assert(out(0L)._1 == 0L && out(3L)._1 == 0L,
+      s"shared still not grouped: $out")
+    assert(out(1L)._1 == 1L && out(2L)._1 == 2L)
+    assert(out(0L)._2 && !out(3L)._2 && out(1L)._2 && out(2L)._2)
+  }
+
   test("embedAudio + knnGraphDedup: planted near-identical audio " +
     "(small sample perturbation, NOT byte-identical) lands in one " +
     "component; unrelated contours stay singletons") {
