@@ -560,6 +560,42 @@ object DocStream {
         max(col("est_jaccard")).as("est_jaccard"))
       .withColumn("keep", col("dup_of").isNull)
 
+  /** Ingest-time semantic admission for RAW TEXT (r20 — the
+    * [[graft.streaming.EmbStream.semanticAdmitSink]] composition with
+    * the text → embedding bridge, so a text stream is semantically
+    * gated from bytes: no pre-computed vectors anywhere): each
+    * arriving micro-batch of (doc_id, text) rows is featurized by
+    * [[graft.operators.TextFeatures.unigramBucketVec]] and judged
+    * against the FROZEN reference index (fit over the curated
+    * corpus's bucket vectors) with the SHARED verdict core — a doc is
+    * admitted iff its nearest curated neighbor scores below `tau`.
+    * Frozen-reference contract and idempotent `batch_id=N` subtrees
+    * exactly as the vector sink (union of batches ≡ the batch filter,
+    * parity by construction — the verdict is per-row). Output per
+    * doc: (doc_id, admit, nn_id, nn_qcos). */
+  def textSemanticAdmitSink(docs: DataFrame,
+      index: graft.operators.Similarity.IvfPqIndex, tau: Double,
+      nprobe: Int, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the feature build + verdict join scan the batch more than
+        // once; pin it so a real source is read once per trigger
+        val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val vecs = graft.operators.TextFeatures.unigramBucketVec(b)
+            .select(col("doc_id").as("vec_id"), col("e"))
+          graft.streaming.EmbStream
+            .admitVerdicts(vecs, index, tau, nprobe)
+            .withColumnRenamed("vec_id", "doc_id")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        } finally b.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** Signature agreement = matching minhash positions / k. */
   def agreement(a: Seq[Int], b: Seq[Int]): Double = {
     var eq = 0

@@ -95,25 +95,33 @@ object EmbStream {
         // two scans; pin it so a real source is read once per trigger
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val qside = b.select(col("vec_id").as("query_id"),
-              col("e").as("qe"))
-            .withColumn("qnorm", sqrt(
-              graft.functions.DotProduct.column(col("qe"), col("qe"))))
-          // external arrivals: ids must not self-exclude corpus rows
-          val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
-              excludeSelf = false)
-            .select(col("query_id").as("vec_id"),
-              col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
-          b.select("vec_id").join(nn, Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),
-              col("nn_id"), col("nn_qcos"))
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        } finally b.unpersist(blocking = false)
+        try admitVerdicts(b, index, tau, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        finally b.unpersist(blocking = false)
         ()
       }
       .start()
+
+  /** The admission verdict for one (vec_id, e) frame against a frozen
+    * reference index — the batch core [[semanticAdmitSink]] and
+    * [[graft.streaming.DocStream.textSemanticAdmitSink]] share, so the
+    * vector-space and text-space sinks cannot drift. */
+  private[graft] def admitVerdicts(b: DataFrame,
+      index: Similarity.IvfPqIndex, tau: Double,
+      nprobe: Int): DataFrame = {
+    val qside = b.select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .withColumn("qnorm", sqrt(
+        graft.functions.DotProduct.column(col("qe"), col("qe"))))
+    // external arrivals: ids must not self-exclude corpus rows
+    val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
+        excludeSelf = false)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
+    b.select("vec_id").join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),
+        col("nn_id"), col("nn_qcos"))
+  }
 
   /** Streaming ANN-index maintenance — the append twin of
     * [[Similarity.ivfPqAppend]] (which is batch-only): each arriving

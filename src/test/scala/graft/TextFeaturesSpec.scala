@@ -122,6 +122,80 @@ class TextFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("textSemanticAdmitSink: paraphrases of curated reference docs " +
+    "are rejected on arrival, novel docs admitted; stream equals the " +
+    "batch filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val tmps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tmp(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmps += p; p
+    }
+    try {
+      // curated reference corpus: 30 docs of 40 words
+      val vocab = (0 until 30).map(i => s"w$i")
+      val rnd = new scala.util.Random(11)
+      def draw() = Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val refWords = (0 until 30).map(i => (i.toLong, draw()))
+      val refDocs = refWords
+        .map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val refVecs = TextFeatures.unigramBucketVec(refDocs)
+        .select(col("doc_id").as("vec_id"), col("e"))
+      // exact-endpoint reference index over the bucket vectors
+      // (kc >= corpus, one coarse cell: ADC == exact dot)
+      val frozen = graft.operators.Similarity.ivfPqFit(refVecs,
+        dim = 256, m = 16, kc = 64, kCoarse = 1, iters = 2)
+      // arrivals: 5 one-word paraphrases of reference docs (cosine
+      // ~0.975 >= tau - rejected) + 5 novel docs from FRESH tokens
+      // (near-orthogonal - admitted)
+      val paras = refWords.take(5).map { case (id, ws) =>
+        val sub = ws.clone()
+        sub(3) = vocab((vocab.indexOf(sub(3)) + 7) % vocab.size)
+        (1000L + id, sub.mkString(" "))
+      }
+      val novel = (0 until 5).map(i =>
+        (2000L + i, Array.fill(40)(s"z${rnd.nextInt(100000)}").mkString(" ")))
+      val arrivals = paras ++ novel
+      val outDir = tmp("tadmit_out"); val ckDir = tmp("tadmit_ck")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.DocStream.textSemanticAdmitSink(
+        in.toDF().toDF("doc_id", "text"), frozen, tau = 0.95,
+        nprobe = 1, outDir.toString, ckDir.toString)
+      try {
+        val (b1, b2) = arrivals.splitAt(5)
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(outDir.toString)
+        .select("doc_id", "admit")
+        .as[(Long, Boolean)].collect().toMap
+      assert(streamed.size == 10)
+      paras.foreach { case (id, _) =>
+        assert(!streamed(id), s"paraphrase $id admitted") }
+      novel.foreach { case (id, _) =>
+        assert(streamed(id), s"novel doc $id rejected") }
+      // stream == the one-shot batch filter through the shared core
+      val batchVecs = TextFeatures.unigramBucketVec(
+          arrivals.toDF("doc_id", "text"))
+        .select(col("doc_id").as("vec_id"), col("e"))
+      val batch = graft.streaming.EmbStream
+        .admitVerdicts(batchVecs, frozen, tau = 0.95, nprobe = 1)
+        .select(col("vec_id"), col("admit"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch)
+    } finally {
+      CacheScope.releaseAll()
+      tmps.foreach { p =>
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("unrelated docs from the same vocabulary stay ungrouped at " +
     "the doc_knn_dedup threshold") {
     val vocab = (0 until 30).map(i => s"w$i")
