@@ -339,6 +339,21 @@ object ScaleProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  /** Deterministic synthetic 40-token doc: tokens from a splitmix
+    * stream over an effectively unbounded vocabulary, so unigram
+    * bucket profiles of distinct ids are near-orthogonal (expected
+    * cos ~ 40/256) while a one-word edit keeps cos ≥ 39/40. Shared by
+    * the textdedup and textadmit probes. */
+  private def synthTextWords(base: Long): Array[String] =
+    Array.tabulate(40) { j =>
+      var h = (base * 131L + j * 17L) *
+        -7046029254386353131L // 0x9E3779B97F4A7C15
+      h ^= (h >>> 31)
+      h *= -4658895280553007687L // 0xBF58476D1CE4E5B9
+      h ^= (h >>> 27)
+      s"t${h & 0xffffff}"
+    }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())
@@ -983,14 +998,7 @@ object ScaleProbe {
           def words(docId: Long): Array[String] = {
             val base = if (docId % every == 1 && docId > 0) docId - 1
                        else docId
-            val ws = Array.tabulate(40) { j =>
-              var h = (base * 131L + j * 17L) *
-                -7046029254386353131L // 0x9E3779B97F4A7C15
-              h ^= (h >>> 31)
-              h *= -4658895280553007687L // 0xBF58476D1CE4E5B9
-              h ^= (h >>> 27)
-              s"t${h & 0xffffff}"
-            }
+            val ws = synthTextWords(base)
             if (docId % every == 1 && docId > 0) ws(7) = ws(7) + "x"
             ws
           }
@@ -1063,6 +1071,120 @@ object ScaleProbe {
             "dropped" -> dropped, "dup_every" -> every, "nprobe" -> nprobe,
             "planted_pairs" -> planted.getLong(1),
             "planted_recall" -> math.rint(recall * 10000) / 10000))
+        case Array("textadmit", n) =>
+          // r20: ingest-time semantic admission for RAW TEXT at scale
+          // — freeze a reference index over 20k synthetic docs' bucket
+          // vectors, then rate-source text arrivals (every 10th a
+          // one-word paraphrase of a reference doc, the rest novel)
+          // through DocStream.textSemanticAdmitSink with the exact
+          // refine stage (a 0.95 gate on raw ADC admits true dups —
+          // the textdedup lesson); measures sustained docs/s and
+          // gates on planted rejection + novel admission.
+          import spark.implicits._
+          val target = n.toLong
+          val refN = 20000
+          val refDocs = spark.range(refN)
+            .map(i => (i, synthTextWords(i).mkString(" ")))
+            .toDF("doc_id", "text")
+          val t0b = System.nanoTime()
+          val refVecs = CacheScope.persistTracked(
+            graft.operators.TextFeatures.unigramBucketVec(refDocs)
+              .select(col("doc_id").as("vec_id"), col("e")))
+          refVecs.count()
+          // SAVE + RELOAD the index (the annstream discipline): the
+          // fit result is plan-backed — handing it to a per-batch
+          // sink re-runs the whole k-means fit EVERY micro-batch
+          // (measured 82 s/batch; reloaded, the batch pays only the
+          // search)
+          val idxDir = java.nio.file.Files.createTempDirectory("tadmit_idx")
+          graft.operators.Similarity.saveIvfPqIndex(
+            graft.operators.Similarity.ivfPqFit(
+              refVecs, dim = 256, m = 16, kc = 256, kCoarse = 64,
+              iters = 3, trainN = 20000),
+            idxDir.toString)
+          val idx = graft.operators.Similarity.loadIvfPqIndex(
+            spark, idxDir.toString)
+          val buildSecs = (System.nanoTime() - t0b) / 1e9
+          val outDir = java.nio.file.Files.createTempDirectory("tadmit_out")
+          val ckDir = java.nio.file.Files.createTempDirectory("tadmit_ck")
+          try {
+            val dstream = spark.readStream.format("rate-micro-batch")
+              .option("rowsPerBatch", 2000L)
+              .option("numPartitions", 32).load()
+              .selectExpr("value").as[Long]
+              .map { v =>
+                val ws =
+                  if (v % 10 == 0) {
+                    val w = synthTextWords((v / 10) % refN)
+                    w(7) = w(7) + "x" // one-word paraphrase
+                    w
+                  } else synthTextWords(refN + v) // novel token space
+                (v, ws.mkString(" "))
+              }
+              .toDF("doc_id", "text")
+            val listener = new RowsListener
+            spark.streams.addListener(listener)
+            var qq: org.apache.spark.sql.streaming.StreamingQuery = null
+            try {
+              qq = graft.streaming.DocStream.textSemanticAdmitSink(
+                dstream, idx, tau = 0.95, nprobe = 8, outDir.toString,
+                ckDir.toString, refineWith = Some((refVecs, 10)))
+              val t1 = System.nanoTime()
+              var done = 0L
+              while (done < target) {
+                Thread.sleep(100)
+                if (!qq.isActive)
+                  throw qq.exception.getOrElse(new IllegalStateException(
+                    "textadmit probe query terminated before target"))
+                done = listener.rows.get()
+              }
+              qq.stop()
+              val secs = (System.nanoTime() - t1) / 1e9
+              val verdicts = spark.read.parquet(outDir.toString)
+              val agg = verdicts.agg(
+                count(lit(1)).as("n"),
+                sum(when(col("doc_id") % 10 === 0 && !col("admit"), 1L)
+                  .otherwise(0L)).as("planted_rejected"),
+                sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+                  .as("planted"),
+                sum(when(col("doc_id") % 10 =!= 0 && col("admit"), 1L)
+                  .otherwise(0L)).as("novel_admitted"),
+                sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L))
+                  .as("novel")).collect()(0)
+              val rejRecall =
+                agg.getLong(1).toDouble / math.max(agg.getLong(2), 1L)
+              val admShare =
+                agg.getLong(3).toDouble / math.max(agg.getLong(4), 1L)
+              require(rejRecall > 0.5,
+                f"textadmit: planted rejection $rejRecall%.3f not above " +
+                  "chance — the text admission gate is broken")
+              require(admShare > 0.5,
+                f"textadmit: novel admission $admShare%.3f not above " +
+                  "chance — the gate rejects everything")
+              println(f"[probe] textadmit ${done / secs}%.0f docs/s " +
+                f"($done docs in $secs%.1f s; build $buildSecs%.1f s, " +
+                f"planted_rejected=$rejRecall%.3f " +
+                f"novel_admitted=$admShare%.3f) ${listener.stats}")
+              (done, Map[String, Any](
+                "build_secs" -> math.rint(buildSecs * 1000) / 1000,
+                "docs_per_s" -> math.rint(done / secs),
+                "ref_rows" -> refN, "tau" -> 0.95, "nprobe" -> 8,
+                "k_short" -> 10,
+                "planted_rejected" -> math.rint(rejRecall * 10000) / 10000,
+                "novel_admitted" -> math.rint(admShare * 10000) / 10000,
+                "secs" -> math.rint(secs * 1000) / 1000) ++
+                scala.collection.immutable.TreeMap(listener.stats.toSeq: _*))
+            } finally {
+              spark.streams.removeListener(listener)
+              if (qq != null && qq.isActive) {
+                try qq.stop() catch { case _: Throwable => () }
+              }
+            }
+          } finally {
+            deleteRecursively(idxDir)
+            deleteRecursively(outDir)
+            deleteRecursively(ckDir)
+          }
         case Array("graphappend", n) =>
           // r19: streaming kNN-GRAPH maintenance — the knndedup probe
           // shows the graph BUILD is ~94% of the dedup wall, so the

@@ -575,8 +575,8 @@ object DocStream {
     * doc: (doc_id, admit, nn_id, nn_qcos). */
   def textSemanticAdmitSink(docs: DataFrame,
       index: graft.operators.Similarity.IvfPqIndex, tau: Double,
-      nprobe: Int, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      nprobe: Int, outDir: String, checkpointDir: String,
+      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -588,7 +588,7 @@ object DocStream {
           val vecs = graft.operators.TextFeatures.unigramBucketVec(b)
             .select(col("doc_id").as("vec_id"), col("e"))
           graft.streaming.EmbStream
-            .admitVerdicts(vecs, index, tau, nprobe)
+            .admitVerdicts(vecs, index, tau, nprobe, refineWith)
             .withColumnRenamed("vec_id", "doc_id")
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         } finally b.unpersist(blocking = false)

@@ -85,8 +85,8 @@ object EmbStream {
     * [[Similarity.loadIvfPqIndexWithDeltas]] and re-freezing.
     * Idempotent batch_id=N subtrees. */
   def semanticAdmitSink(vectors: DataFrame, index: Similarity.IvfPqIndex,
-      tau: Double, nprobe: Int, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      tau: Double, nprobe: Int, outDir: String, checkpointDir: String,
+      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -95,7 +95,7 @@ object EmbStream {
         // two scans; pin it so a real source is read once per trigger
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try admitVerdicts(b, index, tau, nprobe)
+        try admitVerdicts(b, index, tau, nprobe, refineWith)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         finally b.unpersist(blocking = false)
         ()
@@ -105,18 +105,32 @@ object EmbStream {
   /** The admission verdict for one (vec_id, e) frame against a frozen
     * reference index — the batch core [[semanticAdmitSink]] and
     * [[graft.streaming.DocStream.textSemanticAdmitSink]] share, so the
-    * vector-space and text-space sinks cannot drift. */
+    * vector-space and text-space sinks cannot drift.
+    *
+    * `refineWith = Some((rawReferenceVecs, kShort))` re-ranks a
+    * kShort ADC shortlist by EXACT cosine before the τ gate
+    * ([[Similarity.ivfPqSearchRefine]] — the 41j pattern). This is
+    * the production setting for a tight τ on a lossy index: the
+    * mmdedup/textdedup probes measure raw ADC scores dropping true
+    * duplicates on quantization error alone, and an admission gate
+    * misjudging a duplicate ADMITS it — the failure the gate exists
+    * to prevent. None keeps the raw-ADC verdict (fine at the exact
+    * endpoint or a loose τ). */
   private[graft] def admitVerdicts(b: DataFrame,
-      index: Similarity.IvfPqIndex, tau: Double,
-      nprobe: Int): DataFrame = {
+      index: Similarity.IvfPqIndex, tau: Double, nprobe: Int,
+      refineWith: Option[(DataFrame, Int)] = None): DataFrame = {
     val qside = b.select(col("vec_id").as("query_id"), col("e").as("qe"))
       .withColumn("qnorm", sqrt(
         graft.functions.DotProduct.column(col("qe"), col("qe"))))
     // external arrivals: ids must not self-exclude corpus rows
-    val nn = Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
-        excludeSelf = false)
-      .select(col("query_id").as("vec_id"),
-        col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
+    val nn = (refineWith match {
+      case Some((raw, kShort)) => Similarity.ivfPqSearchRefine(
+        index, qside, raw, k = 1, kShort, nprobe, excludeSelf = false)
+      case None =>
+        Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
+          excludeSelf = false)
+    }).select(col("query_id").as("vec_id"),
+      col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
     b.select("vec_id").join(nn, Seq("vec_id"), "left")
       .select(col("vec_id"),
         (col("nn_qcos").isNull || col("nn_qcos") < tau).as("admit"),

@@ -196,6 +196,57 @@ class TextFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("refined admission on a LOSSY index equals the exact " +
+    "brute-force gate (the production setting for a tight tau)") {
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rnd = new scala.util.Random(23)
+    def draw() = Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
+    val refWords = (0 until 200).map(i => (i.toLong, draw()))
+    val refDocs = refWords
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val refVecs = graft.CacheScope.persistTracked(
+      TextFeatures.unigramBucketVec(refDocs)
+        .select(col("doc_id").as("vec_id"), col("e")))
+    try {
+      // genuinely lossy: m=8 (32-dim subspaces), 16-entry codebooks
+      val lossy = graft.operators.Similarity.ivfPqFit(refVecs,
+        dim = 256, m = 8, kc = 16, kCoarse = 8, iters = 2)
+      val arrivals = refWords.take(20).map { case (id, ws) =>
+        val sub = ws.clone()
+        sub(5) = vocab((vocab.indexOf(sub(5)) + 3) % vocab.size)
+        (3000L + id, sub.mkString(" "))
+      } ++ (0 until 20).map(i =>
+        (4000L + i, Array.fill(40)(s"q${rnd.nextInt(100000)}").mkString(" ")))
+      val arrVecs = graft.CacheScope.persistTracked(
+        TextFeatures.unigramBucketVec(arrivals.toDF("doc_id", "text"))
+          .select(col("doc_id").as("vec_id"), col("e")))
+      val tau = 0.95
+      val refined = graft.streaming.EmbStream.admitVerdicts(
+          arrVecs, lossy, tau, nprobe = 8,
+          refineWith = Some((refVecs, 20)))
+        .select("vec_id", "admit")
+        .as[(Long, Boolean)].collect().toMap
+      // exact gate: admit iff no reference vector reaches tau
+      val dot = graft.functions.DotProduct.column _
+      val exact = arrVecs.select(col("vec_id"), col("e").as("qe"))
+        .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+        .crossJoin(broadcast(refVecs.select(col("e"),
+          sqrt(dot(col("e"), col("e"))).as("nrm"))))
+        .withColumn("cos",
+          dot(col("e"), col("qe")) / (col("nrm") * col("qnorm")))
+        .groupBy("vec_id").agg(max(col("cos")).as("best"))
+        .select(col("vec_id"), (col("best") < tau).as("admit"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(refined == exact,
+        s"refined != exact on ${refined.toSet.diff(exact.toSet)}")
+      // and the gate is doing real work: all 20 paraphrases rejected,
+      // all 20 novel docs admitted
+      arrivals.take(20).foreach { case (id, _) => assert(!refined(id)) }
+      arrivals.drop(20).foreach { case (id, _) => assert(refined(id)) }
+    } finally CacheScope.releaseAll()
+  }
+
   test("unrelated docs from the same vocabulary stay ungrouped at " +
     "the doc_knn_dedup threshold") {
     val vocab = (0 until 30).map(i => s"w$i")
