@@ -4,9 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE coalescing floor (r21, guide §2.2/§2.5): with
+    // parallelismFirst (the default) AQE coalesces a shuffle whose
+    // total bytes are small to ~1 MB partitions — collapsing
+    // compute-dense stages (candidate-pair verification, signature
+    // folds) onto one core even though bytes/row vastly understate
+    // work/row. Lowering the floor lets such stages keep the
+    // cluster's parallelism; at production scale partitions are
+    // hundreds of MB and the floor never binds (scale-neutral).
+    // Parameterized for A/B runs; the default is the measured knee.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

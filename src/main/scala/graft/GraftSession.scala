@@ -31,6 +31,11 @@ object GraftSession {
   def builder(base: SparkSession.Builder): SparkSession.Builder = base
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // coalescing floor: stop AQE collapsing compute-dense small-byte
+    // shuffle stages (pair verification, signature folds) to one task
+    // — bytes/row vastly understates work/row there. Never binds at
+    // production partition sizes (hundreds of MB), so scale-neutral.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.session.timeZone", "UTC")

@@ -53,7 +53,8 @@ object BpeTokenizer {
   /** The (word, n) frequency table of a (doc_id, text) frame — the
     * vocabulary-sized working set everything else iterates on. */
   def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("word"))
+    Skew.spreadScan(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
@@ -112,6 +113,29 @@ object BpeTokenizer {
     }
     val meta = Seq(numMerges).toDF("num_merges")
     BpeModel(merges.filter(col("cnt") > 0), meta)
+  }
+
+  /** The ONE-AGGREGATE trainer (r21): the merge loop expressed as a
+    * single distributed aggregation over the (word, n) table —
+    * [[graft.functions.BpeTrainMerges]] accumulates per-partition
+    * vocabulary count maps (exact additive longs), merges them, and
+    * runs [[BpeLocal.mergeLoop]] once on the reduced table. Replaces
+    * 2·numMerges shuffle rounds + per-round checkpoints with ONE
+    * corpus pass and ONE reduce, with no driver collect (the
+    * trainLocal scale split, executor-side). Byte-identical merge
+    * table to [[train]] (BpeSpec pins it); the aggregation buffer is
+    * vocabulary-sized — the same state trainLocal collects. */
+  def trainAgg(docs: DataFrame, numMerges: Int): BpeModel = {
+    require(numMerges >= 1, s"trainAgg: numMerges=$numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = wordCounts(docs)
+      .agg(graft.functions.BpeTrainMerges
+        .column(col("word"), col("n"), numMerges).as("ms"))
+      .select(explode(col("ms")).as("m"))
+      .select(col("m.rank").as("rank"), col("m.lhs").as("lhs"),
+        col("m.rhs").as("rhs"), col("m.cnt").as("cnt"))
+    BpeModel(merges, Seq(numMerges).toDF("num_merges"))
   }
 
   /** The production many-merges trainer (SURVEY §8 / VERDICT r16 LLM

@@ -66,9 +66,14 @@ object GraphDedup {
     val labeled = nodes.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    val sizes = labeled.groupBy("component")
-      .agg(count(lit(1)).as("n_members"))
-    labeled.join(sizes, "component")
+    // membership count as a window over the SAME component key the
+    // rows already group by — one hash exchange, where the former
+    // groupBy+self-join shape paid the aggregate exchange plus a join
+    // of the labeled rows back against it (r21, guide §2.4: two
+    // operations keyed the same way share one exchange)
+    labeled
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
       .select(col("id"), col("component"), col("n_members"),
         (col("id") === col("component")).as("keep"))
   }

@@ -32,6 +32,31 @@ object Skew {
       .groupBy("key")
       .agg(sum("_n").as("n"), sum("_sum").as("sum_value"))
 
+  /** Spread a compute-dense scan whose INPUT under-parallelizes the
+    * cluster (optimization-guide §2.5 "input skew": one huge
+    * unsplittable file — a single-row-group parquet, a gzip — plans as
+    * one task, so every downstream map-side kernel (per-shingle md5
+    * families, regex gates, media decode) runs single-threaded no
+    * matter how many cores are idle; the guide's fix is "repartition
+    * immediately after the read").
+    *
+    * The round-robin repartition is applied ONLY when the planned scan
+    * has fewer partitions than the cluster's default parallelism — at
+    * production scale a corpus scan plans thousands of splits and this
+    * is a no-op (no exchange is added); on an unsplittable input it
+    * costs one exchange of the payload to buy full-cluster map
+    * parallelism for the expensive kernels downstream. Row order is
+    * deterministic under retries (sort-before-repartition, Spark's
+    * default) and every consumer in this repo is value-keyed, so
+    * results are partitioning-independent. Streaming frames pass
+    * through untouched (micro-batch parallelism is the source's job,
+    * and `.rdd` cannot plan a streaming frame). */
+  def spreadScan(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Salted broadcast-replicated join for a skewed LEFT side against a
     * small right side: the right side is exploded `buckets`× with every
     * salt value, the left side salts deterministically, and the join key

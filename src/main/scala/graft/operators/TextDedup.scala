@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** (doc_id, shingles): distinct word n-gram shingle array per doc. */
+  /** (doc_id, shingles): distinct word n-gram shingle array per doc.
+    * The scan is spread first ([[Skew.spreadScan]] — no-op at
+    * production scale): every miner downstream runs md5/signature
+    * kernels per shingle, and an unsplittable input would otherwise
+    * serialize all of it on one core. */
   def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    Skew.spreadScan(docs).select(col("doc_id"),
       graft.functions.ShingleNGrams.column(split(col("text"), " "), n)
         .as("shingles"))
 

@@ -45,7 +45,7 @@ object TextFeatures {
     * whole Docs family's convention). A document yields one row; its
     * `e` is dense with exact integer-valued counts. */
   def unigramBucketVec(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = Skew.spreadScan(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), bucket(col("w")).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))

@@ -195,7 +195,7 @@ object Docs {
     * strings and counts shuffle, never documents; the HAVING prunes
     * map-side via partial aggregation. */
   def docDupSpans(s: SparkSession, d: String): DataFrame = {
-    val spans = Tables.documents(s, d)
+    val spans = graft.operators.Skew.spreadScan(Tables.documents(s, d))
       .select(col("doc_id"), explode(graft.functions.ShingleNGrams.column(
         split(col("text"), " "), 8)).as("span"))
     // ShingleNGrams is distinct-per-doc, so count(*) IS the doc count
@@ -454,7 +454,7 @@ object Docs {
     * (forcing a broadcast here is the unbounded-broadcast trap); the
     * 1-row corpus count is the only forced broadcast. */
   def docTfidf(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val tok = graft.operators.Skew.spreadScan(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // tf feeds BOTH the per-doc side and the document-frequency rollup;
     // without the scoped persist the corpus is exploded and aggregated
@@ -594,7 +594,9 @@ object Docs {
     val es = regexp_count(t, lit("\\b(el|la|los|las|es|y)\\b"))
     val de = regexp_count(t, lit("\\b(der|die|das|und|ist)\\b"))
     val fr = regexp_count(t, lit("\\b(le|les|des|et|est)\\b"))
-    val gated = Tables.documents(s, d)
+    // spread the unsplittable scan before the four regex gate passes
+    // (guide §2.5; no-op at production scale)
+    val gated = graft.operators.Skew.spreadScan(Tables.documents(s, d))
       .filter(nWords >= 15 && (en.cast("double") / nWords) >= 0.02)
       .filter(en >= es && en >= de && en >= fr && en > 0)
     val w = Window.partitionBy(md5(t)).orderBy(col("doc_id"))
@@ -701,21 +703,40 @@ object Docs {
 
   /** Library form of #51b: BM25 top-`k` of `docs` for `qterms`.
     *
-    * The (doc, term) tf index is built ONCE and persisted; document
-    * length, corpus stats, and per-term df all derive from it (dl =
-    * sum of tf — exact), so the plan reads and tokenizes the corpus a
-    * single time where the naive four-branch self-reuse would scan it
-    * four times (each branch re-paying the explode at 100 TB). */
+    * r21 shape (guide §2.3 "shuffle fewer bytes" / §1.2 algorithm
+    * first): the old plan aggregated the ENTIRE (doc, term) token
+    * stream — a corpus-sized shuffle — only to derive dl (= Σ tf per
+    * doc) and the tf of the ≤|qterms| query terms. But dl is just the
+    * per-document token count, computable MAP-SIDE as
+    * size(split(text)) with zero exchanges (bit-equal: split on ' '
+    * yields ≥1 element for every non-null text, so per-doc counts and
+    * the corpus stats n/sumdl are the same exact longs), and tf only
+    * needs tokens matching the query terms — the isin filter runs
+    * BEFORE the aggregate, so the only token shuffle left is the
+    * matching rows (KBs at any corpus size). Cost moves from
+    * one corpus-wide exchange + cached index to two cheap scans;
+    * per-row work, join order, and every output double are
+    * unchanged. */
   def bm25Rank(docs: DataFrame, qterms: Seq[String], k: Int): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = graft.CacheScope.persistTracked(
-      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val spread = graft.operators.Skew.spreadScan(docs)
+    // isNotNull keeps the old contract exactly: a null text produced no
+    // token rows (explode of null), so it never entered dl or n before.
+    // dl is persisted (narrow id+long rows) so the corpus stats and the
+    // scored join share ONE map-side scan; tf (query-term rows only —
+    // KBs at any corpus size) likewise feeds df and the scoring join
+    // from one materialization.
+    val dl = graft.CacheScope.persistTracked(
+      spread.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl")))
     val corpus = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-    val dfq = tf.filter(col("term").isin(qterms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.filter(col("term").isin(qterms: _*))
+    val tf = graft.CacheScope.persistTracked(
+      spread
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
       .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))

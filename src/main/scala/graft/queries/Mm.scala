@@ -66,7 +66,8 @@ object Mm {
       cap: Long = Long.MaxValue) = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
+    graft.operators.Skew.spreadScan(
+      if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         Media(id, "image", pgmPayload(text, 16, 8), 16, 8, 0)
@@ -189,7 +190,8 @@ object Mm {
       cap: Long = Long.MaxValue) = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
+    graft.operators.Skew.spreadScan(
+      if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("US-ASCII")
@@ -273,7 +275,8 @@ object Mm {
       cap: Long = Long.MaxValue) = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    (if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
+    graft.operators.Skew.spreadScan(
+      if (cap == Long.MaxValue) docs else docs.filter(col("doc_id") < cap))
       .as[(Long, String)]
       .map { case (id, text) =>
         Media(id, "video", y4mPayload(text, 3), 4, 4, 0)

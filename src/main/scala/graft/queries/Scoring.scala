@@ -54,7 +54,10 @@ object Scoring {
     lmScore(Tables.documents(s, d))
 
   /** Library form of #59 over any (doc_id, text) frame. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs0: DataFrame): DataFrame = {
+    // spread an unsplittable scan before the per-row n-gram kernels
+    // (guide §2.5 input skew; no-op at production scale)
+    val docs = graft.operators.Skew.spreadScan(docs0)
     // one text scan → (doc_id, bigram, tfb), persisted and reused by
     // the model-count branches and the per-doc scoring branch
     val tfb = graft.CacheScope.persistTracked(
@@ -125,7 +128,8 @@ object Scoring {
   final case class LmCounts(pairs: DataFrame, words: DataFrame)
 
   /** One counting pass over a (doc_id, text) frame. */
-  def lmCounts(docs: DataFrame): LmCounts = {
+  def lmCounts(docs0: DataFrame): LmCounts = {
+    val docs = graft.operators.Skew.spreadScan(docs0)
     val inst = docs.select(
       explode(graft.functions.NGramInstances.column(
         split(col("text"), " "), 2)).as("bg"))
@@ -232,7 +236,9 @@ object Scoring {
 
   /** Library form of #60: top-`k` of `docs` by importance weight
     * toward the `isTarget` slice. */
-  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
+  def dsirSelect(docs0: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    // spread before the per-token md5 bucket kernel (guide §2.5)
+    val docs = graft.operators.Skew.spreadScan(docs0)
     val tok = graft.CacheScope.persistTracked(
       docs.select(col("doc_id"), isTarget.as("is_t"),
           explode(split(col("text"), " ")).as("w"))
@@ -330,7 +336,9 @@ object Scoring {
 
   /** The (doc_id, b, x) L1-normalized hashed-unigram features shared
     * by training and scoring. */
-  private def qcFeatures(docs: DataFrame): DataFrame = {
+  private def qcFeatures(docs0: DataFrame): DataFrame = {
+    // spread before the per-token md5 bucket kernel (guide §2.5)
+    val docs = graft.operators.Skew.spreadScan(docs0)
     val feats = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .withColumn("b", substring(md5(col("w")), 1, 2))
@@ -343,7 +351,7 @@ object Scoring {
 
   /** (doc_id, y = ±1) Gopher-gate teacher labels. */
   private def qcLabels(docs: DataFrame): DataFrame =
-    graft.queries.Docs.gopherMetrics(docs)
+    graft.queries.Docs.gopherMetrics(graft.operators.Skew.spreadScan(docs))
       .select(col("doc_id"),
         when(col("keep"), 1.0).otherwise(-1.0).as("y"))
 

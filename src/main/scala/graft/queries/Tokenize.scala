@@ -22,9 +22,13 @@ object Tokenize {
   private val NumMerges = 16
 
   private def merges(s: SparkSession, d: String): DataFrame =
+    // r21: the one-aggregate trainer — byte-identical merge table to
+    // the round-per-job loop (BpeSpec pins trainAgg ≡ train), built in
+    // ONE corpus pass + ONE reduce instead of 2·16 shuffle rounds; the
+    // unrolled 16-round DuckDB oracle below still verifies every rank
     QueryMemo.cached(s, s"bpe_merges:m=$NumMerges:$d")(
       graft.operators.BpeTokenizer
-        .train(Tables.documents(s, d), NumMerges).merges)
+        .trainAgg(Tables.documents(s, d), NumMerges).merges)
 
   private def model(s: SparkSession, d: String)
       : graft.operators.BpeTokenizer.BpeModel = {

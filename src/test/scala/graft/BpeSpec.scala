@@ -230,6 +230,25 @@ class BpeSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("trainAgg: byte-identical merge table to the distributed loop " +
+    "(fixture + sf0.001 corpus) — the r21 one-aggregate trainer") {
+    import spark.implicits._
+    val fix = fixtureCorpus.toDF("doc_id", "text")
+    val gotFix = graft.operators.BpeTokenizer.trainAgg(fix, 8)
+      .merges.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(gotFix == fixtureMerges)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dist = graft.operators.BpeTokenizer.train(docs, 16)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    CacheScope.releaseAll()
+    val agg = graft.operators.BpeTokenizer.trainAgg(docs, 16)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(agg == dist)
+  }
+
   test("mergeWordCounts: absorbed increments train the identical " +
     "table to a from-scratch run — old text never re-read") {
     val all = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -287,25 +287,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(p, "FileScan") == 2, p) // corpus + query slice
   }
 
-  test("doc_bm25: the tf index is built once (single tokenize+scan) and reused everywhere") {
+  test("doc_bm25: no corpus-wide token shuffle — dl map-side, tf filtered " +
+    "to query terms BEFORE its aggregate (r21)") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     try {
       val lp = QueryMemo.disabled(
         SparkEntry.queries("doc_bm25")(spark, d).queryExecution.optimizedPlan)
+      // two narrow caches: dl (id+long rows, feeds corpus stats AND the
+      // scoring join) and tf (query-term rows only, feeds df AND scoring)
       val caches = lp.collect { case c: InMemoryRelation => c }
       assert(caches.size >= 3,
-        s"tf cache must feed the scored/dl/df branches, found ${caches.size}:\n$lp")
+        s"dl/tf caches must feed every branch, found ${caches.size}:\n$lp")
       val rawScans = lp.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
       }
       assert(rawScans.isEmpty,
-        s"every corpus read must go through the cached tf index:\n$lp")
-      // the cached subplan itself is ONE scan + ONE tokenizer explode
-      // (string-counted: the cached plan is an AdaptiveSparkPlanExec
-      // wrapper whose tree is not visible to collect)
-      val cached = caches.head.cachedPlan.toString
-      assert(occurrences(cached, "Generate") == 1, cached)
-      assert(occurrences(cached, "FileScan") == 1, cached)
+        s"every corpus read must go through the cached dl/tf frames:\n$lp")
+      val cachedStrs = caches.map(_.cachedPlan.toString).distinct
+      // the tf cache: tokenizer explode with the query-term isin filter
+      // BELOW its aggregate — the only token rows that ever shuffle
+      val tfCache = cachedStrs.find(_.contains("Generate")).getOrElse(
+        fail(s"no tokenizer-explode cache found:\n${cachedStrs.mkString}"))
+      assert(tfCache.contains("term#") && tfCache.contains(" IN (") ,
+        s"tf cache must filter to the query terms before aggregating:\n$tfCache")
+      // the dl cache: pure map-side size(split(text)) — no Generate, no
+      // aggregate, no exchange other than the spread repartition
+      val dlCache = cachedStrs.find(c =>
+        !c.contains("Generate") && c.contains("size(split(")).getOrElse(
+        fail(s"no map-side dl cache found:\n${cachedStrs.mkString}"))
+      assert(occurrences(dlCache, "HashAggregate") == 0,
+        s"dl must be map-side (no corpus-wide aggregate):\n$dlCache")
     } finally CacheScope.releaseAll()
   }
 
