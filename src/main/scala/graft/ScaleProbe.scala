@@ -365,6 +365,10 @@ object ScaleProbe {
     val dir = args.head
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // same AQE coalescing floor as Bench/GraftSession (r21): probes
+      // measure the library under its intended session shape
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -1071,7 +1075,7 @@ object ScaleProbe {
             "dropped" -> dropped, "dup_every" -> every, "nprobe" -> nprobe,
             "planted_pairs" -> planted.getLong(1),
             "planted_recall" -> math.rint(recall * 10000) / 10000))
-        case Array("textadmit", n) =>
+        case Array("textadmit", n, rest @ _*) =>
           // r20: ingest-time semantic admission for RAW TEXT at scale
           // — freeze a reference index over 20k synthetic docs' bucket
           // vectors, then rate-source text arrivals (every 10th a
@@ -1082,6 +1086,9 @@ object ScaleProbe {
           // gates on planted rejection + novel admission.
           import spark.implicits._
           val target = n.toLong
+          // optional batch-size knob (r21 — the VERDICT amortization
+          // sweep: fixed per-trigger cost vs rows per trigger)
+          val rowsPerBatch = rest.headOption.map(_.toLong).getOrElse(2000L)
           val refN = 20000
           val refDocs = spark.range(refN)
             .map(i => (i, synthTextWords(i).mkString(" ")))
@@ -1109,7 +1116,7 @@ object ScaleProbe {
           val ckDir = java.nio.file.Files.createTempDirectory("tadmit_ck")
           try {
             val dstream = spark.readStream.format("rate-micro-batch")
-              .option("rowsPerBatch", 2000L)
+              .option("rowsPerBatch", rowsPerBatch)
               .option("numPartitions", 32).load()
               .selectExpr("value").as[Long]
               .map { v =>
@@ -1169,7 +1176,7 @@ object ScaleProbe {
                 "build_secs" -> math.rint(buildSecs * 1000) / 1000,
                 "docs_per_s" -> math.rint(done / secs),
                 "ref_rows" -> refN, "tau" -> 0.95, "nprobe" -> 8,
-                "k_short" -> 10,
+                "k_short" -> 10, "rows_per_batch" -> rowsPerBatch,
                 "planted_rejected" -> math.rint(rejRecall * 10000) / 10000,
                 "novel_admitted" -> math.rint(admShare * 10000) / 10000,
                 "secs" -> math.rint(secs * 1000) / 1000) ++

@@ -482,37 +482,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "qcos")
   }
 
+  /** The residual codebooks densified to slot order as ONE broadcast
+    * array row — (slot = s·kc + code; holes from empty clusters
+    * zero-filled: an assigned code always exists, so a hole is never
+    * read — and the kernel's dot against a zero vector reproduces the
+    * old grid join's 0.0 fill bit-for-bit). Shared by [[adcTable]]
+    * (the broadcast search path) and [[ivfPqKnnJoin]] (the bulk
+    * path). */
+  private def denseCodebookArr(spark: org.apache.spark.sql.SparkSession,
+      codebooks: DataFrame, m: Int, kc: Int, sub: Int): DataFrame = {
+    val grid = spark.range(m.toLong * kc).select(
+      (col("id") / kc).cast("int").as("s"),
+      (col("id") % kc).cast("int").as("code"))
+    broadcast(grid
+      .join(codebooks.select(col("s"), col("code"), col("ce")),
+        Seq("s", "code"), "left")
+      .withColumn("ce",
+        coalesce(col("ce"), array_repeat(lit(0.0), sub)))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(
+          (col("s") * kc + col("code")).as("slot"),
+          struct(col("s"), col("ce")).as("entry")))),
+        t => t.getField("entry")).as("cb")))
+  }
+
   /** Per-query dense ADC lookup table over a (s, code, ce) codebook
     * set: (query_id, qnorm, tarr) with tarr[s·kc+code] =
-    * dot(q_s, ce). Dense via a generated (s, code) grid so element_at
-    * is O(1) positional; holes from empty clusters zero-fill (an
-    * assigned code always exists in the codebook, so a hole is never
-    * read). Tiny side — nQ·m·kc rows pre-agg. Shared by [[pqSearch]]
-    * and [[ivfPqSearch]]. */
+    * dot(q_s, ce). r21: built MAP-SIDE by the native
+    * [[graft.functions.AdcTable]] kernel against the one-row densified
+    * codebook broadcast — the exact formulation [[ivfPqKnnJoin]]
+    * already uses (bit-identical per slot; IvfPqSpec pins the two
+    * paths equal). The previous relational form — an nQ·m·kc-row grid
+    * crossJoin + left join + a 4096-struct array_sort per query — was
+    * the dominant FIXED cost of every broadcast search and admission
+    * micro-batch (guide §1.2 per-task work: one tight loop per query
+    * vs millions of interpreted join/sort frames). Shared by
+    * [[pqSearch]] and [[ivfPqSearch]]. */
   private def adcTable(queries: DataFrame, codebooks: DataFrame,
       dim: Int, m: Int, kc: Int): DataFrame = {
     val sub = dim / m
-    val qsub = queries.select(col("query_id"), col("qnorm"),
-        explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"),
-            slice(col("qe"), s * sub + 1, sub).as("qs"))): _*)).as("w"))
-      .select(col("query_id"), col("qnorm"),
-        col("w.s").as("s"), col("w.qs").as("qs"))
-    val tdots = qsub.join(codebooks, "s")
-      .select(col("query_id"), col("s"), col("code"),
-        dot(col("qs"), col("ce")).as("tdot"))
-    val grid = queries.sparkSession.range(m.toLong * kc).select(
-      (col("id") / kc).cast("int").as("s"),
-      (col("id") % kc).cast("int").as("code"))
-    queries.select("query_id", "qnorm").crossJoin(grid)
-      .join(tdots, Seq("query_id", "s", "code"), "left")
-      .na.fill(0.0, Seq("tdot"))
-      .groupBy("query_id")
-      .agg(first(col("qnorm")).as("qnorm"),
-        transform(
-          array_sort(collect_list(struct(
-            (col("s") * kc + col("code")).as("slot"), col("tdot")))),
-          t => t.getField("tdot")).as("tarr"))
+    queries.select(col("query_id"), col("qnorm"), col("qe"))
+      .crossJoin(denseCodebookArr(queries.sparkSession, codebooks, m, kc, sub))
+      .withColumn("tarr",
+        graft.functions.AdcTable.column(col("qe"), col("cb"), sub))
+      .select("query_id", "qnorm", "tarr")
   }
 
   /** Σ_s tarr[s·kc + codes[s]] folded in subspace order from 0.0 —
@@ -884,12 +897,17 @@ object Similarity {
       .withColumn("crnk", row_number().over(cw))
       .filter(col("crnk") <= nprobe)
       .select(col("query_id"), col("cluster"), col("qdotcc"))
-    val table = broadcast(probes
-      .join(adcTable(queries, index.codebooks, index.dim, m, kc),
-        "query_id"))
+    // r21: the per-query ADC table broadcasts ONCE per query — the
+    // former probes⋈table pre-join replicated each query's m·kc-double
+    // tarr nprobe times inside the broadcast relation (nprobe× the
+    // bytes on the wire and in every executor). Joining the tiny
+    // (query_id, cluster, qdotcc) probe rows and the tarr table as two
+    // broadcast hash joins yields the identical matched rows.
+    val table = broadcast(adcTable(queries, index.codebooks, index.dim, m, kc))
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    index.codes.join(table, "cluster")
+    index.codes.join(broadcast(probes), "cluster")
+      .join(table, "query_id")
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cluster"),
@@ -943,22 +961,9 @@ object Similarity {
       array_sort(collect_list(struct(
         col("cluster"), col("ce"), col("scc")))).as("cells")))
     // one broadcast row: residual codebooks densified to slot order
-    // (slot = s·kc + code; holes zero-filled — an assigned code always
-    // exists, so a hole is never read: the adcTable contract)
-    val spark = queries.sparkSession
-    val grid = spark.range(m.toLong * kc).select(
-      (col("id") / kc).cast("int").as("s"),
-      (col("id") % kc).cast("int").as("code"))
-    val cbArr = broadcast(grid
-      .join(index.codebooks.select(col("s"), col("code"), col("ce")),
-        Seq("s", "code"), "left")
-      .withColumn("ce",
-        coalesce(col("ce"), array_repeat(lit(0.0), sub)))
-      .groupBy().agg(transform(
-        array_sort(collect_list(struct(
-          (col("s") * kc + col("code")).as("slot"),
-          struct(col("s"), col("ce")).as("entry")))),
-        t => t.getField("entry")).as("cb")))
+    // (the shared [[denseCodebookArr]] — also the adcTable core)
+    val cbArr =
+      denseCodebookArr(queries.sparkSession, index.codebooks, m, kc, sub)
     // map-side: rank cells per query (csim DESC, cluster ASC — the
     // ivfPqSearch convention, as an ascending struct sort), keep
     // nprobe; build the per-query dense tarr once
@@ -1016,6 +1021,26 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "qcos")
+  }
+
+  /** Pin a frozen index's three artifact frames in executor storage
+    * (r21 — the admission-sink fixed-cost fix): a long-lived streaming
+    * sink searches the SAME frozen index every trigger, and an
+    * unpinned index re-reads coarse/codebooks/codes from parquet and
+    * re-derives the densified codebook per micro-batch — pure
+    * per-trigger fixed cost (the textadmit probe's 84 docs/s r20
+    * reading). The frames are artifact-sized (cells + m·kc codebook
+    * rows + one code row per corpus vector — the compressed index,
+    * never raw vectors), which is exactly what an ANN index being
+    * SERVED is expected to hold resident. Caller owns the lifecycle:
+    * unpersist via the returned copy's frames when the query stops
+    * (a sink that outlives the session simply lets session teardown
+    * release them). */
+  def pinIndex(index: IvfPqIndex): IvfPqIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    IvfPqIndex(index.m, index.dim, index.kc, index.kCoarse,
+      index.coarse.persist(lvl), index.codebooks.persist(lvl),
+      index.codes.persist(lvl), index.meta)
   }
 
   /** Persist / reload an [[IvfPqIndex]] (parquet artifact, stamped

@@ -574,9 +574,13 @@ object DocStream {
     * parity by construction — the verdict is per-row). Output per
     * doc: (doc_id, admit, nn_id, nn_qcos). */
   def textSemanticAdmitSink(docs: DataFrame,
-      index: graft.operators.Similarity.IvfPqIndex, tau: Double,
+      index0: graft.operators.Similarity.IvfPqIndex, tau: Double,
       nprobe: Int, outDir: String, checkpointDir: String,
-      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery =
+      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery = {
+    // pin the frozen index for the query lifetime (r21, the
+    // semanticAdmitSink discipline): per-trigger parquet re-reads of
+    // the artifact frames were pure fixed cost
+    val index = graft.operators.Similarity.pinIndex(index0)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -595,6 +599,7 @@ object DocStream {
         ()
       }
       .start()
+  }
 
   /** Signature agreement = matching minhash positions / k. */
   def agreement(a: Seq[Int], b: Seq[Int]): Double = {

@@ -84,9 +84,13 @@ object EmbStream {
     * admitted vectors in through [[ivfPqAppendSink]] +
     * [[Similarity.loadIvfPqIndexWithDeltas]] and re-freezing.
     * Idempotent batch_id=N subtrees. */
-  def semanticAdmitSink(vectors: DataFrame, index: Similarity.IvfPqIndex,
+  def semanticAdmitSink(vectors: DataFrame, index0: Similarity.IvfPqIndex,
       tau: Double, nprobe: Int, outDir: String, checkpointDir: String,
-      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery =
+      refineWith: Option[(DataFrame, Int)] = None): StreamingQuery = {
+    // pin the frozen index for the query lifetime (r21): every trigger
+    // searches the same artifact frames — without the pin each batch
+    // re-reads them from parquet (per-trigger fixed cost)
+    val index = Similarity.pinIndex(index0)
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -101,6 +105,7 @@ object EmbStream {
         ()
       }
       .start()
+  }
 
   /** The admission verdict for one (vec_id, e) frame against a frozen
     * reference index — the batch core [[semanticAdmitSink]] and
@@ -122,12 +127,24 @@ object EmbStream {
     val qside = b.select(col("vec_id").as("query_id"), col("e").as("qe"))
       .withColumn("qnorm", sqrt(
         graft.functions.DotProduct.column(col("qe"), col("qe"))))
-    // external arrivals: ids must not self-exclude corpus rows
+    // external arrivals: ids must not self-exclude corpus rows.
+    // r21: the BULK search path (ivfPqKnnJoin + refineExactBulk — the
+    // textdedup/mmdedup production composition), not the broadcast
+    // interactive path: an admission micro-batch is corpus-shaped
+    // (thousands of rows), and the broadcast path shipped every
+    // query's m·kc-double ADC table through a per-trigger broadcast —
+    // the dominant fixed cost of the textadmit probe (84 docs/s in
+    // r20). The bulk path builds the table map-side per query against
+    // the one-row densified codebook broadcast and co-partitions the
+    // scoring join on cluster; arithmetic is bit-identical (IvfPqSpec
+    // pins knn-join ≡ broadcast search; refineExactBulk ≡ refineExact).
     val nn = (refineWith match {
-      case Some((raw, kShort)) => Similarity.ivfPqSearchRefine(
-        index, qside, raw, k = 1, kShort, nprobe, excludeSelf = false)
+      case Some((raw, kShort)) => Similarity.refineExactBulk(
+        Similarity.ivfPqKnnJoin(index, qside, k = kShort, nprobe,
+          excludeSelf = false),
+        qside, raw, k = 1)
       case None =>
-        Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
+        Similarity.ivfPqKnnJoin(index, qside, k = 1, nprobe,
           excludeSelf = false)
     }).select(col("query_id").as("vec_id"),
       col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
