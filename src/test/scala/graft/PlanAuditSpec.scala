@@ -320,6 +320,18 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("doc_bpe: training is ONE corpus pass + ONE aggregate reduce (r21)") {
+    // the one-aggregate trainer: a word-count partial-agg exchange and
+    // the single-partition bpe_train_merges reduce — no per-round
+    // materialization, no checkpoint leaves, no driver collect
+    val p = planOf("doc_bpe")
+    assert(p.contains("bpe_train_merges"), p)
+    assert(occurrences(p, "Exchange") <= 3,
+      s"bpe training re-grew a per-round shuffle chain:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"bpe training plan carries checkpoint leaves:\n$p")
+  }
+
   test("doc_domain_cap: one source exchange feeds window AND rollup; text never read") {
     val p = planOf("doc_domain_cap")
     assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
