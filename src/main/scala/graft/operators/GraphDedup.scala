@@ -66,14 +66,18 @@ object GraphDedup {
     val labeled = nodes.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    // membership count as a window over the SAME component key the
-    // rows already group by — one hash exchange, where the former
-    // groupBy+self-join shape paid the aggregate exchange plus a join
-    // of the labeled rows back against it (r21, guide §2.4: two
-    // operations keyed the same way share one exchange)
-    labeled
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+    // membership count via partial-aggregating groupBy + equi-join, NOT
+    // a count().over(Window.partitionBy(component)) (r22, ADVICE r21):
+    // a window buffers EVERY member row of a component in one task's
+    // spill array and AQE cannot split window partitions, so a
+    // mega-component (dedup's canonical skew case) serializes and
+    // spills on one core; the aggregate partial-counts map-side and the
+    // join back streams — and AQE's skew-join split CAN split the
+    // labeled side's hot partition. One extra id-sized exchange is the
+    // price of scale-safety here.
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, "component")
       .select(col("id"), col("component"), col("n_members"),
         (col("id") === col("component")).as("keep"))
   }

@@ -491,19 +491,23 @@ object Similarity {
     * path). */
   private def denseCodebookArr(spark: org.apache.spark.sql.SparkSession,
       codebooks: DataFrame, m: Int, kc: Int, sub: Int): DataFrame = {
-    val grid = spark.range(m.toLong * kc).select(
-      (col("id") / kc).cast("int").as("s"),
-      (col("id") % kc).cast("int").as("code"))
-    broadcast(grid
-      .join(codebooks.select(col("s"), col("code"), col("ce")),
-        Seq("s", "code"), "left")
-      .withColumn("ce",
-        coalesce(col("ce"), array_repeat(lit(0.0), sub)))
-      .groupBy().agg(transform(
-        array_sort(collect_list(struct(
-          (col("s") * kc + col("code")).as("slot"),
-          struct(col("s"), col("ce")).as("entry")))),
-        t => t.getField("entry")).as("cb")))
+    // r22: ONE aggregate over the codebook rows; the former range-grid
+    // left join + sort-collect paid a second broadcast exchange and an
+    // extra aggregate per search query just to zero-fill holes. Here
+    // the holes are filled map-side over the one collected row: slot
+    // s·kc+code → its (s, ce) entry, absent slots (empty clusters — an
+    // assigned code always exists, so a hole is never read) → the same
+    // zero vector the grid join produced. Entry structs are
+    // field-identical, so the AdcTable kernel sees the same cb array
+    // bit for bit.
+    broadcast(codebooks
+      .groupBy().agg(map_from_entries(collect_list(struct(
+        (col("s") * kc + col("code")).as("k"),
+        struct(col("s"), col("ce")).as("v")))).as("mp"))
+      .select(transform(sequence(lit(0), lit(m * kc - 1)), slot =>
+        coalesce(element_at(col("mp"), slot),
+          struct(floor(slot / kc).cast("int").as("s"),
+            array_repeat(lit(0.0), sub).as("ce")))).as("cb")))
   }
 
   /** Per-query dense ADC lookup table over a (s, code, ce) codebook

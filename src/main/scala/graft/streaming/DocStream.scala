@@ -579,9 +579,10 @@ object DocStream {
       refineWith: Option[(DataFrame, Int)] = None): StreamingQuery = {
     // pin the frozen index for the query lifetime (r21, the
     // semanticAdmitSink discipline): per-trigger parquet re-reads of
-    // the artifact frames were pure fixed cost
+    // the artifact frames were pure fixed cost. Released when the
+    // query terminates (r22, ADVICE r21 — see releasePinOnStop).
     val index = graft.operators.Similarity.pinIndex(index0)
-    docs.writeStream
+    graft.streaming.EmbStream.releasePinOnStop(docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -598,7 +599,7 @@ object DocStream {
         } finally b.unpersist(blocking = false)
         ()
       }
-      .start()
+      .start(), index)
   }
 
   /** Signature agreement = matching minhash positions / k. */

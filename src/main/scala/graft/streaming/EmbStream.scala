@@ -89,9 +89,11 @@ object EmbStream {
       refineWith: Option[(DataFrame, Int)] = None): StreamingQuery = {
     // pin the frozen index for the query lifetime (r21): every trigger
     // searches the same artifact frames — without the pin each batch
-    // re-reads them from parquet (per-trigger fixed cost)
+    // re-reads them from parquet (per-trigger fixed cost). Released by
+    // [[releasePinOnStop]] when THIS query terminates (r22, ADVICE r21:
+    // multi-query sessions were accumulating pinned artifact frames).
     val index = Similarity.pinIndex(index0)
-    vectors.writeStream
+    releasePinOnStop(vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -104,7 +106,31 @@ object EmbStream {
         finally b.unpersist(blocking = false)
         ()
       }
-      .start()
+      .start(), index)
+  }
+
+  /** Release a [[Similarity.pinIndex]]'d index's cached frames when the
+    * given streaming query terminates (r22, ADVICE r21): without this,
+    * every admission query a session ever started leaked its three
+    * MEMORY_AND_DISK artifact frames until session end. The listener
+    * keys on the query id and removes itself after firing, so
+    * concurrent admission queries each release exactly their own pin. */
+  private[graft] def releasePinOnStop(q: StreamingQuery,
+      index: Similarity.IvfPqIndex): StreamingQuery = {
+    val spark = index.coarse.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          Seq(index.coarse, index.codebooks, index.codes)
+            .foreach(_.unpersist(blocking = false))
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
   }
 
   /** The admission verdict for one (vec_id, e) frame against a frozen
@@ -113,8 +139,11 @@ object EmbStream {
     * vector-space and text-space sinks cannot drift.
     *
     * `refineWith = Some((rawReferenceVecs, kShort))` re-ranks a
-    * kShort ADC shortlist by EXACT cosine before the τ gate
-    * ([[Similarity.ivfPqSearchRefine]] — the 41j pattern). This is
+    * kShort ADC shortlist by EXACT cosine before the τ gate — the
+    * bulk composition [[Similarity.refineExactBulk]] over
+    * [[Similarity.ivfPqKnnJoin]] (the 41j refine pattern at
+    * micro-batch scale; r22 docfix — the body has routed through the
+    * bulk path since r21, not [[Similarity.ivfPqSearchRefine]]). This is
     * the production setting for a tight τ on a lossy index: the
     * mmdedup/textdedup probes measure raw ADC scores dropping true
     * duplicates on quantization error alone, and an admission gate
