@@ -66,18 +66,36 @@ object GraphDedup {
     val labeled = nodes.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
-    // membership count via partial-aggregating groupBy + equi-join, NOT
-    // a count().over(Window.partitionBy(component)) (r22, ADVICE r21):
-    // a window buffers EVERY member row of a component in one task's
-    // spill array and AQE cannot split window partitions, so a
-    // mega-component (dedup's canonical skew case) serializes and
-    // spills on one core; the aggregate partial-counts map-side and the
-    // join back streams — and AQE's skew-join split CAN split the
-    // labeled side's hot partition. One extra id-sized exchange is the
-    // price of scale-safety here.
-    val sizes = labeled.groupBy("component")
-      .agg(count(lit(1)).as("n_members"))
-    labeled.join(sizes, "component")
+    // Membership count: two shapes, same longs (r22, ADVICE r21).
+    //
+    // DEFAULT — count().over(Window.partitionBy(component)): one hash
+    // exchange on the key the rows already carry. CAVEAT (the ADVICE
+    // r21 skew note, measured honestly): a window partition cannot be
+    // split by AQE, so ONE task buffers (and, past memory, spills) a
+    // whole component's rows — a mega-component (dedup's canonical
+    // skew case: a boilerplate page duplicated across a crawl)
+    // serializes its count on one core. The mutual-kNN gate bounds
+    // DEGREE (≤ k edges per node) but not component size, so the risk
+    // is real at 100 TB even if absent at verification scale.
+    //
+    // OPT-IN — spark.graft.dedup.skewSafeCounts=true: partial-
+    // aggregating groupBy + equi-join back. Counts combine map-side,
+    // the join streams, and AQE's skew-join split CAN split the hot
+    // component's partition. Costs 2 extra id-sized exchanges (+3
+    // scheduled jobs ≈ +0.3 s per consumer at demo scale — why it is
+    // not the default here); at corpus scale those exchanges carry id
+    // rows only. Deployments expecting mega-components should set it.
+    // GraphDedupSpec pins the two shapes to identical rows.
+    val skewSafe = labeled.sparkSession.conf
+      .getOption("spark.graft.dedup.skewSafeCounts").exists(_.toBoolean)
+    val counted =
+      if (skewSafe) {
+        val sizes = labeled.groupBy("component")
+          .agg(count(lit(1)).as("n_members"))
+        labeled.join(sizes, "component")
+      } else labeled.withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+    counted
       .select(col("id"), col("component"), col("n_members"),
         (col("id") === col("component")).as("keep"))
   }

@@ -491,23 +491,25 @@ object Similarity {
     * path). */
   private def denseCodebookArr(spark: org.apache.spark.sql.SparkSession,
       codebooks: DataFrame, m: Int, kc: Int, sub: Int): DataFrame = {
-    // r22: ONE aggregate over the codebook rows; the former range-grid
-    // left join + sort-collect paid a second broadcast exchange and an
-    // extra aggregate per search query just to zero-fill holes. Here
-    // the holes are filled map-side over the one collected row: slot
-    // s·kc+code → its (s, ce) entry, absent slots (empty clusters — an
-    // assigned code always exists, so a hole is never read) → the same
-    // zero vector the grid join produced. Entry structs are
-    // field-identical, so the AdcTable kernel sees the same cb array
-    // bit for bit.
-    broadcast(codebooks
-      .groupBy().agg(map_from_entries(collect_list(struct(
-        (col("s") * kc + col("code")).as("k"),
-        struct(col("s"), col("ce")).as("v")))).as("mp"))
-      .select(transform(sequence(lit(0), lit(m * kc - 1)), slot =>
-        coalesce(element_at(col("mp"), slot),
-          struct(floor(slot / kc).cast("int").as("s"),
-            array_repeat(lit(0.0), sub).as("ce")))).as("cb")))
+    // NOTE (r22): a one-aggregate densification (map_from_entries +
+    // per-slot element_at) was tried and measured SLOWER — element_at
+    // on a Spark map is a linear scan, so filling 4096 slots cost
+    // O(slots²) interpreted probes per search (emb_ann_pq +40%). The
+    // grid left join below is the cheap shape: 4096-row broadcast
+    // join, one sort-collect.
+    val grid = spark.range(m.toLong * kc).select(
+      (col("id") / kc).cast("int").as("s"),
+      (col("id") % kc).cast("int").as("code"))
+    broadcast(grid
+      .join(codebooks.select(col("s"), col("code"), col("ce")),
+        Seq("s", "code"), "left")
+      .withColumn("ce",
+        coalesce(col("ce"), array_repeat(lit(0.0), sub)))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(
+          (col("s") * kc + col("code")).as("slot"),
+          struct(col("s"), col("ce")).as("entry")))),
+        t => t.getField("entry")).as("cb")))
   }
 
   /** Per-query dense ADC lookup table over a (s, code, ce) codebook

@@ -63,6 +63,23 @@ class GraphDedupSpec extends AnyFunSuite {
     assert(got(99L) == ((99L, 1L, true)))
   }
 
+  test("skew-safe membership counts (groupBy+join opt-in) produce " +
+    "exactly the default window shape's rows") {
+    val g = graphDf(Seq(
+      (10L, 11L, 0.9), (11L, 10L, 0.9),
+      (11L, 12L, 0.9), (12L, 11L, 0.9),
+      (20L, 21L, 0.7), (21L, 20L, 0.7)))
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
+    def run(): Set[(Long, Long, Long, Boolean)] =
+      GraphDedup.knnGraphDedup(g, nodes, tau = 0.5)
+        .select("id", "component", "n_members", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    val byWindow = run()
+    spark.conf.set("spark.graft.dedup.skewSafeCounts", "true")
+    try assert(run() == byWindow)
+    finally spark.conf.unset("spark.graft.dedup.skewSafeCounts")
+  }
+
   test("dedup over the exact-endpoint ivfPqKnnJoin graph == dedup " +
     "over the brute-force exact cosine graph") {
     try {
