@@ -136,6 +136,8 @@ object GraftFunctions {
       repetitionStatsFromSql _),
     ("shingle_ngrams", classOf[ShingleNGrams],
       literalN("shingle_ngrams")((e, n) => ShingleNGrams(e, n))),
+    ("minhash_sig", classOf[MinHashSig],
+      literalN("minhash_sig")((e, k) => MinHashSig(e, k))),
     ("ngram_instances", classOf[NGramInstances],
       literalN("ngram_instances")((e, n) => NGramInstances(e, n))),
     ("sq8_roundtrip", classOf[Sq8Roundtrip],

@@ -893,16 +893,31 @@ object Similarity {
     require(nprobe >= 1, s"ivfPqSearch: nprobe must be >= 1, got $nprobe")
     val m = index.m
     val kc = index.kc
-    val cw = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc, col("cluster").asc)
-    val probes = queries
-      .crossJoin(broadcast(index.coarse))
-      .withColumn("qdotcc", dot(col("qe"), col("ce")))
-      .withColumn("csim",
-        col("qdotcc") / (col("qnorm") * sqrt(col("scc"))))
-      .withColumn("crnk", row_number().over(cw))
-      .filter(col("crnk") <= nprobe)
-      .select(col("query_id"), col("cluster"), col("qdotcc"))
+    // cell ranking MAP-SIDE against the one-row cell array — the exact
+    // [[ivfPqKnnJoin]] probing expression (r22; the former
+    // crossJoin(coarse) + row_number window paid one query-keyed
+    // exchange + window sort per search — per-TRIGGER fixed cost for
+    // every admission/scoring micro-batch, and one more AQE stage job
+    // for every batch search). Same csim arithmetic and
+    // (csim DESC, cluster ASC) order as the window (ascending struct
+    // sort on (−csim, cluster)); IvfPqSpec pins this probing form
+    // bit-identical on a lossy multi-cell index. Zero-norm edge: an
+    // all-NaN csim query probes by cluster order here where the window
+    // ranked NaN first — both then emit zero rows (NaN qcos is dropped
+    // below), the documented ivfPqKnnJoin contract.
+    val cellsArr = broadcast(index.coarse.groupBy().agg(
+      array_sort(collect_list(struct(
+        col("cluster"), col("ce"), col("scc")))).as("cells")))
+    val probes = queries.crossJoin(cellsArr)
+      .withColumn("pc", slice(array_sort(transform(col("cells"), c => {
+        val qd = dot(col("qe"), c.getField("ce"))
+        struct(
+          (-(qd / (col("qnorm") * sqrt(c.getField("scc"))))).as("negsim"),
+          c.getField("cluster").as("cluster"), qd.as("qdotcc"))
+      })), 1, nprobe))
+      .select(col("query_id"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("p.cluster").as("cluster"),
+        col("p.qdotcc").as("qdotcc"))
     // r21: the per-query ADC table broadcasts ONCE per query — the
     // former probes⋈table pre-join replicated each query's m·kc-double
     // tarr nprobe times inside the broadcast relation (nprobe× the

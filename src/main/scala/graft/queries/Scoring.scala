@@ -74,11 +74,19 @@ object Scoring {
       tfb.groupBy("bg").agg(sum("tfb").as("c12"))
         .withColumn("w1", element_at(split(col("bg"), " "), 1)))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    // unigram vocabulary size: the one quantity bigrams cannot supply
-    // (they miss each document's final token) — a second, cheap,
-    // single-column scan
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("w"))
+    // unigram vocabulary size — WITHOUT the second full token-explode
+    // scan (r22, guide §1.2 "don't compute things you throw away"):
+    // bigram heads (c12's w1, already aggregated and persisted) cover
+    // every token position except each document's LAST, so
+    // vocab = distinct(w1 set ∪ one last-token row per doc). Set-equal
+    // to distinct(all tokens): positions 0..n−2 are bigram heads,
+    // position n−1 is the last token; a 1-token doc's only token IS
+    // its last token; an empty text tokenizes to [""] whose single
+    // token is also its last. count_distinct ignores the NULL a null
+    // text would contribute — exactly as explode dropped it.
+    val vocab = c12.select(col("w1").as("w"))
+      .unionByName(docs0.select(
+        element_at(split(col("text"), " "), -1).as("w")))
       .agg(count_distinct(col("w")).as("v"))
     val model = c12
       .join(c1, "w1")
@@ -138,10 +146,17 @@ object Scoring {
       explode(graft.functions.NGramInstances.column(
         split(col("text"), " "), 2)).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-    LmCounts(
-      graft.CacheScope.persistTracked(
-        inst.groupBy("w1", "bg").agg(count(lit(1)).as("c12"))),
-      docs.select(explode(split(col("text"), " ")).as("w")).distinct())
+    val pairs = graft.CacheScope.persistTracked(
+      inst.groupBy("w1", "bg").agg(count(lit(1)).as("c12")))
+    // word set from the persisted pair counts + one last-token row per
+    // doc — the lmScore vocab argument (set-equal to the full token
+    // explode; the isNotNull drops what explode's null-pruning dropped)
+    val words = pairs.select(col("w1").as("w"))
+      .unionByName(docs0.select(
+        element_at(split(col("text"), " "), -1).as("w")))
+      .filter(col("w").isNotNull)
+      .distinct()
+    LmCounts(pairs, words)
   }
 
   /** Exact additive merge of two count sets: summed pair counts,

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.storage.StorageLevel
 
-/** One (band bucket, doc) occupancy row flowing into the stateful op. */
-case class BandDoc(band_idx: Int, band_hash: Int, doc_id: Long, sig: Seq[Int])
+/** One (band bucket, doc) occupancy row flowing into the stateful op.
+  * `sig` is a primitive array (r22): the Seq[Int] encoder boxed every
+  * signature element on the 4-rows-per-doc hot path. */
+case class BandDoc(band_idx: Int, band_hash: Int, doc_id: Long, sig: Array[Int])
 
 /** Per-band dedup verdict: `dup_of` is the smallest earlier doc in this
   * bucket whose signature agreement clears the threshold (None = this
@@ -17,19 +19,28 @@ case class BandVerdict(doc_id: Long, band_idx: Int, dup_of: Option[Long],
 /** One (band bucket, doc) occupancy row with the doc's event time, for
   * the event-time-TTL variant of the stateful op. */
 case class BandDocTs(band_idx: Int, band_hash: Int, doc_id: Long,
-    sig: Seq[Int], ts: java.sql.Timestamp)
+    sig: Array[Int], ts: java.sql.Timestamp)
 
 /** Signatures already seen in one LSH band bucket, plus the newest
   * event time the bucket has observed (millis; used only by the
   * event-time-TTL variant — the processing-time variant leaves it 0).
   *
-  * State-schema note: adding `maxTs` (r10) changed the encoder schema
-  * of the flatMapGroupsWithState state, so a query resuming from a
-  * checkpoint written BEFORE that change fails state deserialization.
-  * Checkpoints here are probe/test scratch so no migration shim is
-  * shipped; a production deployment versioning long-lived checkpoints
-  * should bump the checkpoint path on any state case-class change. */
-case class BucketState(docs: List[(Long, Seq[Int])], maxTs: Long = 0L)
+  * Layout (r22): ids newest-first, signatures flattened k-per-doc and
+  * aligned with ids (sigs.length == ids.length · k). The former
+  * List[(Long, Seq[Int])] round-tripped a product encoder with a boxed
+  * element per signature int through the state store on EVERY batch a
+  * bucket was touched — the dominant per-batch cost of the streaming
+  * near-dup sink once the map side went native; primitive-array fields
+  * encode as flat unsafe arrays.
+  *
+  * State-schema note: this layout change (like adding `maxTs` in r10)
+  * changes the encoder schema of the flatMapGroupsWithState state, so
+  * a query resuming from a checkpoint written BEFORE it fails state
+  * deserialization. Checkpoints here are probe/test scratch so no
+  * migration shim is shipped; a production deployment versioning
+  * long-lived checkpoints should bump the checkpoint path on any state
+  * case-class change. */
+case class BucketState(ids: Array[Long], sigs: Array[Int], maxTs: Long = 0L)
 
 /** Per-source admission verdict: `seq` is the 1-based arrival rank
   * within the source; admitted iff seq <= cap. */
@@ -67,16 +78,17 @@ object DocStream {
     * distinct word n-gram shingles. Identical values to the batch
     * formulation (min over the exploded posting list) because both
     * reduce min(hash(seed_j, shingle)) over the same shingle set —
-    * here as array ops on one row, no shuffle, streaming-safe. */
+    * here as one native kernel per row (r22,
+    * [[graft.functions.MinHashSig]] — the former k-fold
+    * array_min∘transform HOF stack evaluated k·|shingles| interpreted
+    * lambda frames per document, the dominant map-side cost of the
+    * streaming near-dup sink; MinHashSigSpec pins the kernel
+    * bit-identical to it), no shuffle, streaming-safe. */
   def withSignature(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
     val shingles = graft.functions.ShingleNGrams.column(
       split(col("text"), " "), n)
-    docs
-      .withColumn("shingles", shingles)
-      .withColumn("sig", array((0 until k).map(j =>
-        array_min(transform(col("shingles"),
-          s => hash(lit(j), s)))): _*))
-      .drop("shingles")
+    docs.withColumn("sig",
+      graft.functions.MinHashSig.column(shingles, k))
   }
 
   /** Explode each doc into its `bands` LSH bucket rows — the band
@@ -139,30 +151,114 @@ object DocStream {
             state.remove()
             Iterator.empty
           } else {
-          var seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = List.newBuilder[BandVerdict]
-          batch.toSeq.sortBy(_.doc_id).foreach { r =>
-            // "earlier" = FIRST-SEEN (arrival order): everything in
-            // `seen` was processed before this doc, including docs from
-            // prior micro-batches with LARGER ids — an id-order filter
-            // here would silently miss real dups on out-of-order
-            // arrival (append mode cannot retract the earlier verdict).
-            // Within a batch the doc_id sort makes replays
-            // deterministic, where arrival order is not observable.
-            val hit = seen
-              .filter { case (_, s) => agreement(s, r.sig) >= tau }
-              .sortBy(_._1).headOption
-            out += BandVerdict(r.doc_id, r.band_idx, hit.map(_._1),
-              hit.map(h => agreement(h._2, r.sig)).getOrElse(0.0))
-            // store regardless of verdict; FIFO-cap adversarial buckets
-            seen = ((r.doc_id, r.sig) :: seen).take(maxPerBucket)
-          }
-          state.update(BucketState(seen))
-          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-          out.result().iterator
+            val st = state.getOption
+            val (verdicts, ids, sigs) = judgeBucket(
+              st.map(_.ids).getOrElse(Array.emptyLongArray),
+              st.map(_.sigs).getOrElse(Array.emptyIntArray),
+              batch.toArray.sortBy(_.doc_id), tau, maxPerBucket)
+            state.update(BucketState(ids, sigs))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            verdicts.iterator
           }
       }
     judged.union(short)
+  }
+
+  /** Per-bucket judge shared by both TTL variants (r22 — the flat-array
+    * state core). Semantics are EXACTLY the r21 list fold's, row for
+    * row: "earlier" = FIRST-SEEN arrival order — everything stored
+    * before this doc (prior micro-batches, newest-first, plus earlier
+    * rows of this batch; an id-order filter would silently miss real
+    * dups on out-of-order arrival, and append mode cannot retract the
+    * earlier verdict); within a batch docs are processed in doc_id
+    * order so checkpoint replays are deterministic; the verdict hit is
+    * the SMALLEST-id stored entry whose signature agreement clears tau
+    * (with that entry's agreement as est_jaccard); entries are stored
+    * regardless of verdict; and the FIFO cap applies after EVERY
+    * append, so a bucket at cap drops its oldest entry before the next
+    * row is judged. Returns (verdicts, ids, sigs) with ids
+    * newest-first and sigs flattened k-per-doc. */
+  private def judgeBucket(oldIds: Array[Long], oldSigs: Array[Int],
+      rows: Array[BandDoc], tau: Double, maxPerBucket: Int)
+      : (List[BandVerdict], Array[Long], Array[Int]) = {
+    val out = List.newBuilder[BandVerdict]
+    val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val newSigs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // stored signature width (uniform per bucket: one k per pipeline)
+    val ko = if (oldIds.length > 0) oldSigs.length / oldIds.length else 0
+    // live window under the per-row FIFO cap: batch-local entries
+    // [newStart, newIds.length) + persisted entries [0, oldLive)
+    var oldLive = oldIds.length
+    var newStart = 0
+    rows.foreach { r =>
+      val sig = r.sig
+      var bestId = Long.MaxValue
+      var bestAgree = 0.0
+      val kn = if (newIds.nonEmpty) newSigs.length / newIds.length else 0
+      var i = newStart
+      while (i < newIds.length) {
+        if (newIds(i) < bestId) {
+          var eq = 0
+          var j = 0
+          val n = math.min(kn, sig.length)
+          while (j < n) {
+            if (newSigs(i * kn + j) == sig(j)) eq += 1
+            j += 1
+          }
+          val ag = eq.toDouble / math.max(kn, 1)
+          if (ag >= tau) { bestId = newIds(i); bestAgree = ag }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < oldLive) {
+        if (oldIds(i) < bestId) {
+          var eq = 0
+          var j = 0
+          val n = math.min(ko, sig.length)
+          while (j < n) {
+            if (oldSigs(i * ko + j) == sig(j)) eq += 1
+            j += 1
+          }
+          val ag = eq.toDouble / math.max(ko, 1)
+          if (ag >= tau) { bestId = oldIds(i); bestAgree = ag }
+        }
+        i += 1
+      }
+      val found = bestId != Long.MaxValue
+      out += BandVerdict(r.doc_id, r.band_idx,
+        if (found) Some(bestId) else None, if (found) bestAgree else 0.0)
+      newIds += r.doc_id
+      newSigs ++= sig
+      if ((newIds.length - newStart) + oldLive > maxPerBucket) {
+        if (oldLive > 0) oldLive -= 1 else newStart += 1
+      }
+    }
+    val w =
+      if (rows.nonEmpty) rows(0).sig.length
+      else ko
+    val nNew = newIds.length - newStart
+    val total = nNew + oldLive
+    val ids = new Array[Long](total)
+    val sigs = new Array[Int](total * w)
+    var idx = 0
+    var i = newIds.length - 1
+    while (i >= newStart) {
+      ids(idx) = newIds(i)
+      var j = 0
+      while (j < w) { sigs(idx * w + j) = newSigs(i * w + j); j += 1 }
+      idx += 1
+      i -= 1
+    }
+    i = 0
+    while (i < oldLive) {
+      ids(idx) = oldIds(i)
+      var j = 0
+      while (j < w) { sigs(idx * w + j) = oldSigs(i * w + j); j += 1 }
+      idx += 1
+      i += 1
+    }
+    (out.result(), ids, sigs)
   }
 
   /** Event-time-TTL twin of [[nearDupVerdicts]] (VERDICT r7 #8): state
@@ -203,31 +299,28 @@ object DocStream {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.map(_.docs).getOrElse(Nil)
-            val out = List.newBuilder[BandVerdict]
+            val st = state.getOption
             // RUNNING max across micro-batches, not per-batch: an
             // out-of-order batch (within the watermark delay) whose max
             // ts is older than a prior batch's must not re-arm the
             // timeout EARLIER — that would evict state prematurely and
             // miss duplicates still inside the TTL.
-            var maxTs = state.getOption.map(_.maxTs).getOrElse(0L)
-            batch.toSeq.sortBy(_.doc_id).foreach { r =>
-              val hit = seen
-                .filter { case (_, s) => agreement(s, r.sig) >= tau }
-                .sortBy(_._1).headOption
-              out += BandVerdict(r.doc_id, r.band_idx, hit.map(_._1),
-                hit.map(h => agreement(h._2, r.sig)).getOrElse(0.0))
-              seen = ((r.doc_id, r.sig) :: seen).take(maxPerBucket)
-              maxTs = math.max(maxTs, r.ts.getTime)
-            }
-            state.update(BucketState(seen, maxTs))
+            var maxTs = st.map(_.maxTs).getOrElse(0L)
+            val rs = batch.toArray.sortBy(_.doc_id)
+            rs.foreach(r => maxTs = math.max(maxTs, r.ts.getTime))
+            val (verdicts, ids, sigs) = judgeBucket(
+              st.map(_.ids).getOrElse(Array.emptyLongArray),
+              st.map(_.sigs).getOrElse(Array.emptyIntArray),
+              rs.map(r => BandDoc(r.band_idx, r.band_hash, r.doc_id, r.sig)),
+              tau, maxPerBucket)
+            state.update(BucketState(ids, sigs, maxTs))
             // Arm expiry at (newest event this bucket has EVER seen) +
             // TTL. The timestamp must exceed the current watermark or
             // Spark throws; rows below the watermark were already
             // dropped upstream, but guard anyway for the ttl=0 edge.
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1) + stateTtlMs)
-            out.result().iterator
+            verdicts.iterator
           }
       }
     judged.union(short)

@@ -139,11 +139,10 @@ object EmbStream {
     * vector-space and text-space sinks cannot drift.
     *
     * `refineWith = Some((rawReferenceVecs, kShort))` re-ranks a
-    * kShort ADC shortlist by EXACT cosine before the τ gate — the
-    * bulk composition [[Similarity.refineExactBulk]] over
-    * [[Similarity.ivfPqKnnJoin]] (the 41j refine pattern at
-    * micro-batch scale; r22 docfix — the body has routed through the
-    * bulk path since r21, not [[Similarity.ivfPqSearchRefine]]). This is
+    * kShort ADC shortlist by EXACT cosine before the τ gate
+    * ([[Similarity.ivfPqSearchRefine]] — the 41j refine pattern at
+    * micro-batch scale; see the body comment for why the broadcast
+    * composition beats the bulk one here). This is
     * the production setting for a tight τ on a lossy index: the
     * mmdedup/textdedup probes measure raw ADC scores dropping true
     * duplicates on quantization error alone, and an admission gate
@@ -157,23 +156,30 @@ object EmbStream {
       .withColumn("qnorm", sqrt(
         graft.functions.DotProduct.column(col("qe"), col("qe"))))
     // external arrivals: ids must not self-exclude corpus rows.
-    // r21: the BULK search path (ivfPqKnnJoin + refineExactBulk — the
-    // textdedup/mmdedup production composition), not the broadcast
-    // interactive path: an admission micro-batch is corpus-shaped
-    // (thousands of rows), and the broadcast path shipped every
-    // query's m·kc-double ADC table through a per-trigger broadcast —
-    // the dominant fixed cost of the textadmit probe (84 docs/s in
-    // r20). The bulk path builds the table map-side per query against
-    // the one-row densified codebook broadcast and co-partitions the
-    // scoring join on cluster; arithmetic is bit-identical (IvfPqSpec
-    // pins knn-join ≡ broadcast search; refineExactBulk ≡ refineExact).
+    // r22: back on the BROADCAST search path (ivfPqSearch /
+    // ivfPqSearchRefine). History: r20 ran broadcast and measured 84
+    // docs/s — but the cost was the RELATIONAL per-query ADC-table
+    // build of that era (an nQ·m·kc grid crossJoin + per-query
+    // 4096-struct sort), not the broadcast itself; r21 both made the
+    // table build a native kernel (AdcTable) AND switched admission to
+    // the bulk path (ivfPqKnnJoin + refineExactBulk), attributing the
+    // win to the path. Measured this round with the kernel in place,
+    // the bulk path is the slower one for micro-batches: it carries
+    // each query's m·kc-double tarr on every one of its nprobe probe
+    // rows through a shuffled cluster join (~0.5 GB per 2k-doc
+    // trigger at m=16, kc=256, nprobe=8), where the broadcast path
+    // ships each query's table once and scans the pinned codes
+    // map-side — no corpus-keyed exchange at all. Arithmetic is
+    // bit-identical in both directions (IvfPqSpec pins knn-join ≡
+    // broadcast search and refineExactBulk ≡ refineExact), so the
+    // verdicts cannot drift. The bulk composition remains the right
+    // form for CORPUS-shaped query sets (kNN-graph builds), where a
+    // per-query-table broadcast cannot exist.
     val nn = (refineWith match {
-      case Some((raw, kShort)) => Similarity.refineExactBulk(
-        Similarity.ivfPqKnnJoin(index, qside, k = kShort, nprobe,
-          excludeSelf = false),
-        qside, raw, k = 1)
+      case Some((raw, kShort)) => Similarity.ivfPqSearchRefine(
+        index, qside, raw, k = 1, kShort, nprobe, excludeSelf = false)
       case None =>
-        Similarity.ivfPqKnnJoin(index, qside, k = 1, nprobe,
+        Similarity.ivfPqSearch(index, qside, k = 1, nprobe,
           excludeSelf = false)
     }).select(col("query_id").as("vec_id"),
       col("neighbor_id").as("nn_id"), col("qcos").as("nn_qcos"))
