@@ -766,15 +766,19 @@ object Similarity {
             slice(col("ce"), s * sub + 1, sub).as("ccs"))): _*)).as("w"))
       .select(col("cluster"), col("scc"),
         col("w.s").as("s"), col("w.ccs").as("ccs"))
+    // scc rides the xterm broadcast (r22): ccSub already carries the
+    // coarse scc per cluster, so joining it out here saves the second
+    // broadcast-build job the former coarse.(cluster, scc) join paid
+    // per fit — same value on every matched row (scc is constant per
+    // cluster), so the first(scc) below folds identically.
     val xterm = ccSub.join(codebooks.select(col("s"), col("code"),
         col("ce"), col("scc").as("rcc")), "s")
       .select(col("cluster"), col("s"), col("code"),
-        dot(col("ccs"), col("ce")).as("xt"), col("rcc"))
+        dot(col("ccs"), col("ce")).as("xt"), col("rcc"), col("scc"))
     withCodes
       .select(col("vec_id"), col("cluster"),
         col("codes"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(xterm), Seq("cluster", "s", "code"))
-      .join(broadcast(coarse.select(col("cluster"), col("scc"))), "cluster")
       .groupBy("vec_id")
       .agg(first(col("cluster")).as("cluster"),
         first(col("codes")).as("codes"),
